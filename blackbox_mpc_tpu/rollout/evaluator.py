@@ -1,0 +1,89 @@
+"""Trajectory evaluation: the rollout hot loop, as a fused ``lax.scan``.
+
+TPU-native counterpart of ``DeterministicTrajectoryEvaluator``
+(``/root/reference/blackbox_mpc/trajectory_evaluators/deterministic.py:26-77``). The reference
+runs a ``tf.while_loop`` over the horizon, reshaping ``[pop, agents, H, U]`` into an
+``[H, pop*agents, U]`` batch; here the same dataflow is a ``lax.scan`` whose carried state is the
+``[pop*agents, S]`` batch, so XLA fuses each step's dynamics matmuls + reward into one kernel and
+keeps the population resident on-device. The population axis is the sharding axis for multi-chip
+execution (see :mod:`blackbox_mpc_tpu.parallel`).
+"""
+from __future__ import annotations
+
+from typing import Callable, Optional
+
+import jax
+import jax.numpy as jnp
+
+from blackbox_mpc_tpu.core.types import DynamicsFn, RewardFn, TrajectoryEvaluator
+
+__all__ = ["make_trajectory_evaluator", "rollout_trajectories", "NAN_REWARD"]
+
+# NaN rewards are clamped to this, matching the reference's guard
+# (/root/reference/blackbox_mpc/trajectory_evaluators/deterministic.py:75-77).
+NAN_REWARD = -1e6
+
+
+def rollout_trajectories(
+    dynamics_fn: DynamicsFn,
+    reward_fn: RewardFn,
+    initial_states: jax.Array,  # [B, S]
+    action_sequences: jax.Array,  # [B, H, U]
+    *,
+    discount: float = 1.0,
+    return_states: bool = False,
+):
+    """Rolls a batch of action sequences through the dynamics, accumulating reward.
+
+    Returns total_reward [B] (and the visited state trajectory [H, B, S] if requested).
+    """
+    actions_time_major = jnp.swapaxes(action_sequences, 0, 1)  # [H, B, U]
+
+    def step(carry, actions_t):
+        state, total, disc = carry
+        next_state = dynamics_fn(state, actions_t)
+        r = reward_fn(state, actions_t, next_state)
+        out = next_state if return_states else None
+        return (next_state, total + disc * r, disc * discount), out
+
+    init = (
+        initial_states,
+        jnp.zeros(initial_states.shape[0], dtype=initial_states.dtype),
+        jnp.ones((), dtype=initial_states.dtype),
+    )
+    (final_state, total_reward, _), states = jax.lax.scan(step, init, actions_time_major)
+    del final_state
+    if return_states:
+        return total_reward, states
+    return total_reward
+
+
+def make_trajectory_evaluator(
+    dynamics_fn: DynamicsFn,
+    reward_fn: RewardFn,
+    *,
+    discount: float = 1.0,
+    nan_guard: bool = True,
+) -> TrajectoryEvaluator:
+    """Builds ``evaluate(initial_states [A,S], action_sequences [P,A,H,U]) -> rewards [P,A]``.
+
+    Semantics match the reference evaluator call
+    (/root/reference/blackbox_mpc/trajectory_evaluators/deterministic.py:26-77): the initial
+    state of agent ``a`` is tiled across the population, each candidate sequence is rolled out
+    for H steps, and per-trajectory rewards are summed (NaN -> -1e6).
+    """
+
+    def evaluate(initial_states: jax.Array, action_sequences: jax.Array) -> jax.Array:
+        pop, agents, horizon, dim_u = action_sequences.shape
+        flat_actions = action_sequences.reshape(pop * agents, horizon, dim_u)
+        # Tile [A, S] -> [P*A, S] with agent minor, matching tf.tile(current_states, [pop, 1]).
+        flat_states = jnp.tile(initial_states, (pop, 1))
+        total = rollout_trajectories(
+            dynamics_fn, reward_fn, flat_states, flat_actions, discount=discount
+        )
+        rewards = total.reshape(pop, agents)
+        if nan_guard:
+            rewards = jnp.where(jnp.isnan(rewards), jnp.asarray(NAN_REWARD, rewards.dtype), rewards)
+        return rewards
+
+    return evaluate

@@ -1,0 +1,100 @@
+"""Shared configuration and helpers for the derivative-free trajectory solvers.
+
+Counterpart of ``OptimizerBase`` (``/root/reference/blackbox_mpc/optimizers/optimizer_base.py``),
+reworked as pure functions: bounds bookkeeping, midpoint/variance initialization
+(``optimizer_base.py:37-50``), warm-start time-shifting (``pi2.py:92-93``), and the
+exploration-noise rule (``optimizer_base.py:82-90``) live here; the per-algorithm update rules
+live in sibling modules, each exporting ``make_<name>(config, bounds, evaluate) -> Solver``.
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from blackbox_mpc_tpu.core.types import Bounds, truncated_normal
+
+__all__ = [
+    "SolverConfig",
+    "init_solution_mean",
+    "init_solution_variance",
+    "constrain_variance",
+    "shift_time",
+    "bound_violation_penalty",
+    "exploration_noise",
+]
+
+
+@dataclasses.dataclass(frozen=True)
+class SolverConfig:
+    """Static (trace-time) configuration common to all solvers.
+
+    Defaults mirror the reference CEM signature
+    (``/root/reference/blackbox_mpc/optimizers/cem.py:7-10``).
+    """
+
+    planning_horizon: int = 50
+    population: int = 500
+    num_agents: int = 1
+    max_iterations: int = 5
+    dtype: jnp.dtype = jnp.float32
+
+
+def init_solution_mean(bounds: Bounds, horizon: int, num_agents: int) -> jax.Array:
+    """Midpoint-of-action-space initial plan, [A, H, U] (reference cem.py:55-63)."""
+    mid = bounds.midpoint
+    return jnp.broadcast_to(mid, (num_agents, horizon) + mid.shape)
+
+
+def init_solution_variance(bounds: Bounds, horizon: int, num_agents: int) -> jax.Array:
+    """(range/4)^2 initial variance, [A, H, U] (reference cem.py:64-72)."""
+    var = bounds.default_variance
+    return jnp.broadcast_to(var, (num_agents, horizon) + var.shape)
+
+
+def constrain_variance(mean: jax.Array, variance: jax.Array, bounds: Bounds) -> jax.Array:
+    """Caps the sampling variance so +/-2 sigma stays inside the bounds.
+
+    Reference rule (``cem.py:81-88``): min(((m-lb)/2)^2, ((ub-m)/2)^2, var).
+    """
+    lower_dist = mean - bounds.lower
+    upper_dist = bounds.upper - mean
+    return jnp.minimum(
+        jnp.minimum(jnp.square(lower_dist / 2.0), jnp.square(upper_dist / 2.0)), variance
+    )
+
+
+def shift_time(plan: jax.Array) -> jax.Array:
+    """Warm-start shift: drop step 0, repeat the final step. plan=[..., H, U].
+
+    Reference: ``tf.concat([sol[:, 1:], sol[:, -1:]], 1)`` (pi2.py:92-93, spsa.py:114-115).
+    """
+    return jnp.concatenate([plan[..., 1:, :], plan[..., -1:, :]], axis=-2)
+
+
+def bound_violation_penalty(samples: jax.Array, bounds: Bounds) -> Tuple[jax.Array, jax.Array]:
+    """Clips samples to bounds; returns (feasible samples, squared-violation penalty [P, A]).
+
+    Reference pattern (pi2.py:70-76, spsa.py:80-91, pso.py:79-85, cma_es.py:147-152).
+    """
+    feasible = bounds.clip(samples)
+    violation = samples - feasible
+    pop, agents = samples.shape[0], samples.shape[1]
+    penalty = jnp.sum(jnp.square(violation).reshape(pop, agents, -1), axis=-1)
+    return feasible, penalty
+
+
+def exploration_noise(
+    key: jax.Array, action: jax.Array, bounds: Bounds, scale: float = 0.05
+) -> jax.Array:
+    """Adds truncated-normal exploration noise to an [A, U] action and clips to bounds.
+
+    Preserves the reference quirk: the noise is centered at the *action-space midpoint*
+    (not zero) and added to the action (``optimizer_base.py:46-50,82-90``), which biases
+    exploration for asymmetric spaces exactly as the reference does.
+    """
+    var = bounds.default_variance * scale
+    noise = truncated_normal(key, bounds.midpoint, jnp.sqrt(var), action.shape)
+    return bounds.clip(action + noise)

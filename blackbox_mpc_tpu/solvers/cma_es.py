@@ -1,0 +1,178 @@
+"""CMA-ES trajectory solver (per-agent covariance adaptation).
+
+Rebuild of ``CMAESOptimizer`` (``/root/reference/blackbox_mpc/optimizers/cma_es.py:129-213``)
+with the standard Hansen update rules: rank-based recombination weights (``cma_es.py:62-68``),
+step-size path ``p_sigma`` (``:170-173``), covariance path + rank-mu update (``:177-184``), and
+eigendecomposition refresh each iteration.
+
+Deliberate departures from the reference, both fixing documented defects:
+
+* **Per-agent covariance.** The reference flattens all agents into one ``n = A*H*U`` solution
+  vector and *sums* rewards across agents (``cma_es.py:158``, flagged "#TODO ... very flaky";
+  docstring admits "not optimized for more than one agent", ``:13``). Here every agent runs an
+  independent CMA-ES over ``n = H*U`` via ``vmap``-style batched einsums — O(A*n^2) memory
+  instead of O((A*n)^2), and correct for A > 1. For A == 1 the math is identical.
+* **``eigh`` instead of SVD** on the symmetric covariance (``cma_es.py:195`` uses full SVD) —
+  cheaper and the right decomposition for a symmetric PSD matrix.
+* ``reset`` restores the *full* state (the reference's ``reset`` leaves C/B/D/paths stale,
+  ``cma_es.py:218-227``).
+"""
+from __future__ import annotations
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import struct
+
+from blackbox_mpc_tpu.core.types import Bounds, Solver, SolverAux, TrajectoryEvaluator
+from blackbox_mpc_tpu.solvers import base
+
+__all__ = ["CMAESConfig", "CMAESState", "make_cma_es"]
+
+
+@dataclasses.dataclass(frozen=True)
+class CMAESConfig(base.SolverConfig):
+    """Defaults match the reference (``cma_es.py:7-10``) except ``persist_across_solves``."""
+
+    num_elite: int = 50
+    alpha_cov: float = 2.0
+    h_sigma: float = 1.0
+    # The reference carries sigma/C/paths across MPC solves (state assigned in-place each
+    # iteration, cma_es.py:199-206, reset only per episode). Measured on pendulum, sigma then
+    # collapses to ~0 within ~20 control steps and the controller goes open-loop. Default here:
+    # every solve restarts sigma/C/paths fresh and warm-starts only the time-shifted mean.
+    # Set True to reproduce the reference's persistent behavior.
+    persist_across_solves: bool = False
+
+
+@struct.dataclass
+class CMAESState:
+    mean: jax.Array  # [A, n]
+    sigma: jax.Array  # [A, n] — per-coordinate step size (vector, as in the reference)
+    cov: jax.Array  # [A, n, n]
+    p_sigma: jax.Array  # [A, n]
+    p_cov: jax.Array  # [A, n]
+    eigvecs: jax.Array  # [A, n, n] — B
+    eigvals_sqrt: jax.Array  # [A, n] — diag(D)
+
+
+def make_cma_es(config: CMAESConfig, bounds: Bounds, evaluate: TrajectoryEvaluator) -> Solver:
+    horizon, agents, pop = config.planning_horizon, config.num_agents, config.population
+    dim_u = bounds.dim
+    n = horizon * dim_u
+    k = config.num_elite
+
+    # Recombination weights (cma_es.py:62-68): log-rank weights for the top-k, zero after.
+    w = np.concatenate(
+        [np.log(k + 0.5) - np.log(np.arange(1, k + 1)), np.zeros(pop - k)]
+    ).astype(np.float32)
+    w = w / w.sum()
+    weights = jnp.asarray(w)  # [P]
+    mu_eff = float(1.0 / np.sum(w**2))
+    nf = float(n)
+    c_sigma = (mu_eff + 2.0) / (nf + mu_eff + 5.0)
+    d_sigma = 1.0 + 2.0 * max(0.0, np.sqrt((mu_eff - 1.0) / (nf + 1.0)) - 1.0) + c_sigma
+    cc = (4.0 + mu_eff / nf) / (nf + 4.0 + 2.0 * mu_eff / nf)
+    c1 = config.alpha_cov / ((nf + 1.3) ** 2 + mu_eff)
+    c_mu = min(
+        1.0 - c1,
+        config.alpha_cov * (mu_eff - 2.0 + 1.0 / mu_eff)
+        / ((nf + 2.0) ** 2 + config.alpha_cov * mu_eff / 2.0),
+    )
+    expectation_of_normal = float(np.sqrt(nf) * (1.0 - 1.0 / (4.0 * nf) + 1.0 / (21.0 * nf**2)))
+
+    def init(key: jax.Array) -> CMAESState:
+        del key
+        mean = base.init_solution_mean(bounds, horizon, agents).reshape(agents, n)
+        var = base.init_solution_variance(bounds, horizon, agents).reshape(agents, n)
+        eye = jnp.broadcast_to(jnp.eye(n), (agents, n, n))
+        return CMAESState(
+            mean=mean,
+            sigma=jnp.sqrt(var),
+            cov=eye,
+            p_sigma=jnp.zeros((agents, n)),
+            p_cov=jnp.zeros((agents, n)),
+            eigvecs=eye,
+            eigvals_sqrt=jnp.ones((agents, n)),
+        )
+
+    def solve(state: CMAESState, obs: jax.Array, t: jax.Array, key: jax.Array):
+        del t
+        if not config.persist_across_solves:
+            # Fresh adaptation state each solve; only the (already time-shifted) mean carries.
+            fresh = init(jax.random.PRNGKey(0))
+            state = fresh.replace(mean=state.mean)
+
+        def iteration(_, carry):
+            s, key, _ = carry
+            key, z_key = jax.random.split(key)
+            z = jax.random.normal(z_key, (agents, pop, n))
+            # y = z @ (B D): scale eigvec columns by sqrt-eigenvalues (cma_es.py:139-141).
+            bd = s.eigvecs * s.eigvals_sqrt[:, None, :]
+            y = jnp.einsum("apk,akn->apn", z, bd)
+            flat_samples = s.mean[:, None, :] + s.sigma[:, None, :] * y  # [A, P, n]
+            samples = jnp.swapaxes(flat_samples, 0, 1).reshape(pop, agents, horizon, dim_u)
+            samples, penalty = base.bound_violation_penalty(samples, bounds)
+            rewards = evaluate(obs, samples) - penalty  # [P, A]
+            # Per-agent descending sort of the feasible flattened samples.
+            order = jnp.argsort(-rewards.T, axis=1)  # [A, P]
+            feasible_flat = jnp.swapaxes(samples.reshape(pop, agents, n), 0, 1)  # [A, P, n]
+            x_sorted = jnp.take_along_axis(feasible_flat, order[:, :, None], axis=1)
+            x_diff = x_sorted - s.mean[:, None, :]  # [A, P, n]
+            x_mean = jnp.einsum("p,apn->an", weights, x_diff)
+            new_mean = s.mean + x_mean
+            # Step-size control (cma_es.py:166-175).
+            y_mean = x_mean / s.sigma
+            c_inv_half = jnp.einsum(
+                "aij,aj,akj->aik", s.eigvecs, 1.0 / s.eigvals_sqrt, s.eigvecs
+            )
+            p_sigma = (1.0 - c_sigma) * s.p_sigma + jnp.sqrt(
+                c_sigma * (2.0 - c_sigma) * mu_eff
+            ) * jnp.einsum("aik,ak->ai", c_inv_half, y_mean)
+            sigma = s.sigma * jnp.exp(
+                (c_sigma / d_sigma)
+                * (jnp.linalg.norm(p_sigma, axis=-1) / expectation_of_normal - 1.0)
+            )[:, None]
+            # Covariance adaptation (cma_es.py:177-190).
+            p_cov = (1.0 - cc) * s.p_cov + config.h_sigma * jnp.sqrt(
+                cc * (2.0 - cc) * mu_eff
+            ) * y_mean
+            y_unweighted = x_diff / s.sigma[:, None, :]
+            rank_mu = jnp.einsum("p,apn,apm->anm", weights, y_unweighted, y_unweighted)
+            cov = (
+                (1.0 - c1 - c_mu) * s.cov
+                + c1 * p_cov[:, :, None] * p_cov[:, None, :]
+                + c_mu * rank_mu
+            )
+            cov = (cov + jnp.swapaxes(cov, -1, -2)) / 2.0
+            eigvals, eigvecs = jnp.linalg.eigh(cov)
+            eigvals_sqrt = jnp.sqrt(jnp.maximum(eigvals, 1e-20))
+            new_s = CMAESState(
+                mean=new_mean,
+                sigma=sigma,
+                cov=cov,
+                p_sigma=p_sigma,
+                p_cov=p_cov,
+                eigvecs=eigvecs,
+                eigvals_sqrt=eigvals_sqrt,
+            )
+            return new_s, key, jnp.max(rewards, axis=0)
+
+        best0 = jnp.full((agents,), -jnp.inf, dtype=state.mean.dtype)
+        state, _, best_reward = jax.lax.fori_loop(
+            0, config.max_iterations, iteration, (state, key, best0)
+        )
+        plan = state.mean.reshape(agents, horizon, dim_u)
+        action = plan[:, 0]
+        if not config.persist_across_solves:
+            shifted = base.shift_time(plan).reshape(agents, n)
+            state = state.replace(mean=shifted)
+        return action, state, SolverAux(expected_reward=best_reward, plan=plan)
+
+    def reset(state: CMAESState, key: jax.Array) -> CMAESState:
+        del state
+        return init(key)
+
+    return Solver(init=init, solve=solve, reset=reset, name="CMA-ES")

@@ -1,0 +1,75 @@
+"""PI2 / path-integral (MPPI-style) trajectory solver.
+
+Pure-functional rebuild of ``PI2Optimizer``
+(``/root/reference/blackbox_mpc/optimizers/pi2.py:58-96``): sample a truncated-normal population
+around the running mean with *static* variance (never adapted, ``pi2.py:50-55``), clip to bounds
+with a squared-violation penalty, turn rewards into costs, and softmax-weight the samples with
+temperature ``lamda`` against the per-agent best cost baseline. Warm-starts by time-shifting the
+solution (``pi2.py:92-93``). The softmax here is the numerically identical
+exp(-(cost-beta)/lambda)/eta form computed per agent in one batched reduction.
+"""
+from __future__ import annotations
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+from flax import struct
+
+from blackbox_mpc_tpu.core.types import Bounds, Solver, SolverAux, TrajectoryEvaluator, truncated_normal
+from blackbox_mpc_tpu.solvers import base
+
+__all__ = ["PI2Config", "PI2State", "make_pi2"]
+
+
+@dataclasses.dataclass(frozen=True)
+class PI2Config(base.SolverConfig):
+    lamda: float = 1.0  # energy temperature (reference pi2.py:11)
+
+
+@struct.dataclass
+class PI2State:
+    mean: jax.Array  # [A, H, U]
+
+
+def make_pi2(config: PI2Config, bounds: Bounds, evaluate: TrajectoryEvaluator) -> Solver:
+    horizon, agents, pop = config.planning_horizon, config.num_agents, config.population
+    lamda = config.lamda
+
+    def init(key: jax.Array) -> PI2State:
+        del key
+        return PI2State(mean=base.init_solution_mean(bounds, horizon, agents))
+
+    def solve(state: PI2State, obs: jax.Array, t: jax.Array, key: jax.Array):
+        del t
+        variance = base.init_solution_variance(bounds, horizon, agents)  # static, never adapted
+        stddev = jnp.sqrt(variance)
+
+        def iteration(_, carry):
+            mean, key, _ = carry
+            key, sample_key = jax.random.split(key)
+            samples = truncated_normal(
+                sample_key, mean, stddev, (pop, agents, horizon, bounds.dim)
+            )
+            samples, penalty = base.bound_violation_penalty(samples, bounds)
+            rewards = evaluate(obs, samples) - penalty  # [P, A]
+            costs = -rewards
+            beta = jnp.min(costs, axis=0, keepdims=True)  # [1, A]
+            prob = jnp.exp(-(costs - beta) / lamda)
+            omega = prob / jnp.sum(prob, axis=0, keepdims=True)  # [P, A]
+            new_mean = jnp.einsum("pa,pahu->ahu", omega, samples)
+            return new_mean, key, jnp.max(rewards, axis=0)
+
+        best0 = jnp.full((agents,), -jnp.inf, dtype=state.mean.dtype)
+        mean, _, best_reward = jax.lax.fori_loop(
+            0, config.max_iterations, iteration, (state.mean, key, best0)
+        )
+        action = mean[:, 0]
+        next_state = PI2State(mean=base.shift_time(mean))
+        return action, next_state, SolverAux(expected_reward=best_reward, plan=mean)
+
+    def reset(state: PI2State, key: jax.Array) -> PI2State:
+        del state
+        return init(key)
+
+    return Solver(init=init, solve=solve, reset=reset, name="PI2")

@@ -1,0 +1,83 @@
+"""SPSA (simultaneous perturbation stochastic approximation) trajectory solver.
+
+Pure-functional rebuild of ``SPSAOptimizer``
+(``/root/reference/blackbox_mpc/optimizers/spsa.py:61-117``): per iteration, gain sequences
+``a_k = a/(k+1+A)^alpha`` and ``c_k = c/(k+1)^gamma``, a population of Rademacher +/-1
+perturbations, a single fused evaluation of the concatenated [plus; minus] batch (2*pop
+trajectories, ``spsa.py:94-96``), the averaged gradient estimate, and a clipped ascent step.
+Warm-starts by time-shifting the solution (``spsa.py:114-115``).
+"""
+from __future__ import annotations
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+from flax import struct
+
+from blackbox_mpc_tpu.core.types import Bounds, Solver, SolverAux, TrajectoryEvaluator
+from blackbox_mpc_tpu.solvers import base
+
+__all__ = ["SPSAConfig", "SPSAState", "make_spsa"]
+
+
+@dataclasses.dataclass(frozen=True)
+class SPSAConfig(base.SolverConfig):
+    """Defaults match the reference (``spsa.py:9-12``)."""
+
+    alpha: float = 0.602
+    gamma: float = 0.101
+    a_par: float = 0.01
+    noise_parameter: float = 0.3
+
+
+@struct.dataclass
+class SPSAState:
+    solution: jax.Array  # [A, H, U]
+
+
+def make_spsa(config: SPSAConfig, bounds: Bounds, evaluate: TrajectoryEvaluator) -> Solver:
+    horizon, agents, pop = config.planning_horizon, config.num_agents, config.population
+    big_a = config.max_iterations / 10.0  # reference spsa.py:57
+
+    def init(key: jax.Array) -> SPSAState:
+        del key
+        return SPSAState(solution=base.init_solution_mean(bounds, horizon, agents))
+
+    def solve(state: SPSAState, obs: jax.Array, t: jax.Array, key: jax.Array):
+        del t
+
+        def iteration(k, carry):
+            solution, key, _ = carry
+            kf = k.astype(solution.dtype)
+            ak = config.a_par / (kf + 1.0 + big_a) ** config.alpha
+            ck = config.noise_parameter / (kf + 1.0) ** config.gamma
+            key, delta_key = jax.random.split(key)
+            delta = jax.random.rademacher(
+                delta_key, (pop, agents, horizon, bounds.dim), dtype=solution.dtype
+            )
+            plus, plus_penalty = base.bound_violation_penalty(solution + ck * delta, bounds)
+            minus, minus_penalty = base.bound_violation_penalty(solution - ck * delta, bounds)
+            both = jnp.concatenate([plus, minus], axis=0)  # one fused 2P evaluation
+            rewards = evaluate(obs, both)  # [2P, A]
+            r_plus = rewards[:pop] - plus_penalty
+            r_minus = rewards[pop:] - minus_penalty
+            ghat = jnp.mean(
+                (r_plus - r_minus)[:, :, None, None] / (2.0 * ck * delta), axis=0
+            )
+            new_solution = bounds.clip(solution + ak * ghat)
+            return new_solution, key, jnp.max(jnp.maximum(r_plus, r_minus), axis=0)
+
+        best0 = jnp.full((agents,), -jnp.inf, dtype=state.solution.dtype)
+        solution, _, best_reward = jax.lax.fori_loop(
+            0, config.max_iterations, iteration, (state.solution, key, best0)
+        )
+        action = solution[:, 0]
+        next_state = SPSAState(solution=base.shift_time(solution))
+        return action, next_state, SolverAux(expected_reward=best_reward, plan=solution)
+
+    def reset(state: SPSAState, key: jax.Array) -> SPSAState:
+        del state
+        return init(key)
+
+    return Solver(init=init, solve=solve, reset=reset, name="SPSA")
