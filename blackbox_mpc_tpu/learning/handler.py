@@ -1,0 +1,252 @@
+"""DynamicsHandler: the facade owning a dynamics model + replay + normalizer + trainer.
+
+Counterpart of ``SystemDynamicsHandler``
+(``/root/reference/blackbox_mpc/dynamics_handlers/system_dynamics_handler.py``), rebuilt around
+explicit pytrees: the model/normalizer live in a :class:`DynamicsParams` the MPC policy threads
+into its jitted solve, training is the jitted optax step from :mod:`~blackbox_mpc_tpu.learning.
+trainer`, and checkpointing is an orbax snapshot of *everything* (params, optimizer state,
+stats, replay, counters) — a superset of the reference's SavedModel + six ``.npy`` stat files
+(``system_dynamics_handler.py:213-241``).
+"""
+from __future__ import annotations
+
+import json
+import logging
+import os
+from typing import Callable, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from blackbox_mpc_tpu.learning.replay import ReplayBuffer
+from blackbox_mpc_tpu.learning.trainer import make_trainer
+from blackbox_mpc_tpu.models.dynamics import (
+    DynamicsParams,
+    LearnedDynamicsConfig,
+    make_learned_dynamics,
+    true_model_dynamics,
+)
+from blackbox_mpc_tpu.models.normalizer import fit_normalizer
+
+logger = logging.getLogger(__name__)
+
+__all__ = ["DynamicsHandler"]
+
+
+class DynamicsHandler:
+    """Owns dynamics params + replay + training for learned models, or wraps a true model."""
+
+    def __init__(
+        self,
+        config: Optional[LearnedDynamicsConfig] = None,
+        true_model: Optional[Callable] = None,
+        learning_rate: float = 1e-3,
+        validation_fraction: float = 0.2,
+        refit_normalizer: bool = False,
+        replay_max_size: Optional[int] = None,
+        metrics_writer=None,
+        save_dir: Optional[str] = None,
+        save_frequency: int = 1,
+        seed: int = 0,
+    ):
+        """Exactly one of ``config`` (learned) / ``true_model`` (analytic) must be given.
+
+        ``refit_normalizer=False`` reproduces the reference's freeze-after-first-train policy
+        (system_dynamics_handler.py:193-198); ``True`` recomputes stats every ``train()``.
+        """
+        if (config is None) == (true_model is None):
+            raise ValueError("provide exactly one of config= or true_model=")
+        self._writer = metrics_writer
+        self._save_dir = save_dir
+        self._save_frequency = save_frequency
+        self._train_calls = 0
+        self._stats_fitted = False
+        self._refit_normalizer = refit_normalizer
+
+        if true_model is not None:
+            self._is_true_model = True
+            self._config = None
+            self._dynamics_fn = true_model_dynamics(true_model)
+            self._params: Optional[DynamicsParams] = DynamicsParams(params=(), stats=())
+            self._replay = None
+            return
+
+        self._is_true_model = False
+        self._config = config
+        init, self._dynamics_fn = make_learned_dynamics(config)
+        self._params = init(jax.random.PRNGKey(seed))
+        self._replay = ReplayBuffer(
+            config.dim_s,
+            config.dim_u,
+            validation_fraction=validation_fraction,
+            max_size=replay_max_size,
+            seed=seed,
+        )
+        self._trainer_init, self._train_step, self._eval_step = make_trainer(
+            config, learning_rate=learning_rate
+        )
+        self._train_state = self._trainer_init(self._params.params)
+
+    # ------------------------------------------------------------------ properties
+
+    @property
+    def is_true_model(self) -> bool:
+        return self._is_true_model
+
+    @property
+    def config(self) -> Optional[LearnedDynamicsConfig]:
+        return self._config
+
+    @property
+    def dynamics_fn(self) -> Callable:
+        """``(DynamicsParams, state [B,S], action [B,U]) -> next_state [B,S]``."""
+        return self._dynamics_fn
+
+    @property
+    def dynamics_params(self) -> DynamicsParams:
+        return self._params
+
+    @property
+    def replay(self) -> Optional[ReplayBuffer]:
+        return self._replay
+
+    # ------------------------------------------------------------------ prediction
+
+    def predict(self, states, actions) -> jax.Array:
+        """One-step prediction through the full normalize/denormalize chain."""
+        return self._dynamics_fn(
+            self._params, jnp.asarray(states, jnp.float32), jnp.asarray(actions, jnp.float32)
+        )
+
+    # ------------------------------------------------------------------ training
+
+    def train(
+        self,
+        observations=None,
+        actions=None,
+        *,
+        epochs: int = 30,
+        batch_size: int = 128,
+    ) -> dict:
+        """Appends rollouts to replay (if given) and runs ``epochs`` of minibatch Adam.
+
+        ``observations``: sequence of [T+1, S] episode arrays (or [N, T+1, S]);
+        ``actions``: matching [T, U] arrays. Returns a metrics dict (final train/val loss).
+        Mirrors ``SystemDynamicsHandler.train`` (system_dynamics_handler.py:163-243).
+        """
+        if self._is_true_model:
+            raise RuntimeError("cannot train a true-model handler")
+        if observations is not None:
+            self._replay.add_rollouts(observations, actions)
+        if len(self._replay) == 0:
+            raise RuntimeError("replay buffer is empty; collect rollouts first")
+
+        if not self._stats_fitted or self._refit_normalizer:
+            s, a, ns = self._replay.arrays(validation=False)
+            targets = ns - s if self._config.predict_delta else ns
+            stats = fit_normalizer(jnp.asarray(s), jnp.asarray(a), jnp.asarray(targets))
+            self._params = self._params.replace(stats=stats)
+            self._stats_fitted = True
+
+        ensemble = self._config.ensemble_size
+        stats = self._params.stats
+        last_train = np.nan
+        for _ in range(epochs):
+            losses = []
+            for s, a, ns in self._replay.minibatches(batch_size, ensemble):
+                self._train_state, member_losses = self._train_step(
+                    self._train_state, stats, s, a, ns
+                )
+                losses.append(np.asarray(member_losses))
+            if losses:
+                last_train = float(np.mean(losses))
+
+        self._params = self._params.replace(params=self._train_state.params)
+        val_losses = [
+            np.asarray(self._eval_step(self._params.params, stats, s, a, ns))
+            for s, a, ns in self._replay.minibatches(batch_size, ensemble, validation=True)
+        ]
+        val_loss = float(np.mean(val_losses)) if val_losses else float("nan")
+        self._train_calls += 1
+        if self._writer is not None:
+            self._writer.scalar("system_model/train_loss", last_train, self._train_calls)
+            self._writer.scalar("system_model/val_loss", val_loss, self._train_calls)
+        logger.info(
+            "dynamics train call %d: train_loss=%.5f val_loss=%.5f (replay: %d train / %d val)",
+            self._train_calls, last_train, val_loss, self._replay.num_train, self._replay.num_val,
+        )
+        if self._save_dir is not None and self._train_calls % self._save_frequency == 0:
+            self.save(self._save_dir)
+        return {
+            "train_loss": last_train,
+            "val_loss": val_loss,
+            "replay_size": len(self._replay),
+            "train_calls": self._train_calls,
+        }
+
+    # ------------------------------------------------------------------ checkpointing
+
+    def save(self, directory: str) -> None:
+        """Orbax checkpoint of params, optimizer state, stats, replay, and counters."""
+        if self._is_true_model:
+            raise RuntimeError("true-model handler has nothing to save")
+        import orbax.checkpoint as ocp
+
+        directory = os.path.abspath(directory)
+        os.makedirs(directory, exist_ok=True)
+        with open(os.path.join(directory, "config.json"), "w") as f:
+            cfg = {k: v for k, v in self._config.__dict__.items() if k != "compute_dtype"}
+            cfg["compute_dtype"] = jnp.dtype(self._config.compute_dtype).name
+            json.dump(
+                {
+                    "config": cfg,
+                    "train_calls": self._train_calls,
+                    "stats_fitted": self._stats_fitted,
+                },
+                f,
+            )
+        payload = {
+            "params": self._train_state.params,
+            "opt_state": self._train_state.opt_state,
+            "step": self._train_state.step,
+            "stats": self._params.stats,
+            "replay": self._replay.state_dict(),
+        }
+        ckpt_dir = os.path.join(directory, "checkpoint")
+        ckptr = ocp.PyTreeCheckpointer()
+        ckptr.save(ckpt_dir, payload, force=True)
+        logger.info("saved dynamics checkpoint to %s", directory)
+
+    @classmethod
+    def load(cls, directory: str, **kwargs) -> "DynamicsHandler":
+        """Restores a handler saved with :meth:`save` (model + stats + replay + counters)."""
+        import orbax.checkpoint as ocp
+
+        directory = os.path.abspath(directory)
+        with open(os.path.join(directory, "config.json")) as f:
+            meta = json.load(f)
+        cfg_dict = dict(meta["config"])
+        cfg_dict["hidden"] = tuple(cfg_dict["hidden"])
+        cfg_dict["compute_dtype"] = jnp.dtype(cfg_dict["compute_dtype"])
+        config = LearnedDynamicsConfig(**cfg_dict)
+        handler = cls(config=config, **kwargs)
+        ckptr = ocp.PyTreeCheckpointer()
+        template = {
+            "params": handler._train_state.params,
+            "opt_state": handler._train_state.opt_state,
+            "step": handler._train_state.step,
+            "stats": handler._params.stats,
+            "replay": handler._replay.state_dict(),
+        }
+        restored = ckptr.restore(os.path.join(directory, "checkpoint"), item=template)
+        handler._train_state = handler._trainer_init(restored["params"])
+        handler._train_state = handler._train_state.replace(
+            opt_state=restored["opt_state"], step=restored["step"]
+        )
+        handler._params = DynamicsParams(params=restored["params"], stats=restored["stats"])
+        handler._replay.load_state_dict(restored["replay"])
+        handler._train_calls = int(meta["train_calls"])
+        handler._stats_fitted = bool(meta["stats_fitted"])
+        logger.info("restored dynamics checkpoint from %s", directory)
+        return handler

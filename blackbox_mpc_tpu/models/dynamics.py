@@ -1,0 +1,136 @@
+"""Learned-dynamics wrappers: from MLP params + normalizer stats to a rollout-ready
+``dynamics_fn(state, action) -> next_state``.
+
+Counterpart of the reference's predict path
+(``/root/reference/blackbox_mpc/trajectory_evaluators/deterministic.py:79-103``:
+``process_input -> dynamics_function -> process_output``) and of the handler's
+normalization/delta composition (``dynamics_handlers/system_dynamics_handler.py:97-161``).
+Here the whole chain is one pure function over an explicit :class:`DynamicsParams` pytree, so
+the MPC policy can thread freshly-trained parameters into a jitted solve without recompiling.
+
+Ensembles (absent in the reference — single model only, README TODO) are a stacked leading
+params axis with two propagation modes:
+
+* ``"mean"``  — average the member predictions each step (probabilistic smoothing);
+* ``"ts1"``   — trajectory sampling: population rows are statically partitioned across members
+  (row ``i`` uses member ``i % E``), the PETS TS-1 scheme, at no extra FLOPs.
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Callable, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import struct
+
+from blackbox_mpc_tpu.models import transforms
+from blackbox_mpc_tpu.models.mlp import MLPConfig, ensemble_init, mlp_apply, mlp_init
+from blackbox_mpc_tpu.models.normalizer import NormalizerStats, identity_stats
+
+__all__ = ["DynamicsParams", "LearnedDynamicsConfig", "make_learned_dynamics", "true_model_dynamics"]
+
+
+@struct.dataclass
+class DynamicsParams:
+    """Everything the dynamics function needs at call time (checkpointable pytree)."""
+
+    params: Any  # MLP params, leading [E] axis when ensemble_size > 1
+    stats: NormalizerStats
+
+
+@dataclasses.dataclass(frozen=True)
+class LearnedDynamicsConfig:
+    dim_s: int
+    dim_u: int
+    hidden: tuple = (32, 32, 32)
+    activation: str = "tanh"
+    ensemble_size: int = 1
+    propagation: str = "mean"  # "mean" | "ts1"
+    normalized: bool = True  # reference is_normalized (system_dynamics_handler.py:57)
+    predict_delta: bool = True  # default_transform_targets: network predicts s' - s
+    compute_dtype: Any = jnp.float32
+
+    @property
+    def mlp(self) -> MLPConfig:
+        return MLPConfig(
+            in_dim=self.dim_s + self.dim_u,
+            out_dim=self.dim_s,
+            hidden=tuple(self.hidden),
+            activation=self.activation,
+            compute_dtype=self.compute_dtype,
+        )
+
+
+def make_learned_dynamics(
+    config: LearnedDynamicsConfig,
+) -> Tuple[Callable[[jax.Array], DynamicsParams], Callable]:
+    """Returns ``(init, dynamics_fn)``.
+
+    ``init(key) -> DynamicsParams`` allocates fresh params + identity stats.
+    ``dynamics_fn(dp, state [B,S], action [B,U]) -> next_state [B,S]`` runs the full
+    normalize -> MLP -> denormalize -> inverse-transform chain.
+    """
+    mlp_cfg = config.mlp
+    ensemble = config.ensemble_size
+    if config.predict_delta:
+        inverse = transforms.delta_inverse_transform
+    else:
+        inverse = transforms.identity_inverse_transform
+
+    def init(key: jax.Array) -> DynamicsParams:
+        if ensemble > 1:
+            params = ensemble_init(key, mlp_cfg, ensemble)
+        else:
+            params = mlp_init(key, mlp_cfg)
+        return DynamicsParams(params=params, stats=identity_stats(config.dim_s, config.dim_u))
+
+    def _net_input(dp: DynamicsParams, state, action):
+        if config.normalized:
+            return jnp.concatenate(
+                [dp.stats.normalize_states(state), dp.stats.normalize_actions(action)], axis=-1
+            )
+        return jnp.concatenate([state, action], axis=-1)
+
+    def _target_to_state(dp: DynamicsParams, state, raw_target):
+        target = dp.stats.denormalize_targets(raw_target) if config.normalized else raw_target
+        return inverse(state, target)
+
+    def dynamics_fn(dp: DynamicsParams, state: jax.Array, action: jax.Array) -> jax.Array:
+        x = _net_input(dp, state, action)
+        if ensemble <= 1:
+            raw = mlp_apply(dp.params, x, config=mlp_cfg)
+        elif config.propagation == "mean":
+            raw = jnp.mean(
+                jax.vmap(lambda p: mlp_apply(p, x, config=mlp_cfg))(dp.params), axis=0
+            )
+        elif config.propagation == "ts1":
+            batch = x.shape[0]
+            if batch % ensemble != 0:
+                raise ValueError(
+                    f"ts1 propagation needs batch ({batch}) divisible by ensemble ({ensemble})"
+                )
+            # Row i uses member i % E: reshape [B, D] -> [E, B/E, D] with member-major
+            # interleaving, vmap members, restore order.
+            x_groups = x.reshape(batch // ensemble, ensemble, -1).swapaxes(0, 1)
+            raw_groups = jax.vmap(lambda p, xe: mlp_apply(p, xe, config=mlp_cfg))(
+                dp.params, x_groups
+            )
+            raw = raw_groups.swapaxes(0, 1).reshape(batch, -1)
+        else:
+            raise ValueError(f"unknown propagation {config.propagation!r}")
+        return _target_to_state(dp, state, raw)
+
+    return init, dynamics_fn
+
+
+def true_model_dynamics(analytic_fn: Callable) -> Callable:
+    """Wraps an analytic ``(state, action) -> next_state`` into the DynamicsParams calling
+    convention so true models and learned models are interchangeable in the policy layer
+    (reference ``true_model`` flag, system_dynamics_handler.py:61,117)."""
+
+    def dynamics_fn(dp, state, action):
+        del dp
+        return analytic_fn(state, action)
+
+    return dynamics_fn

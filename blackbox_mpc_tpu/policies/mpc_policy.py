@@ -1,0 +1,188 @@
+"""MPCPolicy: the user-facing facade wiring solver + evaluator + dynamics into ``act()``.
+
+Counterpart of ``MPCPolicy`` (``/root/reference/blackbox_mpc/policies/mpc_policy.py``). The
+reference's ``act()`` pays a host->device cast, an eager->graph hop, and a ``.numpy()`` sync per
+control step (``mpc_policy.py:149-166``); here the whole step — solve, optional exploration
+noise, one-step lookahead — is ONE jit-compiled function taking (solver state, dynamics params,
+obs, t, key), so freshly trained dynamics params flow in without recompilation and solver state
+stays device-resident between steps.
+
+``switch_solver`` rebuilds only the solver (keeping handler/evaluator), mirroring
+``switch_optimizer`` (``mpc_policy.py:181-245``) minus the duplicated if/elif chain — the
+registry handles dispatch.
+"""
+from __future__ import annotations
+
+import logging
+from functools import partial
+from typing import Callable, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from blackbox_mpc_tpu.core.spaces import BoxSpace, as_box_space
+from blackbox_mpc_tpu.core.types import Bounds
+from blackbox_mpc_tpu.learning.handler import DynamicsHandler
+from blackbox_mpc_tpu.policies.base import ModelBasedPolicy
+from blackbox_mpc_tpu.rollout.evaluator import make_trajectory_evaluator
+from blackbox_mpc_tpu.solvers import SOLVER_REGISTRY
+from blackbox_mpc_tpu.solvers.base import exploration_noise as _exploration_noise
+
+logger = logging.getLogger(__name__)
+
+__all__ = ["MPCPolicy"]
+
+
+class MPCPolicy(ModelBasedPolicy):
+    def __init__(
+        self,
+        action_space: BoxSpace,
+        reward_function: Callable,
+        dynamics_handler: DynamicsHandler,
+        solver_name: str = "CEM",
+        num_agents: int = 1,
+        planning_horizon: int = 50,
+        exploration_noise_scale: float = 0.05,
+        discount: float = 1.0,
+        seed: int = 0,
+        metrics_writer=None,
+        **solver_kwargs,
+    ):
+        """``solver_kwargs`` are forwarded into the solver's config dataclass
+        (mirrors ``**optimizer_args`` passthrough, reference mpc_policy.py:20,86)."""
+        self._space = as_box_space(action_space)
+        self._bounds = Bounds.from_space(self._space)
+        self._reward_fn = reward_function
+        self._handler = dynamics_handler
+        self._num_agents = num_agents
+        self._planning_horizon = planning_horizon
+        self._noise_scale = exploration_noise_scale
+        self._discount = discount
+        self._writer = metrics_writer
+        self._key = jax.random.PRNGKey(seed)
+        self._solver_kwargs = dict(solver_kwargs)
+        self._act_counter = 0
+        self._build(solver_name)
+
+    # ------------------------------------------------------------------ construction
+
+    def _build(self, solver_name: str) -> None:
+        if solver_name not in SOLVER_REGISTRY:
+            raise KeyError(
+                f"unknown solver {solver_name!r}; available: {sorted(SOLVER_REGISTRY)}"
+            )
+        config_cls, factory = SOLVER_REGISTRY[solver_name]
+        config = config_cls(
+            planning_horizon=self._planning_horizon,
+            num_agents=self._num_agents,
+            **self._solver_kwargs,
+        )
+        if getattr(config, "num_elite", 0) > config.population:
+            raise ValueError(
+                f"num_elite ({config.num_elite}) must be <= population ({config.population})"
+            )
+        self._solver_name = solver_name
+        self._config = config
+        bounds = self._bounds
+        reward_fn = self._reward_fn
+        dynamics_fn = self._handler.dynamics_fn
+        discount = self._discount
+        noise_scale = self._noise_scale
+
+        def step(solver_state, dynamics_params, obs, t, key, add_noise: bool):
+            evaluate = make_trajectory_evaluator(
+                partial(dynamics_fn, dynamics_params), reward_fn, discount=discount
+            )
+            solver = factory(config, bounds, evaluate)
+            solve_key, noise_key = jax.random.split(key)
+            action, new_state, aux = solver.solve(solver_state, obs, t, solve_key)
+            if add_noise:
+                action = _exploration_noise(noise_key, action, bounds, noise_scale)
+            # One-step lookahead, as in the reference optimizer base
+            # (optimizer_base.py:91-94): predicted next state + its reward.
+            next_obs = dynamics_fn(dynamics_params, obs, action)
+            pred_reward = reward_fn(obs, action, next_obs)
+            return action, new_state, aux, next_obs, pred_reward
+
+        self._step = jax.jit(step, static_argnames=("add_noise",))
+        self._solver_factory = factory
+        key, init_key = jax.random.split(self._key)
+        self._key = key
+        # init/reset are cheap pure fns; jit so state lands on device.
+        solver = factory(config, bounds, lambda s, a: jnp.zeros(()))
+        self._solver_init = jax.jit(solver.init)
+        self._solver_reset = jax.jit(solver.reset)
+        self._solver_state = self._solver_init(init_key)
+
+    # ------------------------------------------------------------------ public API
+
+    @property
+    def solver_name(self) -> str:
+        return self._solver_name
+
+    @property
+    def dynamics_handler(self) -> DynamicsHandler:
+        return self._handler
+
+    def act(self, observations, t: int = 0, exploration_noise: bool = False):
+        """Solves one MPC step.
+
+        Accepts an unbatched ``[S]`` observation (tiled across agents, as the reference does,
+        mpc_policy.py:149-152) or a batched ``[num_agents, S]`` array. Returns
+        ``(action, predicted_next_obs, predicted_reward)`` matching the reference's ``act``
+        contract (mpc_policy.py:124-172), un-batched iff the input was un-batched.
+        """
+        obs = np.asarray(observations, dtype=np.float32)
+        batched = obs.ndim > 1
+        if not batched:
+            obs = np.tile(obs[None], (self._num_agents, 1))
+        if obs.shape[0] != self._num_agents:
+            raise ValueError(
+                f"observations batch {obs.shape[0]} != num_agents {self._num_agents}"
+            )
+        self._key, step_key = jax.random.split(self._key)
+        action, self._solver_state, aux, next_obs, pred_reward = self._step(
+            self._solver_state,
+            self._handler.dynamics_params,
+            jnp.asarray(obs),
+            jnp.asarray(t, jnp.int32),
+            step_key,
+            bool(exploration_noise),
+        )
+        self._act_counter += 1
+        if self._writer is not None:
+            self._writer.scalar(
+                "rewards/predicted_reward", float(np.mean(np.asarray(pred_reward))),
+                self._act_counter,
+            )
+        if batched:
+            return np.asarray(action), np.asarray(next_obs), np.asarray(pred_reward)
+        return np.asarray(action)[0], np.asarray(next_obs)[0], np.asarray(pred_reward)[0]
+
+    def plan(self, observations, t: int = 0):
+        """Full refined plan [A, H, U] (+ expected reward) without advancing PRNG state policy."""
+        obs = np.asarray(observations, dtype=np.float32)
+        if obs.ndim == 1:
+            obs = np.tile(obs[None], (self._num_agents, 1))
+        self._key, step_key = jax.random.split(self._key)
+        _, self._solver_state, aux, _, _ = self._step(
+            self._solver_state,
+            self._handler.dynamics_params,
+            jnp.asarray(obs),
+            jnp.asarray(t, jnp.int32),
+            step_key,
+            False,
+        )
+        return np.asarray(aux.plan), np.asarray(aux.expected_reward)
+
+    def reset(self) -> None:
+        """Per-episode solver-state reset (reference mpc_policy.py:174-179)."""
+        self._key, reset_key = jax.random.split(self._key)
+        self._solver_state = self._solver_reset(self._solver_state, reset_key)
+
+    def switch_solver(self, solver_name: str, **solver_kwargs) -> None:
+        """Swaps the trajectory solver, keeping dynamics handler and evaluator wiring."""
+        self._solver_kwargs = dict(solver_kwargs) if solver_kwargs else self._solver_kwargs
+        self._build(solver_name)
+        logger.info("switched solver to %s", solver_name)

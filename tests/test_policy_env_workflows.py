@@ -1,0 +1,142 @@
+"""Integration tests: MPCPolicy facade, vectorized envs, rollout/learning workflows."""
+import numpy as np
+import pytest
+
+from blackbox_mpc_tpu import (
+    DynamicsHandler,
+    LearnedDynamicsConfig,
+    MPCPolicy,
+    RandomPolicy,
+    learn_dynamics_iteratively_w_mpc,
+    perform_rollouts,
+)
+from blackbox_mpc_tpu.envs import NativePendulumVecEnv
+from blackbox_mpc_tpu.models import pendulum_dynamics, pendulum_reward
+
+
+def _true_handler():
+    return DynamicsHandler(true_model=pendulum_dynamics)
+
+
+def test_mpc_policy_unbatched_obs():
+    policy = MPCPolicy(
+        action_space=NativePendulumVecEnv().action_space,
+        reward_function=pendulum_reward,
+        dynamics_handler=_true_handler(),
+        solver_name="CEM",
+        num_agents=1,
+        planning_horizon=15,
+        population=128,
+        num_elite=16,
+        max_iterations=3,
+    )
+    action, next_obs, reward = policy.act(np.array([-1.0, 0.0, 0.0]), 0)
+    assert action.shape == (1,)
+    assert next_obs.shape == (3,)
+    assert np.isscalar(reward) or reward.shape == ()
+
+
+def test_mpc_policy_batched_and_switch_solver():
+    env = NativePendulumVecEnv(num_envs=3, seed=0)
+    policy = MPCPolicy(
+        action_space=env.action_space,
+        reward_function=pendulum_reward,
+        dynamics_handler=_true_handler(),
+        solver_name="CEM",
+        num_agents=3,
+        planning_horizon=15,
+        population=128,
+        num_elite=16,
+        max_iterations=3,
+    )
+    obs = env.reset()
+    action, next_obs, reward = policy.act(obs, 0)
+    assert action.shape == (3, 1) and next_obs.shape == (3, 3) and reward.shape == (3,)
+    policy.switch_solver("PI2", population=64, max_iterations=2)
+    action2, _, _ = policy.act(obs, 1)
+    assert action2.shape == (3, 1)
+    assert policy.solver_name == "PI2"
+
+
+def test_mpc_policy_validates_config():
+    with pytest.raises(ValueError, match="num_elite"):
+        MPCPolicy(
+            action_space=NativePendulumVecEnv().action_space,
+            reward_function=pendulum_reward,
+            dynamics_handler=_true_handler(),
+            solver_name="CEM",
+            num_agents=1,
+            population=8,
+            num_elite=64,
+        )
+    with pytest.raises(KeyError, match="unknown solver"):
+        MPCPolicy(
+            action_space=NativePendulumVecEnv().action_space,
+            reward_function=pendulum_reward,
+            dynamics_handler=_true_handler(),
+            solver_name="MPPI",
+            num_agents=1,
+        )
+
+
+def test_mpc_controls_native_pendulum():
+    env = NativePendulumVecEnv(num_envs=2, seed=3)
+    policy = MPCPolicy(
+        action_space=env.action_space,
+        reward_function=pendulum_reward,
+        dynamics_handler=_true_handler(),
+        solver_name="CEM",
+        num_agents=2,
+        planning_horizon=25,
+        population=256,
+        num_elite=25,
+        max_iterations=5,
+    )
+    obs = env.reset_down()
+    policy.reset()
+    for t in range(80):
+        action, _, _ = policy.act(obs, t)
+        obs, reward, done, _ = env.step(action)
+    assert np.all(obs[:, 0] > 0.85), obs
+
+
+def test_perform_rollouts_shapes_and_metrics():
+    env = NativePendulumVecEnv(num_envs=2, seed=0, max_episode_steps=30)
+    policy = RandomPolicy(env.action_space, num_agents=2, seed=0)
+    result = perform_rollouts(env, policy, number_of_rollouts=2, rollout_horizon=30)
+    assert len(result["observations"]) == 2
+    assert result["observations"][0].shape == (31, 2, 3)
+    assert result["actions"][0].shape == (30, 2, 1)
+    assert result["rewards"][0].shape == (30, 2)
+    assert len(result["reward_sum"]) == 2
+    assert result["latency"]["count"] == 60
+
+
+def test_iterative_mbrl_improves_over_random():
+    env = NativePendulumVecEnv(num_envs=2, seed=1, max_episode_steps=60)
+    handler, policy = learn_dynamics_iteratively_w_mpc(
+        env,
+        pendulum_reward,
+        solver_name="CEM",
+        planning_horizon=15,
+        number_of_initial_rollouts=4,
+        number_of_rollouts_per_refinement=1,
+        number_of_refinement_steps=2,
+        rollout_horizon=60,
+        dynamics_config=LearnedDynamicsConfig(dim_s=3, dim_u=1, hidden=(64, 64)),
+        epochs=25,
+        batch_size=128,
+        population=128,
+        num_elite=16,
+        max_iterations=3,
+        seed=0,
+    )
+    # learned-model MPC should beat random on the same env
+    random_result = perform_rollouts(
+        env, RandomPolicy(env.action_space, num_agents=2, seed=9),
+        number_of_rollouts=2, rollout_horizon=60,
+    )
+    mpc_result = perform_rollouts(env, policy, number_of_rollouts=2, rollout_horizon=60)
+    assert np.mean(mpc_result["reward_sum"]) > np.mean(random_result["reward_sum"]), (
+        mpc_result["reward_sum"], random_result["reward_sum"],
+    )
