@@ -49,6 +49,7 @@ class DynamicsHandler:
         save_dir: Optional[str] = None,
         save_frequency: int = 1,
         seed: int = 0,
+        mesh=None,
     ):
         """Exactly one of ``config`` (learned) / ``true_model`` (analytic) must be given.
 
@@ -84,7 +85,7 @@ class DynamicsHandler:
             seed=seed,
         )
         self._trainer_init, self._train_step, self._eval_step = make_trainer(
-            config, learning_rate=learning_rate
+            config, learning_rate=learning_rate, mesh=mesh
         )
         self._train_state = self._trainer_init(self._params.params)
 

@@ -34,6 +34,7 @@ def make_trainer(
     config: LearnedDynamicsConfig,
     learning_rate: float = 1e-3,
     optimizer: Optional[optax.GradientTransformation] = None,
+    mesh=None,
 ):
     """Returns ``(init, train_step, eval_step)``.
 
@@ -67,8 +68,19 @@ def make_trainer(
     def init(params) -> TrainState:
         return TrainState(params=params, opt_state=opt.init(params), step=jnp.zeros((), jnp.int32))
 
+    def _shard_batch(s, a, ns):
+        # Data-parallel training: shard the minibatch axis ([E, B, .] -> B) over the mesh's
+        # "pop" axis; params/opt state stay replicated, XLA psums the gradients over ICI.
+        if mesh is None:
+            return s, a, ns
+        from blackbox_mpc_tpu.parallel.sharding import shard_population
+
+        return tuple(shard_population(mesh, x, axis=1) for x in (s, a, ns))
+
     @jax.jit
     def train_step(ts: TrainState, stats: NormalizerStats, s, a, ns) -> Tuple[TrainState, jax.Array]:
+        s, a, ns = _shard_batch(s, a, ns)
+
         def total(params):
             losses = _losses(params, stats, s, a, ns)
             # Sum (not mean) keeps each member's gradient identical to training it alone.

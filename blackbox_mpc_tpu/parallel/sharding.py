@@ -1,0 +1,60 @@
+"""Population-axis sharding hooks: constraint-annotated evaluators and sharded training.
+
+Strategy (the "annotate shardings, let XLA insert collectives" recipe): solver math stays
+untouched; a sharding constraint on the sampled population forces XLA's SPMD partitioner to
+
+* generate each chip's population shard locally (random bits partition),
+* run the rollout scan on the local shard (dynamics params replicated, zero communication
+  along the horizon),
+* insert the small cross-chip collectives only where the algorithms reduce over the population:
+  ``top_k`` elite merges (CEM/RandomSearch), softmax normalizations (PI2), means (SPSA), argmax
+  (PSO) — all latency-bound reward-vector ops over ICI, never the [P, A, H, U] sample tensor.
+
+This is the TPU-native replacement for the reference's single-device reductions (SURVEY §5.8).
+"""
+from __future__ import annotations
+
+from functools import partial
+from typing import Callable, Optional
+
+import jax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec
+
+from blackbox_mpc_tpu.core.types import DynamicsFn, RewardFn, TrajectoryEvaluator
+from blackbox_mpc_tpu.parallel.mesh import POP_AXIS
+from blackbox_mpc_tpu.rollout.evaluator import make_trajectory_evaluator
+
+__all__ = ["make_sharded_evaluator", "shard_population"]
+
+
+def shard_population(mesh: Mesh, x: jax.Array, axis: int = 0) -> jax.Array:
+    """Constrains dim ``axis`` of ``x`` to be sharded over the pop mesh axis."""
+    spec = [None] * x.ndim
+    spec[axis] = POP_AXIS
+    return jax.lax.with_sharding_constraint(x, NamedSharding(mesh, PartitionSpec(*spec)))
+
+
+def make_sharded_evaluator(
+    dynamics_fn: DynamicsFn,
+    reward_fn: RewardFn,
+    mesh: Mesh,
+    *,
+    discount: float = 1.0,
+    nan_guard: bool = True,
+) -> TrajectoryEvaluator:
+    """A trajectory evaluator whose population axis is sharded over ``mesh``.
+
+    Drop-in for :func:`make_trajectory_evaluator`; the input/output constraints are what let
+    XLA partition the *producer* (the solver's sampling) and *consumer* (elite selection /
+    weighting) around the rollout, keeping each chip's candidates resident in its own HBM.
+    """
+    base = make_trajectory_evaluator(
+        dynamics_fn, reward_fn, discount=discount, nan_guard=nan_guard
+    )
+
+    def evaluate(initial_states: jax.Array, action_sequences: jax.Array) -> jax.Array:
+        action_sequences = shard_population(mesh, action_sequences)
+        rewards = base(initial_states, action_sequences)
+        return shard_population(mesh, rewards)
+
+    return evaluate

@@ -47,10 +47,14 @@ class MPCPolicy(ModelBasedPolicy):
         discount: float = 1.0,
         seed: int = 0,
         metrics_writer=None,
+        mesh=None,
         **solver_kwargs,
     ):
         """``solver_kwargs`` are forwarded into the solver's config dataclass
-        (mirrors ``**optimizer_args`` passthrough, reference mpc_policy.py:20,86)."""
+        (mirrors ``**optimizer_args`` passthrough, reference mpc_policy.py:20,86).
+
+        ``mesh``: optional ``jax.sharding.Mesh`` with a ``"pop"`` axis — shards the candidate
+        population across chips (see :mod:`blackbox_mpc_tpu.parallel`)."""
         self._space = as_box_space(action_space)
         self._bounds = Bounds.from_space(self._space)
         self._reward_fn = reward_function
@@ -60,6 +64,7 @@ class MPCPolicy(ModelBasedPolicy):
         self._noise_scale = exploration_noise_scale
         self._discount = discount
         self._writer = metrics_writer
+        self._mesh = mesh
         self._key = jax.random.PRNGKey(seed)
         self._solver_kwargs = dict(solver_kwargs)
         self._act_counter = 0
@@ -90,10 +95,19 @@ class MPCPolicy(ModelBasedPolicy):
         discount = self._discount
         noise_scale = self._noise_scale
 
+        mesh = self._mesh
+
         def step(solver_state, dynamics_params, obs, t, key, add_noise: bool):
-            evaluate = make_trajectory_evaluator(
-                partial(dynamics_fn, dynamics_params), reward_fn, discount=discount
-            )
+            if mesh is not None:
+                from blackbox_mpc_tpu.parallel.sharding import make_sharded_evaluator
+
+                evaluate = make_sharded_evaluator(
+                    partial(dynamics_fn, dynamics_params), reward_fn, mesh, discount=discount
+                )
+            else:
+                evaluate = make_trajectory_evaluator(
+                    partial(dynamics_fn, dynamics_params), reward_fn, discount=discount
+                )
             solver = factory(config, bounds, evaluate)
             solve_key, noise_key = jax.random.split(key)
             action, new_state, aux = solver.solve(solver_state, obs, t, solve_key)
