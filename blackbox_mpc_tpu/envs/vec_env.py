@@ -23,7 +23,7 @@ import numpy as np
 
 from blackbox_mpc_tpu.core.spaces import BoxSpace, as_box_space
 
-__all__ = ["GymVecEnv", "make_gym_vec_env"]
+__all__ = ["GymVecEnv", "make_gym_vec_env", "make_custom_vec_env"]
 
 
 def _env_worker(pipe, env_fn, seed: int):
@@ -65,23 +65,24 @@ class GymVecEnv:
         env_fns: Sequence[Callable],
         mode: str = "sync",
         base_seed: int = 0,
+        restart_on_crash: bool = False,
     ):
+        """``restart_on_crash``: in subprocess mode, a dead worker is respawned (and its env
+        reset) instead of raising — elastic recovery the reference lacks (its parent blocks
+        forever on ``recv()`` from a dead worker, subprocess_env.py:191)."""
         if mode not in ("sync", "thread", "subprocess"):
             raise ValueError(f"mode must be sync|thread|subprocess, got {mode!r}")
         self.num_envs = len(env_fns)
         self._mode = mode
         self._base_seed = base_seed
         self._pending = False
+        self._restart_on_crash = restart_on_crash
+        self._env_fns = list(env_fns)
         if mode == "subprocess":
-            ctx = mp.get_context("fork")
-            self._pipes, self._procs = [], []
-            for rank, fn in enumerate(env_fns):
-                parent, child = ctx.Pipe()
-                p = ctx.Process(target=_env_worker, args=(child, fn, base_seed + rank), daemon=True)
-                p.start()
-                child.close()
-                self._pipes.append(parent)
-                self._procs.append(p)
+            self._ctx = mp.get_context("fork")
+            self._pipes, self._procs = [None] * self.num_envs, [None] * self.num_envs
+            for rank in range(self.num_envs):
+                self._spawn_worker(rank)
             spaces = [self._recv(i) for i in range(self.num_envs)]
             self.action_space, self.observation_space = spaces[0]
         else:
@@ -94,8 +95,41 @@ class GymVecEnv:
 
     # ------------------------------------------------------------------ subprocess plumbing
 
-    def _recv(self, i: int):
-        status, payload = self._pipes[i].recv()
+    def _spawn_worker(self, rank: int) -> None:
+        parent, child = self._ctx.Pipe()
+        p = self._ctx.Process(
+            target=_env_worker,
+            args=(child, self._env_fns[rank], self._base_seed + rank),
+            daemon=True,
+        )
+        p.start()
+        child.close()
+        self._pipes[rank] = parent
+        self._procs[rank] = p
+
+    def _restart_worker(self, rank: int):
+        """Respawns a crashed worker, resets its env, and returns the fresh observation."""
+        import logging
+
+        logging.getLogger(__name__).warning("restarting crashed env worker %d", rank)
+        try:
+            self._procs[rank].terminate()
+        except Exception:  # noqa: BLE001
+            pass
+        self._spawn_worker(rank)
+        self._recv(rank, allow_restart=False)  # ready handshake
+        self._pipes[rank].send(("reset", self._base_seed + rank))
+        return self._recv(rank, allow_restart=False)
+
+    def _recv(self, i: int, allow_restart: bool = True):
+        try:
+            status, payload = self._pipes[i].recv()
+        except (EOFError, ConnectionResetError) as e:
+            if self._restart_on_crash and allow_restart:
+                obs = self._restart_worker(i)
+                # Report the respawned env's reset observation as a terminal transition.
+                return (obs, 0.0, True, {"worker_restarted": True})
+            raise RuntimeError(f"env worker {i} died: {e!r}") from None
         if status == "error":
             raise RuntimeError(f"env worker {i} failed: {payload}")
         return payload
@@ -189,6 +223,7 @@ def make_gym_vec_env(
     mode: str = "sync",
     base_seed: int = 0,
     render_mode: Optional[str] = None,
+    restart_on_crash: bool = False,
     **env_kwargs,
 ) -> GymVecEnv:
     """Builds N seeded copies of a gymnasium env (counterpart of
@@ -199,4 +234,20 @@ def make_gym_vec_env(
 
         return gymnasium.make(env_id, render_mode=render_mode, **env_kwargs)
 
-    return GymVecEnv([env_fn] * num_envs, mode=mode, base_seed=base_seed)
+    return GymVecEnv(
+        [env_fn] * num_envs, mode=mode, base_seed=base_seed, restart_on_crash=restart_on_crash
+    )
+
+
+def make_custom_vec_env(
+    env_fn: Callable,
+    num_envs: int = 1,
+    mode: str = "sync",
+    base_seed: int = 0,
+    restart_on_crash: bool = False,
+) -> GymVecEnv:
+    """N copies of a user-constructed env (counterpart of
+    ``EnvironmentWrapper.make_custom_gym_env``, environment_wrapper.py:43-76)."""
+    return GymVecEnv(
+        [env_fn] * num_envs, mode=mode, base_seed=base_seed, restart_on_crash=restart_on_crash
+    )

@@ -48,13 +48,18 @@ class MPCPolicy(ModelBasedPolicy):
         seed: int = 0,
         metrics_writer=None,
         mesh=None,
+        rollout_backend: str = "xla",
         **solver_kwargs,
     ):
         """``solver_kwargs`` are forwarded into the solver's config dataclass
         (mirrors ``**optimizer_args`` passthrough, reference mpc_policy.py:20,86).
 
         ``mesh``: optional ``jax.sharding.Mesh`` with a ``"pop"`` axis — shards the candidate
-        population across chips (see :mod:`blackbox_mpc_tpu.parallel`)."""
+        population across chips (see :mod:`blackbox_mpc_tpu.parallel`).
+
+        ``rollout_backend``: ``"xla"`` (default) or ``"pallas"`` — the fused VMEM-resident
+        rollout kernel (:mod:`blackbox_mpc_tpu.ops.pallas_rollout`; learned MLP dynamics with
+        mean/single-member propagation only)."""
         self._space = as_box_space(action_space)
         self._bounds = Bounds.from_space(self._space)
         self._reward_fn = reward_function
@@ -65,6 +70,11 @@ class MPCPolicy(ModelBasedPolicy):
         self._discount = discount
         self._writer = metrics_writer
         self._mesh = mesh
+        if rollout_backend not in ("xla", "pallas"):
+            raise ValueError(f"rollout_backend must be 'xla' or 'pallas', got {rollout_backend!r}")
+        if rollout_backend == "pallas" and dynamics_handler.is_true_model:
+            raise ValueError("rollout_backend='pallas' requires learned MLP dynamics")
+        self._rollout_backend = rollout_backend
         self._key = jax.random.PRNGKey(seed)
         self._solver_kwargs = dict(solver_kwargs)
         self._act_counter = 0
@@ -96,9 +106,18 @@ class MPCPolicy(ModelBasedPolicy):
         noise_scale = self._noise_scale
 
         mesh = self._mesh
+        pallas_evaluate = None
+        if self._rollout_backend == "pallas":
+            from blackbox_mpc_tpu.ops.pallas_rollout import make_pallas_rollout_evaluator
+
+            pallas_evaluate = make_pallas_rollout_evaluator(
+                self._handler.config, reward_fn, discount=discount
+            )
 
         def step(solver_state, dynamics_params, obs, t, key, add_noise: bool):
-            if mesh is not None:
+            if pallas_evaluate is not None:
+                evaluate = partial(pallas_evaluate, dynamics_params)
+            elif mesh is not None:
                 from blackbox_mpc_tpu.parallel.sharding import make_sharded_evaluator
 
                 evaluate = make_sharded_evaluator(

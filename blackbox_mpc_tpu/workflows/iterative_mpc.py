@@ -38,10 +38,42 @@ def learn_dynamics_iteratively_w_mpc(
     exploration_noise: bool = False,
     metrics_writer=None,
     seed: int = 0,
+    checkpoint_dir: Optional[str] = None,
+    resume: bool = False,
     **solver_kwargs,
 ):
-    """Full MBRL loop. ``solver_kwargs`` forward into the solver config (population, ...)."""
+    """Full MBRL loop. ``solver_kwargs`` forward into the solver config (population, ...).
+
+    ``checkpoint_dir``: if set, the handler (model + optimizer state + normalizer + replay) and
+    the loop counter are checkpointed after every refinement; ``resume=True`` restores them and
+    continues from the next refinement — full loop resume, which the reference cannot do (it
+    only saves the dynamics model, SURVEY §5.4).
+    """
+    import json
+    import os
+
     num_agents = env.num_envs
+    start_refinement = 0
+    if resume:
+        if checkpoint_dir is None:
+            raise ValueError("resume=True requires checkpoint_dir")
+        state_path = os.path.join(checkpoint_dir, "loop_state.json")
+        if os.path.exists(state_path):
+            with open(state_path) as f:
+                loop_state = json.load(f)
+            handler = DynamicsHandler.load(os.path.join(checkpoint_dir, "handler"))
+            start_refinement = int(loop_state["completed_refinements"])
+            number_of_initial_rollouts = 0
+            logger.info("resumed MBRL loop at refinement %d", start_refinement)
+
+    def _checkpoint(completed: int):
+        if checkpoint_dir is None:
+            return
+        os.makedirs(checkpoint_dir, exist_ok=True)
+        handler.save(os.path.join(checkpoint_dir, "handler"))
+        with open(os.path.join(checkpoint_dir, "loop_state.json"), "w") as f:
+            json.dump({"completed_refinements": completed}, f)
+
     if number_of_initial_rollouts > 0:
         random_policy = RandomPolicy(env.action_space, num_agents=num_agents, seed=seed)
         logger.info("collecting %d bootstrap rollouts with a random policy", number_of_initial_rollouts)
@@ -70,7 +102,9 @@ def learn_dynamics_iteratively_w_mpc(
         metrics_writer=metrics_writer,
         **solver_kwargs,
     )
-    for i in range(number_of_refinement_steps):
+    if start_refinement == 0:
+        _checkpoint(0)
+    for i in range(start_refinement, number_of_refinement_steps):
         logger.info("refinement step %d/%d", i + 1, number_of_refinement_steps)
         handler, result, metrics = learn_dynamics_from_policy(
             env,
@@ -87,4 +121,5 @@ def learn_dynamics_iteratively_w_mpc(
             "refinement %d: episode reward %.2f, val loss %.5f",
             i + 1, result["reward_sum"][-1], metrics["val_loss"],
         )
+        _checkpoint(i + 1)
     return handler, policy

@@ -1,0 +1,62 @@
+"""Pallas fused-rollout kernel parity tests (interpreter mode on CPU)."""
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from blackbox_mpc_tpu.models.dynamics import LearnedDynamicsConfig, make_learned_dynamics
+from blackbox_mpc_tpu.ops import make_pallas_rollout_evaluator
+from blackbox_mpc_tpu.rollout import make_trajectory_evaluator
+
+
+def reward_fn(s, a, ns):
+    return -jnp.sum(jnp.square(ns), axis=-1) - 0.01 * jnp.sum(jnp.square(a), axis=-1)
+
+
+@pytest.mark.parametrize("ensemble", [1, 2])
+@pytest.mark.parametrize("normalized", [True, False])
+def test_pallas_rollout_matches_xla(ensemble, normalized, rng):
+    cfg = LearnedDynamicsConfig(
+        dim_s=3, dim_u=2, hidden=(16, 16), ensemble_size=ensemble,
+        propagation="mean", normalized=normalized,
+    )
+    init_model, dyn = make_learned_dynamics(cfg)
+    dp = init_model(jax.random.PRNGKey(0))
+    if normalized:
+        # non-trivial stats to exercise the in-kernel normalizer chain
+        from blackbox_mpc_tpu.models.normalizer import NormalizerStats
+
+        dp = dp.replace(
+            stats=NormalizerStats(
+                mean_states=jnp.asarray([0.1, -0.2, 0.3]),
+                std_states=jnp.asarray([1.1, 0.9, 2.0]),
+                mean_actions=jnp.asarray([0.05, -0.05]),
+                std_actions=jnp.asarray([1.5, 0.7]),
+                mean_targets=jnp.asarray([0.0, 0.01, -0.01]),
+                std_targets=jnp.asarray([0.5, 0.5, 1.2]),
+            )
+        )
+    s0 = jnp.asarray(rng.uniform(-1, 1, (2, 3)).astype(np.float32))
+    acts = jnp.asarray(rng.uniform(-2, 2, (10, 2, 6, 2)).astype(np.float32))
+    ref = make_trajectory_evaluator(partial(dyn, dp), reward_fn)(s0, acts)
+    pal = make_pallas_rollout_evaluator(cfg, reward_fn, tile=8, interpret=True)(dp, s0, acts)
+    np.testing.assert_allclose(np.asarray(ref), np.asarray(pal), rtol=1e-4, atol=1e-4)
+
+
+def test_pallas_rollout_pads_ragged_rows(rng):
+    cfg = LearnedDynamicsConfig(dim_s=3, dim_u=1, hidden=(8,), ensemble_size=1)
+    init_model, dyn = make_learned_dynamics(cfg)
+    dp = init_model(jax.random.PRNGKey(0))
+    s0 = jnp.asarray(rng.uniform(-1, 1, (3, 3)).astype(np.float32))
+    acts = jnp.asarray(rng.uniform(-2, 2, (7, 3, 4, 1)).astype(np.float32))  # 21 rows, tile 8
+    ref = make_trajectory_evaluator(partial(dyn, dp), reward_fn)(s0, acts)
+    pal = make_pallas_rollout_evaluator(cfg, reward_fn, tile=8, interpret=True)(dp, s0, acts)
+    np.testing.assert_allclose(np.asarray(ref), np.asarray(pal), rtol=1e-4, atol=1e-4)
+
+
+def test_pallas_rejects_ts1():
+    cfg = LearnedDynamicsConfig(dim_s=3, dim_u=1, ensemble_size=2, propagation="ts1")
+    with pytest.raises(ValueError, match="propagation"):
+        make_pallas_rollout_evaluator(cfg, reward_fn)
