@@ -4,57 +4,107 @@ Workload (BASELINE.json config #3): CEM, H=50, population=1000, 5 iterations, ov
 MLP(3x500, tanh) dynamics ensemble with HalfCheetah dims (S=17, U=6) — 250k trajectory-steps
 (1.25M ensemble-member MLP forwards) per solve.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...details}.
+Methodology: differential chained timing. The solve is embedded in a ``lax.scan`` MPC loop with
+a data dependency between steps (action -> predicted next obs -> next solve); we time
+(N solves + one readback) minus (1 solve + one readback) and divide by N-1. This cancels the
+host<->device round-trip, which on tunneled TPU frontends can be ~30 ms — an order of magnitude
+larger than the solve itself — and reflects the throughput of the real MPC stepping loop, where
+consecutive solves are chained on device. The single-dispatch round-trip is reported separately.
 
-``vs_baseline`` compares against the reference architecture's solves/s measured by
-``benchmarks/reference_baseline_tf.py`` (a faithful TF2 graph-mode re-implementation of the
-reference CEM path — the reference itself publishes no numbers; see BASELINE.md) stored in
-``benchmarks/baseline.json``.
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...details}.
+``vs_baseline`` compares against the reference-equivalent TF2 graph-mode implementation
+(benchmarks/reference_baseline_tf.py; the reference publishes no numbers — see BASELINE.md)
+recorded in ``benchmarks/baseline.json``.
 """
 from __future__ import annotations
 
 import json
 import os
 import time
+from functools import partial
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
+os.makedirs(os.path.expanduser("~/.jax_cache"), exist_ok=True)
+jax.config.update("jax_compilation_cache_dir", os.path.expanduser("~/.jax_cache"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+
+def build_chain(N: int, backend: str):
+    from blackbox_mpc_tpu.core.types import Bounds
+    from blackbox_mpc_tpu.models.dynamics import LearnedDynamicsConfig, make_learned_dynamics
+    from blackbox_mpc_tpu.rollout.evaluator import make_trajectory_evaluator
+    from blackbox_mpc_tpu.solvers import make_solver
+
+    reward_fn = lambda s, a, ns: ns[:, 0] - 0.1 * jnp.sum(jnp.square(a), axis=-1)
+    bounds = Bounds.of(-1.0, 1.0, dim=6)
+    solver_kw = dict(
+        planning_horizon=50, population=1000, num_agents=1, num_elite=50, max_iterations=5
+    )
+    cfg = LearnedDynamicsConfig(
+        dim_s=17, dim_u=6, hidden=(500, 500, 500), ensemble_size=5, propagation="mean",
+        compute_dtype=jnp.bfloat16 if backend.endswith("bf16") else jnp.float32,
+    )
+    init_model, dyn = make_learned_dynamics(cfg)
+    dp = init_model(jax.random.PRNGKey(0))
+    if backend.startswith("pallas"):
+        from blackbox_mpc_tpu.ops.pallas_rollout import make_pallas_rollout_evaluator
+
+        pal = make_pallas_rollout_evaluator(cfg, reward_fn, tile=512)
+        make_ev = lambda dp: partial(pal, dp)
+    else:
+        make_ev = lambda dp: make_trajectory_evaluator(partial(dyn, dp), reward_fn)
+
+    def chained(state, dp, obs, key):
+        s = make_solver("CEM", bounds, make_ev(dp), **solver_kw)
+
+        def body(carry, k):
+            st, ob = carry
+            action, st, aux = s.solve(st, ob, jnp.asarray(0), k)
+            ob = dyn(dp, ob, action)
+            return (st, ob), aux.expected_reward[0]
+
+        (_, _), rs = jax.lax.scan(body, (state, obs), jax.random.split(key, N))
+        return rs[-1]
+
+    s0 = make_solver("CEM", bounds, lambda a, b: jnp.zeros(()), **solver_kw)
+    state = jax.jit(s0.init)(jax.random.PRNGKey(1))
+    obs = jnp.zeros((1, 17))
+    return jax.jit(chained), (state, dp, obs)
+
+
+def measure(backend: str, n_chain: int, repeats: int):
+    totals = {}
+    for N in (1, n_chain):
+        jfn, (state, dp, obs) = build_chain(N, backend)
+        float(jfn(state, dp, obs, jax.random.PRNGKey(9)))  # compile + warm
+        lat = []
+        for k in jax.random.split(jax.random.PRNGKey(5), repeats):
+            t0 = time.perf_counter()
+            float(jfn(state, dp, obs, k))
+            lat.append(time.perf_counter() - t0)
+        totals[N] = float(np.min(lat))
+    per_solve = (totals[n_chain] - totals[1]) / (n_chain - 1)
+    return per_solve, totals[1]
+
 
 def main():
-    import __graft_entry__
+    backend = os.environ.get("BENCH_BACKEND", "xla")
+    n_chain = int(os.environ.get("BENCH_CHAIN", "11"))
+    repeats = int(os.environ.get("BENCH_REPEATS", "4"))
+    per_solve, single_rtt = measure(backend, n_chain, repeats)
+    solves_per_s = 1.0 / per_solve
 
-    solve_step, (solver_state, dp, obs, key) = __graft_entry__.entry()
-    jfn = jax.jit(solve_step)
-
-    # Warmup: first call compiles; a couple more absorb post-compile dispatch overheads
-    # (remote-tunnel buffer setup skews the first timed solves otherwise).
-    for wk in jax.random.split(jax.random.PRNGKey(99), 3):
-        out = jfn(solver_state, dp, obs, wk)
-        jax.block_until_ready(out)
-
-    # Steady-state timing: each solve with a fresh key (new samples), same obs/state shapes.
-    n_solves = int(os.environ.get("BENCH_SOLVES", "20"))
-    keys = jax.random.split(key, n_solves)
-    latencies = []
-    t0 = time.perf_counter()
-    for i in range(n_solves):
-        t1 = time.perf_counter()
-        action, _, _ = jfn(solver_state, dp, obs, keys[i])
-        action.block_until_ready()
-        latencies.append(time.perf_counter() - t1)
-    total = time.perf_counter() - t0
-    solves_per_s = n_solves / total
-    p50_ms = float(np.percentile(latencies, 50) * 1e3)
-
-    baseline_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "benchmarks", "baseline.json")
+    baseline_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "benchmarks", "baseline.json"
+    )
     vs_baseline = None
     baseline_solves_per_s = None
     if os.path.exists(baseline_path):
         with open(baseline_path) as f:
-            baseline = json.load(f)
-        baseline_solves_per_s = baseline.get("solves_per_s")
+            baseline_solves_per_s = json.load(f).get("solves_per_s")
         if baseline_solves_per_s:
             vs_baseline = solves_per_s / baseline_solves_per_s
 
@@ -62,13 +112,15 @@ def main():
         json.dumps(
             {
                 "metric": "CEM-MPC solves/s/chip (H=50, pop=1000, 5-member ensemble MLP 3x500, S=17 U=6)",
-                "value": round(solves_per_s, 3),
+                "value": round(solves_per_s, 2),
                 "unit": "solves/s",
-                "vs_baseline": round(vs_baseline, 2) if vs_baseline else None,
-                "p50_solve_latency_ms": round(p50_ms, 2),
+                "vs_baseline": round(vs_baseline, 1) if vs_baseline else None,
+                "per_solve_ms": round(per_solve * 1e3, 3),
+                "single_dispatch_roundtrip_ms": round(single_rtt * 1e3, 1),
+                "backend": backend,
                 "device": str(jax.devices()[0]),
                 "baseline_solves_per_s": baseline_solves_per_s,
-                "n_solves": n_solves,
+                "chain": n_chain,
             }
         )
     )

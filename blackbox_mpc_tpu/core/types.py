@@ -45,16 +45,23 @@ class Bounds:
 
     Mirrors the bound bookkeeping of the reference's optimizer base
     (``/root/reference/blackbox_mpc/optimizers/optimizer_base.py:32-50``) as a pytree.
+
+    The fields are **host numpy arrays** by design: solvers close over a ``Bounds`` when
+    tracing, and numpy leaves bake into the compiled program as literals. Device-array
+    (``jnp``) closure constants instead become captured buffers of the executable, which some
+    runtimes (notably remote-dispatch TPU frontends) re-bind per execution at large fixed
+    cost — measured at ~30 ms/call on the axon tunnel, vs microseconds with literals.
     """
 
-    lower: jax.Array  # [U]
-    upper: jax.Array  # [U]
+    lower: np.ndarray  # [U]
+    upper: np.ndarray  # [U]
 
     @classmethod
     def from_space(cls, space: BoxSpace, dtype=jnp.float32) -> "Bounds":
+        np_dtype = np.dtype(dtype)
         return cls(
-            lower=jnp.asarray(space.low, dtype=dtype),
-            upper=jnp.asarray(space.high, dtype=dtype),
+            lower=np.asarray(space.low, dtype=np_dtype),
+            upper=np.asarray(space.high, dtype=np_dtype),
         )
 
     @classmethod

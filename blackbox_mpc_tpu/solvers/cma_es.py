@@ -69,7 +69,8 @@ def make_cma_es(config: CMAESConfig, bounds: Bounds, evaluate: TrajectoryEvaluat
         [np.log(k + 0.5) - np.log(np.arange(1, k + 1)), np.zeros(pop - k)]
     ).astype(np.float32)
     w = w / w.sum()
-    weights = jnp.asarray(w)  # [P]
+    weights = w  # [P] — kept as numpy so it bakes into the program as a literal
+    # (jnp closure constants become per-execution bound buffers on remote TPU frontends)
     mu_eff = float(1.0 / np.sum(w**2))
     nf = float(n)
     c_sigma = (mu_eff + 2.0) / (nf + mu_eff + 5.0)
