@@ -2,23 +2,30 @@
 
 Covers the remaining BASELINE.json configs measurable on available hardware:
   #4  multi-agent vectorized MPC (e.g. 256 agents x 1k samples, CEM on learned model)
-  #5  pod-scale sharded solve (population sharded over a mesh; on one chip this measures the
-      sharding overhead at n=1, on a pod it measures scaling efficiency)
+  #5  population-sharded solve over a device mesh (one chip: sharding overhead at n=1;
+      a pod: scaling efficiency; a virtual CPU mesh: correctness/plumbing)
+
+Uses the same differential chained-timing methodology as bench.py (see docs/performance.md):
+marginal per-solve cost inside a data-dependent lax.scan MPC loop, so tunnel round-trips
+cancel.
 
 Usage:
   python benchmarks/scaling.py --config multi_agent --agents 256 --population 1000
-  python benchmarks/scaling.py --config sharded --devices 8        # CPU mesh: add
-      JAX_PLATFORMS=cpu XLA_FLAGS=--xla_force_host_platform_device_count=8
-Prints one JSON line per run.
+  python benchmarks/scaling.py --config sharded --devices 8
+Prints one JSON line.
 """
 from __future__ import annotations
 
 import argparse
 import json
+import os
+import sys
 import time
 from functools import partial
 
 import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def main():
@@ -29,13 +36,17 @@ def main():
     p.add_argument("--horizon", type=int, default=50)
     p.add_argument("--iterations", type=int, default=5)
     p.add_argument("--devices", type=int, default=0, help="mesh size (0 = all)")
-    p.add_argument("--solves", type=int, default=10)
+    p.add_argument("--chain", type=int, default=6)
+    p.add_argument("--repeats", type=int, default=3)
     p.add_argument("--hidden", type=int, nargs="+", default=[200, 200])
     p.add_argument("--solver", default="CEM")
     args = p.parse_args()
 
     import jax
     import jax.numpy as jnp
+
+    os.makedirs(os.path.expanduser("~/.jax_cache"), exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", os.path.expanduser("~/.jax_cache"))
 
     from blackbox_mpc_tpu.core.types import Bounds
     from blackbox_mpc_tpu.models.dynamics import LearnedDynamicsConfig, make_learned_dynamics
@@ -63,32 +74,45 @@ def main():
 
     mesh = None
     if args.config == "sharded":
-        from blackbox_mpc_tpu.parallel import make_pop_mesh, make_sharded_evaluator
+        from blackbox_mpc_tpu.parallel import make_pop_mesh
 
         mesh = make_pop_mesh(args.devices or None)
 
-    def solve_step(state, dp, obs, key):
-        if mesh is not None:
-            from blackbox_mpc_tpu.parallel import make_sharded_evaluator
+    def make_chain(N):
+        def chained(state, dp, obs, key):
+            if mesh is not None:
+                from blackbox_mpc_tpu.parallel import make_sharded_evaluator
 
-            evaluate = make_sharded_evaluator(partial(dynamics_fn, dp), reward_fn, mesh)
-        else:
-            evaluate = make_trajectory_evaluator(partial(dynamics_fn, dp), reward_fn)
-        s = make_solver(args.solver, bounds, evaluate, **solver_kwargs)
-        return s.solve(state, obs, jnp.asarray(0), key)
+                evaluate = make_sharded_evaluator(partial(dynamics_fn, dp), reward_fn, mesh)
+            else:
+                evaluate = make_trajectory_evaluator(partial(dynamics_fn, dp), reward_fn)
+            s = make_solver(args.solver, bounds, evaluate, **solver_kwargs)
+
+            def body(carry, k):
+                st, ob = carry
+                action, st, aux = s.solve(st, ob, jnp.asarray(0), k)
+                ob = dynamics_fn(dp, ob, action)
+                return (st, ob), aux.expected_reward[0]
+
+            (_, _), rs = jax.lax.scan(body, (state, obs), jax.random.split(key, N))
+            return rs[-1]
+
+        return jax.jit(chained)
 
     s0 = make_solver(args.solver, bounds, lambda a, b: jnp.zeros(()), **solver_kwargs)
     state = jax.jit(s0.init)(jax.random.PRNGKey(1))
     obs = jnp.zeros((agents, dim_s))
-    jfn = jax.jit(solve_step)
-    for wk in jax.random.split(jax.random.PRNGKey(9), 3):
-        jax.block_until_ready(jfn(state, dp, obs, wk))
-    lat = []
-    for k in jax.random.split(jax.random.PRNGKey(5), args.solves):
-        t0 = time.perf_counter()
-        jax.block_until_ready(jfn(state, dp, obs, k))
-        lat.append(time.perf_counter() - t0)
-    p50 = float(np.percentile(lat, 50))
+    totals = {}
+    for N in (1, args.chain):
+        jfn = make_chain(N)
+        float(jfn(state, dp, obs, jax.random.PRNGKey(9)))
+        lat = []
+        for k in jax.random.split(jax.random.PRNGKey(5), args.repeats):
+            t0 = time.perf_counter()
+            float(jfn(state, dp, obs, k))
+            lat.append(time.perf_counter() - t0)
+        totals[N] = float(np.min(lat))
+    per_solve = (totals[args.chain] - totals[1]) / (args.chain - 1)
     traj_steps = args.population * agents * args.horizon * args.iterations
     print(
         json.dumps(
@@ -98,9 +122,9 @@ def main():
                 "agents": agents,
                 "population": args.population,
                 "devices": len(mesh.devices.flat) if mesh is not None else 1,
-                "p50_solve_s": round(p50, 4),
-                "solves_per_s": round(1.0 / p50, 3),
-                "trajectory_steps_per_s": round(traj_steps / p50, 0),
+                "per_solve_ms": round(per_solve * 1e3, 3),
+                "solves_per_s": round(1.0 / per_solve, 2),
+                "trajectory_steps_per_s": round(traj_steps / per_solve, 0),
                 "device_kind": str(jax.devices()[0]),
             }
         )

@@ -23,6 +23,7 @@ __all__ = [
     "constrain_variance",
     "shift_time",
     "bound_violation_penalty",
+    "colored_noise",
     "exploration_noise",
 ]
 
@@ -84,6 +85,28 @@ def bound_violation_penalty(samples: jax.Array, bounds: Bounds) -> Tuple[jax.Arr
     pop, agents = samples.shape[0], samples.shape[1]
     penalty = jnp.sum(jnp.square(violation).reshape(pop, agents, -1), axis=-1)
     return feasible, penalty
+
+
+def colored_noise(key: jax.Array, beta: float, shape, dtype=jnp.float32) -> jax.Array:
+    """Temporally colored (power-law) noise along the horizon axis, unit variance per step.
+
+    ``shape`` is ``[..., H, U]``; the spectrum over the H axis is scaled ``f^(-beta/2)``
+    (beta=0 -> white noise; beta~1-4 -> smooth action sequences). This is the iCEM
+    colored-noise sampler (Pinneri et al., 2020) — an improvement the reference lacks; its
+    CEM always samples white truncated normals (cem.py:90-94).
+    """
+    *lead, horizon, dim_u = shape
+    nfreq = horizon // 2 + 1
+    real_key, imag_key = jax.random.split(key)
+    spectrum = jax.random.normal(real_key, (*lead, dim_u, nfreq), dtype) + 1j * jax.random.normal(
+        imag_key, (*lead, dim_u, nfreq), dtype
+    )
+    freqs = jnp.arange(1, nfreq + 1, dtype=dtype)  # avoid f=0 blowup
+    spectrum = spectrum * freqs ** (-beta / 2.0)
+    signal = jnp.fft.irfft(spectrum, n=horizon, axis=-1)  # [..., U, H]
+    signal = jnp.swapaxes(signal, -1, -2)  # [..., H, U]
+    std = jnp.std(signal, axis=(-2, -1), keepdims=True) + 1e-8
+    return signal / std
 
 
 def exploration_noise(

@@ -35,6 +35,9 @@ class CEMConfig(base.SolverConfig):
     num_elite: int = 50
     alpha: float = 0.25  # weight of the *previous* mean/var (cem.py:112-125)
     warm_start: bool = False  # reference behavior: restart from midpoint every solve
+    # iCEM-style temporally colored noise exponent; 0.0 = white truncated normal (reference
+    # behavior). beta in [1, 4] yields smooth candidate sequences — better for real systems.
+    colored_noise_beta: float = 0.0
 
 
 @struct.dataclass
@@ -62,9 +65,16 @@ def make_cem(config: CEMConfig, bounds: Bounds, evaluate: TrajectoryEvaluator) -
             mean, var, key, _ = carry
             key, sample_key = jax.random.split(key)
             constrained = base.constrain_variance(mean, var, bounds)
-            samples = truncated_normal(
-                sample_key, mean, jnp.sqrt(constrained), (pop, agents, horizon, bounds.dim)
-            )
+            if config.colored_noise_beta > 0.0:
+                z = base.colored_noise(
+                    sample_key, config.colored_noise_beta,
+                    (pop, agents, horizon, bounds.dim),
+                )
+                samples = bounds.clip(mean + jnp.sqrt(constrained) * z)
+            else:
+                samples = truncated_normal(
+                    sample_key, mean, jnp.sqrt(constrained), (pop, agents, horizon, bounds.dim)
+                )
             rewards = evaluate(obs, samples)  # [P, A]
             elite_vals, elite_idx = jax.lax.top_k(rewards.T, k)  # [A, k]
             per_agent = jnp.swapaxes(samples, 0, 1)  # [A, P, H, U]

@@ -25,6 +25,8 @@ __all__ = ["PI2Config", "PI2State", "make_pi2"]
 @dataclasses.dataclass(frozen=True)
 class PI2Config(base.SolverConfig):
     lamda: float = 1.0  # energy temperature (reference pi2.py:11)
+    # iCEM-style colored noise exponent; 0.0 = white truncated normal (reference behavior).
+    colored_noise_beta: float = 0.0
 
 
 @struct.dataclass
@@ -48,9 +50,16 @@ def make_pi2(config: PI2Config, bounds: Bounds, evaluate: TrajectoryEvaluator) -
         def iteration(_, carry):
             mean, key, _ = carry
             key, sample_key = jax.random.split(key)
-            samples = truncated_normal(
-                sample_key, mean, stddev, (pop, agents, horizon, bounds.dim)
-            )
+            if config.colored_noise_beta > 0.0:
+                z = base.colored_noise(
+                    sample_key, config.colored_noise_beta,
+                    (pop, agents, horizon, bounds.dim),
+                )
+                samples = mean + stddev * z
+            else:
+                samples = truncated_normal(
+                    sample_key, mean, stddev, (pop, agents, horizon, bounds.dim)
+                )
             samples, penalty = base.bound_violation_penalty(samples, bounds)
             rewards = evaluate(obs, samples) - penalty  # [P, A]
             costs = -rewards
