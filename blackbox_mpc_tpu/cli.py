@@ -1,0 +1,171 @@
+"""Command-line interface: quick MPC runs without writing a script.
+
+The reference has no CLI (composition only via tutorial scripts, SURVEY §1); this is a
+convenience layer over the same public API.
+
+    python -m blackbox_mpc_tpu solve --env pendulum --solver CEM --steps 100
+    python -m blackbox_mpc_tpu learn --env Pendulum-v1 --refinements 3
+    python -m blackbox_mpc_tpu solvers
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def _add_common(p):
+    p.add_argument("--solver", default="CEM")
+    p.add_argument("--planning-horizon", type=int, default=25)
+    p.add_argument("--population", type=int, default=512)
+    p.add_argument("--iterations", type=int, default=5)
+    p.add_argument("--num-envs", type=int, default=1)
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--cpu", action="store_true", help="force the CPU backend")
+
+
+def _maybe_cpu(args):
+    if args.cpu:
+        import os
+
+        os.environ["JAX_PLATFORMS"] = "cpu"
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+
+
+def cmd_solvers(_args):
+    from blackbox_mpc_tpu.solvers import SOLVER_REGISTRY
+
+    for name, (cfg_cls, _) in sorted(SOLVER_REGISTRY.items()):
+        fields = {
+            f: getattr(cfg_cls(), f)
+            for f in cfg_cls.__dataclass_fields__
+            if f not in ("dtype",)
+        }
+        print(f"{name}: {fields}")
+    return 0
+
+
+def cmd_solve(args):
+    _maybe_cpu(args)
+    from blackbox_mpc_tpu import DynamicsHandler, MPCPolicy, perform_rollouts
+    from blackbox_mpc_tpu.models import ANALYTIC_MODELS
+
+    if args.env in ANALYTIC_MODELS:
+        dynamics, reward = ANALYTIC_MODELS[args.env]
+        if args.env == "pendulum":
+            from blackbox_mpc_tpu.envs import NativePendulumVecEnv
+
+            env = NativePendulumVecEnv(num_envs=args.num_envs, seed=args.seed)
+        else:
+            print(f"no built-in environment for analytic model {args.env!r}", file=sys.stderr)
+            return 2
+    else:
+        print(
+            f"unknown analytic model {args.env!r}; available: {sorted(ANALYTIC_MODELS)}. "
+            "For gym envs with learned dynamics use the 'learn' subcommand.",
+            file=sys.stderr,
+        )
+        return 2
+    policy = MPCPolicy(
+        action_space=env.action_space,
+        reward_function=reward,
+        dynamics_handler=DynamicsHandler(true_model=dynamics),
+        solver_name=args.solver,
+        num_agents=args.num_envs,
+        planning_horizon=args.planning_horizon,
+        population=args.population,
+        max_iterations=args.iterations,
+        seed=args.seed,
+    )
+    result = perform_rollouts(
+        env, policy, number_of_rollouts=args.rollouts, rollout_horizon=args.steps
+    )
+    print(
+        json.dumps(
+            {
+                "env": args.env,
+                "solver": args.solver,
+                "episode_rewards": [round(r, 2) for r in result["reward_sum"]],
+                "act_latency": result["latency"],
+            }
+        )
+    )
+    return 0
+
+
+def cmd_learn(args):
+    _maybe_cpu(args)
+    import jax.numpy as jnp
+
+    from blackbox_mpc_tpu import LearnedDynamicsConfig, learn_dynamics_iteratively_w_mpc
+    from blackbox_mpc_tpu.envs import make_gym_vec_env
+    from blackbox_mpc_tpu.models import ANALYTIC_MODELS
+
+    if args.env == "Pendulum-v1":
+        _, reward = ANALYTIC_MODELS["pendulum"]
+    else:
+
+        def reward(s, a, ns):  # generic: forward progress on obs[0] minus control cost
+            return ns[:, 0] - s[:, 0] - 0.1 * jnp.sum(jnp.square(a), axis=-1)
+
+    env = make_gym_vec_env(args.env, num_envs=args.num_envs, mode="subprocess",
+                           base_seed=args.seed)
+    handler, policy = learn_dynamics_iteratively_w_mpc(
+        env,
+        reward,
+        solver_name=args.solver,
+        planning_horizon=args.planning_horizon,
+        number_of_initial_rollouts=args.initial_rollouts,
+        number_of_refinement_steps=args.refinements,
+        rollout_horizon=args.steps,
+        dynamics_config=LearnedDynamicsConfig(
+            dim_s=env.observation_space.dim,
+            dim_u=env.action_space.dim,
+            hidden=tuple(args.hidden),
+        ),
+        epochs=args.epochs,
+        population=args.population,
+        max_iterations=args.iterations,
+        seed=args.seed,
+        checkpoint_dir=args.checkpoint_dir,
+        resume=args.resume,
+    )
+    env.close()
+    print(json.dumps({"env": args.env, "replay_size": len(handler.replay), "done": True}))
+    return 0
+
+
+def main(argv=None) -> int:
+    parser = argparse.ArgumentParser(prog="blackbox_mpc_tpu")
+    sub = parser.add_subparsers(dest="command", required=True)
+
+    p = sub.add_parser("solve", help="true-model MPC on an analytic task")
+    _add_common(p)
+    p.add_argument("--env", default="pendulum")
+    p.add_argument("--steps", type=int, default=100)
+    p.add_argument("--rollouts", type=int, default=1)
+    p.set_defaults(fn=cmd_solve)
+
+    p = sub.add_parser("learn", help="iterative MBRL on a gymnasium env")
+    _add_common(p)
+    p.add_argument("--env", default="Pendulum-v1")
+    p.add_argument("--steps", type=int, default=200)
+    p.add_argument("--initial-rollouts", type=int, default=5)
+    p.add_argument("--refinements", type=int, default=3)
+    p.add_argument("--epochs", type=int, default=25)
+    p.add_argument("--hidden", type=int, nargs="+", default=[64, 64])
+    p.add_argument("--checkpoint-dir", default=None)
+    p.add_argument("--resume", action="store_true")
+    p.set_defaults(fn=cmd_learn)
+
+    p = sub.add_parser("solvers", help="list solvers and their config defaults")
+    p.set_defaults(fn=cmd_solvers)
+
+    args = parser.parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

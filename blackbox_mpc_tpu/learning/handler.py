@@ -120,6 +120,29 @@ class DynamicsHandler:
             self._params, jnp.asarray(states, jnp.float32), jnp.asarray(actions, jnp.float32)
         )
 
+    def process_input(self, states, actions) -> jax.Array:
+        """Normalized, concatenated network input (parity with
+        ``SystemDynamicsHandler.process_input``, system_dynamics_handler.py:97-126)."""
+        states = jnp.asarray(states, jnp.float32)
+        actions = jnp.asarray(actions, jnp.float32)
+        if self._is_true_model or self._config is None or not self._config.normalized:
+            return jnp.concatenate([states, actions], axis=-1)
+        stats = self._params.stats
+        return jnp.concatenate(
+            [stats.normalize_states(states), stats.normalize_actions(actions)], axis=-1
+        )
+
+    def process_output(self, states, raw_targets) -> jax.Array:
+        """Next state from a raw network output (parity with
+        ``SystemDynamicsHandler.process_output``, system_dynamics_handler.py:128-161)."""
+        states = jnp.asarray(states, jnp.float32)
+        raw_targets = jnp.asarray(raw_targets, jnp.float32)
+        if not self._is_true_model and self._config is not None and self._config.normalized:
+            raw_targets = self._params.stats.denormalize_targets(raw_targets)
+        if self._is_true_model or self._config is None or self._config.predict_delta:
+            return states + raw_targets
+        return raw_targets
+
     # ------------------------------------------------------------------ training
 
     def train(
