@@ -58,6 +58,14 @@ def make_trainer(
         else:
             x = jnp.concatenate([s, a], axis=-1)
         pred = mlp_apply(params, x, config=mlp_cfg)
+        if config.probabilistic:
+            # Gaussian NLL on (mean, logvar) head (PETS); logvar soft-bounded.
+            from blackbox_mpc_tpu.models.dynamics import bound_logvar
+
+            mean, logvar = pred[..., : config.dim_s], pred[..., config.dim_s :]
+            logvar = bound_logvar(logvar)
+            inv_var = jnp.exp(-logvar)
+            return jnp.mean(jnp.square(mean - target) * inv_var + logvar)
         return jnp.mean(jnp.square(pred - target))
 
     def _losses(params, stats, s, a, ns):

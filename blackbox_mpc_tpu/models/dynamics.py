@@ -49,17 +49,31 @@ class LearnedDynamicsConfig:
     propagation: str = "mean"  # "mean" | "ts1"
     normalized: bool = True  # reference is_normalized (system_dynamics_handler.py:57)
     predict_delta: bool = True  # default_transform_targets: network predicts s' - s
+    # Probabilistic (PETS-style) Gaussian output head: the network predicts (mean, logvar)
+    # per state dim and trains with Gaussian NLL. The reference supports deterministic nets
+    # only (its README lists probabilistic nets as future work). Planning uses the means.
+    probabilistic: bool = False
     compute_dtype: Any = jnp.float32
 
     @property
     def mlp(self) -> MLPConfig:
         return MLPConfig(
             in_dim=self.dim_s + self.dim_u,
-            out_dim=self.dim_s,
+            out_dim=self.dim_s * (2 if self.probabilistic else 1),
             hidden=tuple(self.hidden),
             activation=self.activation,
             compute_dtype=self.compute_dtype,
         )
+
+
+# Soft logvar bounds for the probabilistic head (PETS: keeps the NLL well-conditioned).
+_MAX_LOGVAR = 0.5
+_MIN_LOGVAR = -10.0
+
+
+def bound_logvar(logvar: jax.Array) -> jax.Array:
+    logvar = _MAX_LOGVAR - jax.nn.softplus(_MAX_LOGVAR - logvar)
+    return _MIN_LOGVAR + jax.nn.softplus(logvar - _MIN_LOGVAR)
 
 
 def make_learned_dynamics(
@@ -96,6 +110,12 @@ def make_learned_dynamics(
         target = dp.stats.denormalize_targets(raw_target) if config.normalized else raw_target
         return inverse(state, target)
 
+    def _head(raw: jax.Array) -> jax.Array:
+        """Probabilistic head -> mean prediction (planning uses the means)."""
+        if config.probabilistic:
+            return raw[..., : config.dim_s]
+        return raw
+
     def dynamics_fn(dp: DynamicsParams, state: jax.Array, action: jax.Array) -> jax.Array:
         x = _net_input(dp, state, action)
         if ensemble <= 1:
@@ -119,7 +139,7 @@ def make_learned_dynamics(
             raw = raw_groups.swapaxes(0, 1).reshape(batch, -1)
         else:
             raise ValueError(f"unknown propagation {config.propagation!r}")
-        return _target_to_state(dp, state, raw)
+        return _target_to_state(dp, state, _head(raw))
 
     return init, dynamics_fn
 

@@ -55,6 +55,8 @@ def make_pallas_rollout_evaluator(
     """
     if config.ensemble_size > 1 and config.propagation != "mean":
         raise ValueError("pallas rollout supports propagation='mean' (or ensemble_size=1)")
+    if getattr(config, "probabilistic", False):
+        raise ValueError("pallas rollout supports deterministic heads only (probabilistic=False)")
     dim_s, dim_u = config.dim_s, config.dim_u
     hidden = tuple(config.hidden)
     n_layers = len(hidden) + 1

@@ -184,14 +184,17 @@ class MPCPolicy(ModelBasedPolicy):
             bool(exploration_noise),
         )
         self._act_counter += 1
+        # One batched device->host transfer: on remote/tunneled frontends each separate
+        # readback pays a full round-trip, so fetching (action, next_obs, reward) in a single
+        # device_get cuts act() latency ~3x.
+        action, next_obs, pred_reward = jax.device_get((action, next_obs, pred_reward))
         if self._writer is not None:
             self._writer.scalar(
-                "rewards/predicted_reward", float(np.mean(np.asarray(pred_reward))),
-                self._act_counter,
+                "rewards/predicted_reward", float(np.mean(pred_reward)), self._act_counter
             )
         if batched:
-            return np.asarray(action), np.asarray(next_obs), np.asarray(pred_reward)
-        return np.asarray(action)[0], np.asarray(next_obs)[0], np.asarray(pred_reward)[0]
+            return action, next_obs, pred_reward
+        return action[0], next_obs[0], pred_reward[0]
 
     def plan(self, observations, t: int = 0):
         """Full refined plan [A, H, U] (+ expected reward) without advancing PRNG state policy."""

@@ -37,6 +37,8 @@ def learn_dynamics_from_policy(
     batch_size: int = 128,
     exploration_noise: bool = False,
     metrics_writer=None,
+    learning_rate: float = 1e-3,
+    **handler_kwargs,
 ):
     """Collects rollouts with ``policy`` and (re)trains the dynamics handler on them.
 
@@ -49,7 +51,10 @@ def learn_dynamics_from_policy(
             dynamics_config = LearnedDynamicsConfig(
                 dim_s=env.observation_space.dim, dim_u=env.action_space.dim
             )
-        handler = DynamicsHandler(config=dynamics_config, metrics_writer=metrics_writer)
+        handler = DynamicsHandler(
+            config=dynamics_config, metrics_writer=metrics_writer,
+            learning_rate=learning_rate, **handler_kwargs,
+        )
     result = perform_rollouts(
         env,
         policy,

@@ -35,6 +35,7 @@ def learn_dynamics_iteratively_w_mpc(
     handler: Optional[DynamicsHandler] = None,
     epochs: int = 30,
     batch_size: int = 128,
+    learning_rate: float = 1e-3,
     exploration_noise: bool = False,
     metrics_writer=None,
     seed: int = 0,
@@ -86,6 +87,7 @@ def learn_dynamics_iteratively_w_mpc(
             rollout_horizon=rollout_horizon,
             epochs=epochs,
             batch_size=batch_size,
+            learning_rate=learning_rate,
             metrics_writer=metrics_writer,
         )
     elif handler is None:
