@@ -1,0 +1,351 @@
+"""Fully fused CEM iteration: in-kernel candidate generation + rollout + elite moments.
+
+The standard CEM pipeline materializes the candidate tensor ``[P, A, H, U]`` in HBM twice per
+iteration (sampler write, evaluator read) and gathers elite rows for the moment update — at
+pod-scale populations that tensor is gigabytes per iteration. This module removes it entirely
+using a deterministic counter-based in-kernel RNG (murmur3 mix over element indices —
+backend-portable, no hardware PRNG state):
+
+* **Kernel A (sample+rollout)**: each population tile synthesizes its candidates in VMEM
+  (Box-Muller, clipped at +/-2 sigma — a clipped- rather than resampled-truncated normal;
+  indistinguishable for elite selection), rolls them through the ensemble MLP held in VMEM,
+  and emits only the ``[P]`` reward vector.
+* **Kernel B (sample+reduce)**: *regenerates* the identical candidates tile by tile (same
+  seed/tile PRNG stream) and reduces elite sums/sums-of-squares via a masked matmul
+  ``mask^T @ samples`` on the MXU — the elite gather becomes a [T, A] x [T, HU] contraction,
+  no candidate ever touching HBM.
+
+``make_fused_cem`` wraps both into a CEM solver (registry name ``"CEM-Fused"``) with the same
+update rules/state as :mod:`blackbox_mpc_tpu.solvers.cem`.
+"""
+from __future__ import annotations
+
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from blackbox_mpc_tpu.core.types import Bounds, Solver, SolverAux
+from blackbox_mpc_tpu.models.dynamics import DynamicsParams, LearnedDynamicsConfig
+from blackbox_mpc_tpu.solvers import base
+from blackbox_mpc_tpu.solvers.cem import CEMConfig, CEMState
+
+__all__ = ["make_fused_cem_kernels", "make_fused_cem"]
+
+_EPS = 1e-7
+_TWO_PI = 2.0 * np.pi
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+def _mix(x: jax.Array) -> jax.Array:
+    """murmur3 finalizer: a high-quality 32-bit mix (counter-based RNG core)."""
+    s16 = jnp.uint32(16)
+    s13 = jnp.uint32(13)
+    x = x ^ jax.lax.shift_right_logical(x, s16)
+    x = x * jnp.uint32(0x85EBCA6B)
+    x = x ^ jax.lax.shift_right_logical(x, s13)
+    x = x * jnp.uint32(0xC2B2AE35)
+    x = x ^ jax.lax.shift_right_logical(x, s16)
+    return x
+
+
+def _uniform(counter: jax.Array, seed: jax.Array) -> jax.Array:
+    """Counter-based uniform in (0, 1) from int32 element indices + scalar seed."""
+    x = _mix(counter.astype(jnp.uint32) * jnp.uint32(0x9E3779B1) + seed.astype(jnp.uint32))
+    # Mosaic has no uint32->f32 cast; the top-24-bit value fits exactly in (positive) int32.
+    top24 = jax.lax.shift_right_logical(x, jnp.uint32(8)).astype(jnp.int32).astype(jnp.float32)
+    return (top24 + 0.5) * (1.0 / 16777216.0)
+
+
+def _sample_tile(seed_ref, tile_id, t_rows: int, n_flat: int):
+    """Deterministic clipped-N(0,1) candidate block [T, n_flat] for one tile.
+
+    Counter-based (element index + seed -> murmur3 mix -> Box-Muller): both kernels
+    regenerate bit-identical streams for the same (seed, global row), on any backend —
+    no hardware PRNG state involved.
+    """
+    seed = seed_ref[0]
+    row_ids = tile_id * t_rows + jax.lax.broadcasted_iota(jnp.int32, (t_rows, n_flat), 0)
+    col_ids = jax.lax.broadcasted_iota(jnp.int32, (t_rows, n_flat), 1)
+    counter = row_ids * n_flat + col_ids
+    u1 = _uniform(counter, seed)
+    u2 = _uniform(counter, seed + jnp.int32(0x632BE5AB))
+    z = jnp.sqrt(-2.0 * jnp.log(u1)) * jnp.cos(_TWO_PI * u2)
+    return jnp.clip(z, -2.0, 2.0)
+
+
+def make_fused_cem_kernels(
+    config: LearnedDynamicsConfig,
+    reward_fn: Callable,
+    *,
+    horizon: int,
+    agents: int,
+    population: int,
+    tile: int = 256,
+    interpret: bool = False,
+):
+    """Builds (rollout_rewards, elite_moments) for the fused CEM iteration.
+
+    rollout_rewards(dp, s0 [A,S], mean [A,H,U], std [A,H,U], seed) -> rewards [P, A]
+    elite_moments(mean, std, seed, mask [P, A]) -> (sums [A, H*U], sumsq [A, H*U])
+
+    Constraints: deterministic MLP ensemble with mean propagation; rows are laid out
+    population-major (row = p * A + a), matching the flattened evaluator convention.
+    """
+    if config.ensemble_size > 1 and config.propagation != "mean":
+        raise ValueError("fused CEM supports propagation='mean'")
+    if getattr(config, "probabilistic", False):
+        raise ValueError("fused CEM supports deterministic heads only")
+    dim_s, dim_u = config.dim_s, config.dim_u
+    hidden = tuple(config.hidden)
+    n_layers = len(hidden) + 1
+    ensemble = config.ensemble_size
+    act = {"tanh": jnp.tanh, "relu": jax.nn.relu, "gelu": jax.nn.gelu}[config.activation]
+    compute_dtype = jnp.dtype(config.compute_dtype)
+    n_flat = horizon * dim_u
+    rows = population * agents
+    padded_rows = _round_up(rows, tile)
+    n_tiles = padded_rows // tile
+    # Use the TPU-semantics interpreter for CPU testing (matches Mosaic op behavior).
+    interpret_mode = pltpu.InterpretParams() if interpret else False
+
+    def _row_stats(mean_ref, std_ref, tile_id):
+        """Per-row mean/std [T, n_flat] for a tile via one-hot agent matmul (row = p*A + a)."""
+        row_ids = tile_id * tile + jax.lax.broadcasted_iota(jnp.int32, (tile, 1), 0)[:, 0]
+        agent_ids = jax.lax.rem(row_ids, agents)
+        onehot = (agent_ids[:, None] == jax.lax.broadcasted_iota(jnp.int32, (tile, agents), 1)
+                  ).astype(jnp.float32)
+        mean_rows = jnp.dot(onehot, mean_ref[:], preferred_element_type=jnp.float32)
+        std_rows = jnp.dot(onehot, std_ref[:], preferred_element_type=jnp.float32)
+        return mean_rows, std_rows, onehot
+
+    # ---------------- Kernel A: sample + rollout -> rewards ----------------
+
+    def kernel_a(seed_ref, s0_ref, mean_ref, std_ref, stats_ref, *wb_refs):
+        out_ref = wb_refs[-1]
+        weight_refs = wb_refs[:-1]
+        tile_id = pl.program_id(0)
+        z = _sample_tile(seed_ref, tile_id, tile, n_flat)
+        mean_rows, std_rows, _ = _row_stats(mean_ref, std_ref, tile_id)
+        actions0 = mean_rows + std_rows * z  # [T, H*U]
+
+        nstats = stats_ref[:]
+        mean_s, std_s = nstats[0, :dim_s], nstats[1, :dim_s]
+        mean_a, std_a = nstats[2, :dim_u], nstats[3, :dim_u]
+        mean_t, std_t = nstats[4, :dim_s], nstats[5, :dim_s]
+
+        def net(x):
+            acc = jnp.zeros((x.shape[0], dim_s), jnp.float32)
+            for e in range(ensemble):
+                h = x
+                for layer in range(n_layers):
+                    w = weight_refs[2 * layer][e]
+                    b = weight_refs[2 * layer + 1][e]
+                    h = jnp.dot(h, w.astype(compute_dtype), preferred_element_type=jnp.float32) + b
+                    if layer < n_layers - 1:
+                        h = act(h).astype(compute_dtype)
+                acc = acc + h
+            return acc / ensemble
+
+        def step(t, carry):
+            # The action block rides in the loop carry: step t's actions are the leading
+            # dim_u lanes (offset-0 static slice — Mosaic-legal), then the block rolls left
+            # by dim_u so step t+1's actions come to the front. Avoids unaligned dynamic
+            # lane slices, which Mosaic rejects for dim_u not a multiple of 128.
+            s, total, acts = carry
+            a = acts[:, :dim_u]
+            if config.normalized:
+                xs = (s - mean_s) / (std_s + _EPS)
+                xa = (a - mean_a) / (std_a + _EPS)
+            else:
+                xs, xa = s, a
+            x = jnp.concatenate([xs, xa], axis=-1).astype(compute_dtype)
+            raw = net(x)
+            if config.normalized:
+                raw = raw * (std_t + _EPS) + mean_t
+            ns = s + raw if config.predict_delta else raw
+            return ns, total + reward_fn(s, a, ns), pltpu.roll(acts, n_flat - dim_u, axis=1)
+
+        s0 = s0_ref[:]
+        total0 = jnp.zeros((tile,), jnp.float32)
+        _, total, _ = jax.lax.fori_loop(0, horizon, step, (s0, total0, actions0))
+        out_ref[:, 0] = total
+
+    # ---------------- Kernel B: regenerate + masked elite reduction ----------------
+
+    def kernel_b(seed_ref, mean_ref, std_ref, mask_ref, sum_ref, sumsq_ref):
+        tile_id = pl.program_id(0)
+        z = _sample_tile(seed_ref, tile_id, tile, n_flat)
+        mean_rows, std_rows, onehot = _row_stats(mean_ref, std_ref, tile_id)
+        samples = mean_rows + std_rows * z  # [T, H*U]
+        # mask_ref is [T, 1]: row r's elite membership (for its own agent); the one-hot
+        # restricts the reduction to the owning agent's column.
+        mask = mask_ref[:] * onehot  # [T, A]
+        part_sum = jnp.dot(mask.T, samples, preferred_element_type=jnp.float32)
+        part_sq = jnp.dot(mask.T, samples * samples, preferred_element_type=jnp.float32)
+
+        @pl.when(tile_id == 0)
+        def _():
+            sum_ref[:] = jnp.zeros_like(sum_ref)
+            sumsq_ref[:] = jnp.zeros_like(sumsq_ref)
+
+        sum_ref[:] += part_sum
+        sumsq_ref[:] += part_sq
+
+    def rollout_rewards(dp: DynamicsParams, s0, mean, std, seed):
+        # s0 [A,S] tiled to rows; mean/std [A,H,U] -> [A, H*U]
+        s0_rows = jnp.tile(s0.astype(jnp.float32), (population, 1))
+        if padded_rows != rows:
+            s0_rows = jnp.pad(s0_rows, ((0, padded_rows - rows), (0, 0)))
+        mean_f = mean.reshape(agents, n_flat).astype(jnp.float32)
+        std_f = std.reshape(agents, n_flat).astype(jnp.float32)
+        width = max(dim_s, dim_u)
+
+        def row(v):
+            return jnp.pad(v.astype(jnp.float32), (0, width - v.shape[0]))
+
+        st = dp.stats
+        nstats = jnp.stack([
+            row(st.mean_states), row(st.std_states), row(st.mean_actions),
+            row(st.std_actions), row(st.mean_targets), row(st.std_targets),
+        ])
+        params = dp.params
+        if ensemble == 1:
+            params = jax.tree_util.tree_map(lambda x: x[None], params)
+        weight_args = []
+        for layer in params:
+            weight_args.append(layer["w"].astype(compute_dtype))
+            weight_args.append(layer["b"].astype(jnp.float32))
+        seed_arr = jnp.asarray([seed], jnp.int32)
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(n_tiles,),
+            in_specs=[
+                pl.BlockSpec((tile, dim_s), lambda i, *_: (i, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec(memory_space=pltpu.VMEM),  # mean
+                pl.BlockSpec(memory_space=pltpu.VMEM),  # std
+                pl.BlockSpec(memory_space=pltpu.VMEM),  # norm stats
+            ]
+            + [pl.BlockSpec(memory_space=pltpu.VMEM) for _ in weight_args],
+            out_specs=pl.BlockSpec((tile, 1), lambda i, *_: (i, 0), memory_space=pltpu.VMEM),
+        )
+        total = pl.pallas_call(
+            kernel_a,
+            out_shape=jax.ShapeDtypeStruct((padded_rows, 1), jnp.float32),
+            grid_spec=grid_spec,
+            interpret=interpret_mode,
+        )(seed_arr, s0_rows, mean_f, std_f, nstats, *weight_args)
+        return total[:rows, 0].reshape(population, agents)
+
+    def elite_moments(mean, std, seed, mask):
+        """mask: [P, A] elite membership. Row r = p*A + a owns exactly mask[p, a] =
+        mask.reshape(rows)[r], so the kernel needs only the flat per-row column."""
+        mean_f = mean.reshape(agents, n_flat).astype(jnp.float32)
+        std_f = std.reshape(agents, n_flat).astype(jnp.float32)
+        mask_rows = mask.astype(jnp.float32).reshape(rows, 1)
+        if padded_rows != rows:
+            mask_rows = jnp.pad(mask_rows, ((0, padded_rows - rows), (0, 0)))
+        seed_arr = jnp.asarray([seed], jnp.int32)
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(n_tiles,),
+            in_specs=[
+                pl.BlockSpec(memory_space=pltpu.VMEM),  # mean
+                pl.BlockSpec(memory_space=pltpu.VMEM),  # std
+                pl.BlockSpec((tile, 1), lambda i, *_: (i, 0), memory_space=pltpu.VMEM),
+            ],
+            out_specs=(
+                pl.BlockSpec(memory_space=pltpu.VMEM),
+                pl.BlockSpec(memory_space=pltpu.VMEM),
+            ),
+        )
+        sums, sumsq = pl.pallas_call(
+            kernel_b,
+            out_shape=(
+                jax.ShapeDtypeStruct((agents, n_flat), jnp.float32),
+                jax.ShapeDtypeStruct((agents, n_flat), jnp.float32),
+            ),
+            grid_spec=grid_spec,
+            interpret=interpret_mode,
+        )(seed_arr, mean_f, std_f, mask_rows)
+        return sums, sumsq
+
+    return rollout_rewards, elite_moments
+
+
+def make_fused_cem(
+    config: CEMConfig,
+    bounds: Bounds,
+    dyn_config: LearnedDynamicsConfig,
+    dp: DynamicsParams,
+    reward_fn: Callable,
+    *,
+    tile: int = 256,
+    interpret: bool = False,
+) -> Solver:
+    """CEM solver over the fused kernels (same update rules/state as solvers.cem).
+
+    ``dp`` may be a traced value (construct the solver inside the jitted step, as MPCPolicy
+    does) so freshly trained params flow in without recompilation.
+    """
+    horizon, agents, pop, k = (
+        config.planning_horizon, config.num_agents, config.population, config.num_elite,
+    )
+    alpha = config.alpha
+    rollout_rewards, elite_moments = make_fused_cem_kernels(
+        dyn_config, reward_fn,
+        horizon=horizon, agents=agents, population=pop, tile=tile, interpret=interpret,
+    )
+
+    def init(key: jax.Array) -> CEMState:
+        del key
+        return CEMState(
+            mean=base.init_solution_mean(bounds, horizon, agents),
+            variance=base.init_solution_variance(bounds, horizon, agents),
+        )
+
+    def solve(state: CEMState, obs: jax.Array, t: jax.Array, key: jax.Array):
+        del t
+
+        def iteration(_, carry):
+            mean, var, key, _ = carry
+            key, seed_key = jax.random.split(key)
+            seed = jax.random.randint(seed_key, (), 0, jnp.iinfo(jnp.int32).max)
+            constrained = base.constrain_variance(mean, var, bounds)
+            std = jnp.sqrt(constrained)
+            rewards = rollout_rewards(dp, obs, mean, std, seed)  # [P, A]
+            rewards = jnp.where(jnp.isnan(rewards), jnp.float32(-1e6), rewards)
+            elite_vals, elite_idx = jax.lax.top_k(rewards.T, k)  # [A, k]
+            mask = jnp.zeros((pop, agents), jnp.float32).at[
+                elite_idx.T, jnp.arange(agents)[None, :]
+            ].set(1.0)
+            sums, sumsq = elite_moments(mean, std, seed, mask)
+            new_mean = (sums / k).reshape(agents, horizon, bounds.dim)
+            new_var = (sumsq / k).reshape(agents, horizon, bounds.dim) - jnp.square(new_mean)
+            new_var = jnp.maximum(new_var, 0.0)
+            mean = alpha * mean + (1.0 - alpha) * new_mean
+            var = alpha * var + (1.0 - alpha) * new_var
+            return mean, var, key, jnp.mean(elite_vals, axis=1)
+
+        best0 = jnp.full((agents,), -jnp.inf, dtype=state.mean.dtype)
+        mean, var, _, elite_reward = jax.lax.fori_loop(
+            0, config.max_iterations, iteration, (state.mean, state.variance, key, best0)
+        )
+        action = mean[:, 0]
+        if config.warm_start:
+            next_state = CEMState(mean=base.shift_time(mean), variance=state.variance)
+        else:
+            next_state = state
+        return action, next_state, SolverAux(expected_reward=elite_reward, plan=mean)
+
+    def reset(state: CEMState, key: jax.Array) -> CEMState:
+        del state
+        return init(key)
+
+    return Solver(init=init, solve=solve, reset=reset, name="CEM-Fused")

@@ -17,7 +17,6 @@ jnp-expressible ``reward_fn(s, a, ns) -> r``.
 """
 from __future__ import annotations
 
-import math
 from functools import partial
 from typing import Callable
 

@@ -74,6 +74,11 @@ class MPCPolicy(ModelBasedPolicy):
             raise ValueError(f"rollout_backend must be 'xla' or 'pallas', got {rollout_backend!r}")
         if rollout_backend == "pallas" and dynamics_handler.is_true_model:
             raise ValueError("rollout_backend='pallas' requires learned MLP dynamics")
+        if rollout_backend == "pallas" and mesh is not None:
+            raise ValueError(
+                "rollout_backend='pallas' and mesh= are mutually exclusive for now "
+                "(the fused kernel is single-chip; shard with the XLA backend)"
+            )
         self._rollout_backend = rollout_backend
         self._key = jax.random.PRNGKey(seed)
         self._solver_kwargs = dict(solver_kwargs)

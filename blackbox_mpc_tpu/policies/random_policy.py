@@ -6,7 +6,6 @@ Fixes the reference's swapped bounds quirk (``random_policy.py:20-23`` assigns
 """
 from __future__ import annotations
 
-import jax
 import numpy as np
 
 from blackbox_mpc_tpu.core.spaces import BoxSpace, as_box_space

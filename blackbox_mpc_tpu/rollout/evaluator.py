@@ -10,7 +10,6 @@ execution (see :mod:`blackbox_mpc_tpu.parallel`).
 """
 from __future__ import annotations
 
-from typing import Callable, Optional
 
 import jax
 import jax.numpy as jnp

@@ -9,7 +9,7 @@ live in sibling modules, each exporting ``make_<name>(config, bounds, evaluate) 
 from __future__ import annotations
 
 import dataclasses
-from typing import Optional, Tuple
+from typing import Tuple
 
 import jax
 import jax.numpy as jnp

@@ -4,10 +4,12 @@ All tutorials run on CPU by default (fast anywhere, supports the virtual multi-d
 pass ``--tpu`` to run on the attached TPU instead.
 """
 import argparse
+import logging
 import os
 
 
 def setup(description: str, **extra_args) -> argparse.Namespace:
+    logging.basicConfig(level=logging.INFO, format="%(levelname)s %(name)s: %(message)s")
     parser = argparse.ArgumentParser(description=description)
     parser.add_argument("--tpu", action="store_true", help="run on TPU (default: CPU)")
     parser.add_argument("--seed", type=int, default=0)
