@@ -26,7 +26,7 @@ from blackbox_mpc_tpu.core.spaces import BoxSpace, as_box_space
 
 __all__ = ["ShmVecEnv", "make_shm_vec_env"]
 
-_IDLE, _STEP, _RESET, _CLOSE, _DONE, _ERROR = 0, 1, 2, 3, 100, 101
+_STEP, _RESET, _DONE, _ERROR = 1, 2, 100, 101  # worker status protocol
 _STATUS_BYTES = 64  # one cache line per status word
 
 
@@ -75,8 +75,7 @@ class _Layout:
                           offset=start)
 
 
-def _worker_entry(shm_name, rank, num_envs, dim_s, dim_u, env_fn, seed, close_flag_name):
-    # CLOSE is delivered by a separate tiny shm flag so the main wait loop stays two-valued.
+def _worker_entry(shm_name, rank, num_envs, dim_s, dim_u, env_fn, seed):
     lib = _load_lib()
     shm = shared_memory.SharedMemory(name=shm_name)
     layout = _Layout(num_envs, dim_s, dim_u)
@@ -153,7 +152,7 @@ class ShmVecEnv:
             p = ctx.Process(
                 target=_worker_entry,
                 args=(self._shm.name, rank, self.num_envs, dim_s, dim_u, fn,
-                      base_seed + rank, None),
+                      base_seed + rank),
                 daemon=True,
             )
             p.start()

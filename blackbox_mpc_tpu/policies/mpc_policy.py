@@ -202,7 +202,7 @@ class MPCPolicy(ModelBasedPolicy):
         return action[0], next_obs[0], pred_reward[0]
 
     def plan(self, observations, t: int = 0):
-        """Full refined plan [A, H, U] (+ expected reward) without advancing PRNG state policy."""
+        """Runs a solve and returns the full refined plan [A, H, U] + expected reward [A]."""
         obs = np.asarray(observations, dtype=np.float32)
         if obs.ndim == 1:
             obs = np.tile(obs[None], (self._num_agents, 1))

@@ -1,10 +1,12 @@
 """Rollout collection: run a policy against a vectorized environment.
 
 Counterpart of ``perform_rollouts`` / ``_sample``
-(``/root/reference/blackbox_mpc/utils/rollouts.py:10-139``). Additions over the reference:
-async overlap of ``env.step`` with the next solve when the env supports
-``step_async``/``step_wait``, and structured latency/throughput metrics (p50 act latency is the
-framework's headline number; the reference only logs a mean, ``rollouts.py:133``).
+(``/root/reference/blackbox_mpc/utils/rollouts.py:10-139``). Addition over the reference:
+structured latency/throughput metrics (p50 act latency is the framework's headline number; the
+reference only logs a mean, ``rollouts.py:133``). The MPC control loop is inherently sequential
+(the next solve needs the stepped observation), so this runner steps synchronously; the envs'
+``step_async``/``step_wait`` split exists for pipelines that can overlap (e.g. off-policy
+collection).
 """
 from __future__ import annotations
 
