@@ -90,13 +90,6 @@ class Bounds:
     def clip(self, x: jax.Array) -> jax.Array:
         return jnp.clip(x, self.lower, self.upper)
 
-    def tile_horizon(self, horizon: int) -> "Bounds":
-        """Bounds broadcast over a planning horizon: [U] -> [H, U]."""
-        return Bounds(
-            lower=jnp.broadcast_to(self.lower, (horizon,) + self.lower.shape),
-            upper=jnp.broadcast_to(self.upper, (horizon,) + self.upper.shape),
-        )
-
 
 class SolverAux(NamedTuple):
     """Diagnostics returned by one solve call."""

@@ -65,9 +65,10 @@ class NativePendulumVecEnv:
         th, thdot = self._th, self._thdot
         cost = _angle_normalize(th) ** 2 + 0.1 * thdot**2 + 0.001 * u**2
         newthdot = thdot + (-3 * _G / (2 * _L) * np.sin(th + np.pi) + 3.0 / (_M * _L**2) * u) * _DT
-        newth = th + newthdot * _DT
-        self._th = newth
-        self._thdot = np.clip(newthdot, -_MAX_SPEED, _MAX_SPEED)
+        # gymnasium clips the angular velocity BEFORE integrating theta
+        newthdot = np.clip(newthdot, -_MAX_SPEED, _MAX_SPEED)
+        self._th = th + newthdot * _DT
+        self._thdot = newthdot
         self._t += 1
         done = np.full(self.num_envs, self._t >= self._max_steps)
         return self._obs(), (-cost).astype(np.float32), done, [{}] * self.num_envs

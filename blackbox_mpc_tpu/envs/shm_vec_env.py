@@ -131,6 +131,8 @@ class ShmVecEnv:
         dim_u: int,
         base_seed: int = 0,
         step_timeout_s: float = 60.0,
+        action_space: Optional[BoxSpace] = None,
+        observation_space: Optional[BoxSpace] = None,
     ):
         self.num_envs = len(env_fns)
         self._base_seed = base_seed
@@ -158,10 +160,14 @@ class ShmVecEnv:
             p.start()
             self._procs.append(p)
         self._wait_all(_DONE)  # ready handshake
-        probe_env = env_fns[0]()
-        self.action_space = as_box_space(probe_env.action_space)
-        self.observation_space = as_box_space(probe_env.observation_space)
-        probe_env.close()
+        if action_space is None or observation_space is None:
+            # Fallback probe; callers with heavy envs should pass the spaces explicitly.
+            probe_env = env_fns[0]()
+            action_space = as_box_space(probe_env.action_space)
+            observation_space = as_box_space(probe_env.observation_space)
+            probe_env.close()
+        self.action_space = action_space
+        self.observation_space = observation_space
         self._dim_s, self._dim_u = dim_s, dim_u
 
     def _status_ptr(self, rank: int) -> int:
@@ -250,8 +256,8 @@ def make_shm_vec_env(env_id: str, num_envs: int = 1, base_seed: int = 0, **env_k
     import gymnasium
 
     probe = gymnasium.make(env_id, **env_kwargs)
-    dim_s = int(np.prod(probe.observation_space.shape))
-    dim_u = int(np.prod(probe.action_space.shape))
+    action_space = as_box_space(probe.action_space)
+    observation_space = as_box_space(probe.observation_space)
     probe.close()
 
     def env_fn():
@@ -259,4 +265,11 @@ def make_shm_vec_env(env_id: str, num_envs: int = 1, base_seed: int = 0, **env_k
 
         return gymnasium.make(env_id, **env_kwargs)
 
-    return ShmVecEnv([env_fn] * num_envs, dim_s=dim_s, dim_u=dim_u, base_seed=base_seed)
+    return ShmVecEnv(
+        [env_fn] * num_envs,
+        dim_s=observation_space.dim,
+        dim_u=action_space.dim,
+        base_seed=base_seed,
+        action_space=action_space,
+        observation_space=observation_space,
+    )

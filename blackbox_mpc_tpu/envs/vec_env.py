@@ -121,7 +121,9 @@ class GymVecEnv:
         self._pipes[rank].send(("reset", self._base_seed + rank))
         return self._recv(rank, allow_restart=False)
 
-    def _recv(self, i: int, allow_restart: bool = True):
+    def _recv(self, i: int, allow_restart: bool = False):
+        """``allow_restart`` is only passed by the step path: the restart recovery returns a
+        step-shaped (obs, reward, done, info) tuple, which reset()/handshake must not see."""
         try:
             status, payload = self._pipes[i].recv()
         except (EOFError, ConnectionResetError) as e:
@@ -172,7 +174,7 @@ class GymVecEnv:
             raise RuntimeError("step_wait called without step_async")
         self._pending = False
         if self._mode == "subprocess":
-            results = [self._recv(i) for i in range(self.num_envs)]
+            results = [self._recv(i, allow_restart=True) for i in range(self.num_envs)]
             obs, rew, done, infos = zip(*results)
         elif self._mode == "thread":
             out = [f.result() for f in self._futures]

@@ -43,8 +43,11 @@ def angle_normalize(x: jax.Array) -> jax.Array:
 def pendulum_dynamics(state: jax.Array, action: jax.Array) -> jax.Array:
     """Closed-form pendulum step. state=[B,3]([cos th, sin th, thdot]), action=[B,1] -> [B,3].
 
-    Physics identical to /root/reference/blackbox_mpc/utils/pendulum.py:58-92 (gym Pendulum-v1),
-    but returns the next state directly instead of a delta.
+    Physics of gymnasium Pendulum-v1: the angular velocity is clipped to +/-8 BEFORE theta is
+    integrated. (The reference, /root/reference/blackbox_mpc/utils/pendulum.py:58-92, follows
+    the older gym-v0 order — integrate with the unclipped velocity, then clip — which drifts
+    from the env it controls whenever |thdot| saturates; this build matches the env.) Returns
+    the next state directly instead of a delta.
     """
     cos_th = state[..., 0]
     sin_th = state[..., 1]
@@ -54,8 +57,8 @@ def pendulum_dynamics(state: jax.Array, action: jax.Array) -> jax.Array:
     newthdot = thdot + (
         -3.0 * _G / (2.0 * _L) * jnp.sin(th + _PI) + 3.0 / (_M * _L**2) * u
     ) * _DT
-    newth = th + newthdot * _DT
     newthdot = jnp.clip(newthdot, -_MAX_SPEED, _MAX_SPEED)
+    newth = th + newthdot * _DT
     return jnp.stack([jnp.cos(newth), jnp.sin(newth), newthdot], axis=-1)
 
 

@@ -15,8 +15,9 @@ backend-portable, no hardware PRNG state):
   ``mask^T @ samples`` on the MXU — the elite gather becomes a [T, A] x [T, HU] contraction,
   no candidate ever touching HBM.
 
-``make_fused_cem`` wraps both into a CEM solver (registry name ``"CEM-Fused"``) with the same
-update rules/state as :mod:`blackbox_mpc_tpu.solvers.cem`.
+``make_fused_cem`` wraps both into a CEM solver with the same update rules/state as
+:mod:`blackbox_mpc_tpu.solvers.cem`. It is not in ``SOLVER_REGISTRY`` (its factory needs the
+dynamics config + params, not an evaluator); construct it directly inside a jitted step.
 """
 from __future__ import annotations
 

@@ -93,10 +93,17 @@ class MPCPolicy(ModelBasedPolicy):
                 f"unknown solver {solver_name!r}; available: {sorted(SOLVER_REGISTRY)}"
             )
         config_cls, factory = SOLVER_REGISTRY[solver_name]
+        # Keep only kwargs the target solver's config understands — switching solver
+        # families would otherwise crash on leftover kwargs (e.g. CEM's num_elite -> PI2).
+        valid = set(config_cls.__dataclass_fields__)
+        kept = {k: v for k, v in self._solver_kwargs.items() if k in valid}
+        dropped = set(self._solver_kwargs) - set(kept)
+        if dropped:
+            logger.info("%s ignores solver kwargs %s", solver_name, sorted(dropped))
         config = config_cls(
             planning_horizon=self._planning_horizon,
             num_agents=self._num_agents,
-            **self._solver_kwargs,
+            **kept,
         )
         if getattr(config, "num_elite", 0) > config.population:
             raise ValueError(
@@ -207,7 +214,9 @@ class MPCPolicy(ModelBasedPolicy):
         if obs.ndim == 1:
             obs = np.tile(obs[None], (self._num_agents, 1))
         self._key, step_key = jax.random.split(self._key)
-        _, self._solver_state, aux, _, _ = self._step(
+        # Read-only query: the updated solver state is discarded so inspecting the plan
+        # does not warm-start-shift or otherwise advance the controller.
+        _, _discarded_state, aux, _, _ = self._step(
             self._solver_state,
             self._handler.dynamics_params,
             jnp.asarray(obs),

@@ -17,12 +17,22 @@ __all__ = ["learn_dynamics_from_policy", "rollouts_to_episodes"]
 
 
 def rollouts_to_episodes(result: RolloutResult):
-    """Splits [T+1, E, S] / [T, E, U] stacks into per-(episode, env) sequences."""
+    """Splits [T+1, E, S] / [T, E, U] stacks into per-(episode, env) sequences.
+
+    Each env's sequence is truncated at its first ``done``: the loop only stops when ALL envs
+    are done, so post-terminal transitions of early-finishing envs must not reach dynamics
+    training (gymnasium's post-terminal steps are undefined).
+    """
     observations, actions = [], []
-    for ep_obs, ep_act in zip(result["observations"], result["actions"]):
+    dones = result.get("dones")
+    for idx, (ep_obs, ep_act) in enumerate(zip(result["observations"], result["actions"])):
+        ep_done = dones[idx] if dones else None
         for e in range(ep_obs.shape[1]):
-            observations.append(ep_obs[:, e])
-            actions.append(ep_act[:, e])
+            t_end = ep_act.shape[0]
+            if ep_done is not None and ep_done[:, e].any():
+                t_end = int(np.argmax(ep_done[:, e])) + 1  # include the terminal transition
+            observations.append(ep_obs[: t_end + 1, e])
+            actions.append(ep_act[:t_end, e])
     return observations, actions
 
 

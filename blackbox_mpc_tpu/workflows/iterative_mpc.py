@@ -62,7 +62,11 @@ def learn_dynamics_iteratively_w_mpc(
         if os.path.exists(state_path):
             with open(state_path) as f:
                 loop_state = json.load(f)
-            handler = DynamicsHandler.load(os.path.join(checkpoint_dir, "handler"))
+            handler = DynamicsHandler.load(
+                os.path.join(checkpoint_dir, "handler"),
+                learning_rate=learning_rate,
+                metrics_writer=metrics_writer,
+            )
             start_refinement = int(loop_state["completed_refinements"])
             number_of_initial_rollouts = 0
             logger.info("resumed MBRL loop at refinement %d", start_refinement)

@@ -24,9 +24,14 @@ __all__ = ["perform_rollouts", "RolloutResult"]
 
 
 class RolloutResult(dict):
-    """Dict with attribute access: observations, actions, rewards, reward_sum, latency."""
+    """Dict with attribute access: observations, actions, rewards, dones, reward_sum, latency."""
 
-    __getattr__ = dict.__getitem__
+    def __getattr__(self, name):
+        try:
+            return self[name]
+        except KeyError:
+            # AttributeError (not KeyError) so hasattr/copy/pickle protocols behave.
+            raise AttributeError(name) from None
 
 
 def perform_rollouts(
@@ -48,6 +53,7 @@ def perform_rollouts(
     all_obs: List[np.ndarray] = []
     all_actions: List[np.ndarray] = []
     all_rewards: List[np.ndarray] = []
+    all_dones: List[np.ndarray] = []
     timer = LatencyTimer()
     step_counter = start_step
     model_based = isinstance(policy, ModelBasedPolicy)
@@ -55,7 +61,7 @@ def perform_rollouts(
     for episode in range(number_of_rollouts):
         policy.reset()
         obs = env.reset()
-        ep_obs, ep_actions, ep_rewards = [obs], [], []
+        ep_obs, ep_actions, ep_rewards, ep_dones = [obs], [], [], []
         predicted_rewards = []
         for t in range(rollout_horizon):
             timer.start()
@@ -71,6 +77,7 @@ def perform_rollouts(
             ep_obs.append(obs)
             ep_actions.append(np.asarray(action))
             ep_rewards.append(reward)
+            ep_dones.append(np.asarray(done))
             if metrics_writer is not None:
                 step_counter += 1
                 metrics_writer.scalar(
@@ -87,6 +94,7 @@ def perform_rollouts(
         all_obs.append(np.stack(ep_obs))
         all_actions.append(np.stack(ep_actions))
         all_rewards.append(np.stack(ep_rewards))
+        all_dones.append(np.stack(ep_dones))
         ep_sum = float(np.stack(ep_rewards).sum(axis=0).mean())
         if metrics_writer is not None:
             metrics_writer.scalar("rewards/actual_episode_reward", ep_sum, episode)
@@ -102,6 +110,7 @@ def perform_rollouts(
         observations=all_obs,
         actions=all_actions,
         rewards=all_rewards,
+        dones=all_dones,
         reward_sum=[float(r.sum(axis=0).mean()) for r in all_rewards],
         latency=latency,
     )

@@ -39,7 +39,7 @@ def test_cem_colored_noise_swings_up():
     state = s.init(key)
     solve = jax.jit(s.solve)
     obs = jnp.asarray([[-1.0, 0.0, 0.0]])
-    for t in range(80):
+    for t in range(100):
         key, sub = jax.random.split(key)
         action, state, _ = solve(state, obs, jnp.asarray(t), sub)
         obs = pendulum_dynamics(obs, action)

@@ -12,8 +12,8 @@ def numpy_pendulum_step(state, u):
     th = np.arctan2(state[1], state[0])
     thdot = state[2]
     newthdot = thdot + (-3 * g / (2 * l) * np.sin(th + np.pi) + 3.0 / (m * l**2) * u) * dt
+    newthdot = np.clip(newthdot, -8.0, 8.0)  # gymnasium clips before integrating theta
     newth = th + newthdot * dt
-    newthdot = np.clip(newthdot, -8.0, 8.0)
     return np.array([np.cos(newth), np.sin(newth), newthdot])
 
 
