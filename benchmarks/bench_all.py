@@ -1,0 +1,85 @@
+"""Runs the full benchmark suite and writes one consolidated JSON report.
+
+  python benchmarks/bench_all.py [--out report.json] [--quick]
+
+Covers: flagship solves/s (bench.py methodology), multi-agent vectorized MPC, big-population
+solve, control-loop rollouts/s, env-transport comparison. Each section is independently
+fault-isolated — a failing section records its error instead of killing the run.
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import subprocess
+import sys
+import time
+
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def run_json(cmd, timeout=1800, env=None):
+    """Runs a command, returns the last JSON line of its stdout."""
+    full_env = dict(os.environ)
+    if env:
+        full_env.update(env)
+    proc = subprocess.run(
+        cmd, capture_output=True, text=True, timeout=timeout, cwd=ROOT, env=full_env
+    )
+    for line in reversed(proc.stdout.strip().splitlines()):
+        line = line.strip()
+        if line.startswith("{"):
+            return json.loads(line)
+    raise RuntimeError(f"no JSON output from {cmd}: {proc.stdout[-500:]} {proc.stderr[-500:]}")
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--out", default=None)
+    p.add_argument("--quick", action="store_true", help="smaller workloads / fewer repeats")
+    args = p.parse_args()
+    py = sys.executable
+    report = {"timestamp": time.strftime("%Y-%m-%dT%H:%M:%S"), "sections": {}}
+
+    sections = {
+        "flagship": ([py, "bench.py"], {"BENCH_REPEATS": "2" if args.quick else "4"}),
+        "multi_agent": (
+            [py, "benchmarks/scaling.py", "--config", "multi_agent",
+             "--agents", "64" if args.quick else "256", "--population", "1000",
+             "--chain", "4", "--repeats", "2"],
+            None,
+        ),
+        "big_population": (
+            [py, "benchmarks/scaling.py", "--config", "multi_agent", "--agents", "1",
+             "--population", "20000" if args.quick else "100000",
+             "--chain", "4", "--repeats", "2", "--hidden", "200", "200"],
+            None,
+        ),
+        "rollouts_cpu": (
+            [py, "benchmarks/rollouts_bench.py", "--cpu", "--envs", "8",
+             "--backend", "native", "--steps", "50" if args.quick else "100"],
+            None,
+        ),
+        "rollouts_accel": (
+            [py, "benchmarks/rollouts_bench.py", "--envs", "8", "--backend", "native",
+             "--steps", "50" if args.quick else "100"],
+            None,
+        ),
+    }
+    for name, (cmd, env) in sections.items():
+        t0 = time.time()
+        try:
+            report["sections"][name] = run_json(cmd, env=env)
+        except Exception as e:  # noqa: BLE001
+            report["sections"][name] = {"error": str(e)[:400]}
+        report["sections"][name]["wall_s"] = round(time.time() - t0, 1)
+        print(f"[{name}] {json.dumps(report['sections'][name])[:200]}", flush=True)
+
+    out = args.out or os.path.join(ROOT, "benchmarks", "bench_all_report.json")
+    with open(out, "w") as f:
+        json.dump(report, f, indent=2)
+    print(json.dumps({"report": out, "sections": list(report["sections"])}))
+
+
+if __name__ == "__main__":
+    main()

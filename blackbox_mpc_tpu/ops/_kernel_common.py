@@ -1,0 +1,100 @@
+"""Shared in-kernel pieces for the Pallas rollout kernels.
+
+Both :mod:`~blackbox_mpc_tpu.ops.pallas_rollout` (evaluate pre-materialized actions) and
+:mod:`~blackbox_mpc_tpu.ops.pallas_cem` (generate candidates in-kernel) run the same inner
+chain per horizon step: normalize -> ensemble-MLP (VMEM-resident weights) -> denormalize ->
+delta -> reward. This module holds that chain once.
+"""
+from __future__ import annotations
+
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+
+from blackbox_mpc_tpu.models.dynamics import DynamicsParams, LearnedDynamicsConfig
+
+_EPS = 1e-7  # must match models/normalizer.py
+
+_ACTS = {"tanh": jnp.tanh, "relu": jax.nn.relu, "gelu": jax.nn.gelu}
+
+
+def check_kernel_support(config: LearnedDynamicsConfig, what: str) -> None:
+    if config.ensemble_size > 1 and config.propagation != "mean":
+        raise ValueError(f"{what} supports propagation='mean' (or ensemble_size=1)")
+    if getattr(config, "probabilistic", False):
+        raise ValueError(f"{what} supports deterministic heads only (probabilistic=False)")
+    if config.activation not in _ACTS:
+        raise ValueError(f"unsupported activation for {what}: {config.activation}")
+
+
+def build_step_fn(config: LearnedDynamicsConfig, reward_fn: Callable, stats, weight_refs):
+    """Returns ``step(s [T,S], a [T,U]) -> (next_state, reward)`` for use inside a kernel.
+
+    ``stats`` is the [6, max(S,U)] normalizer matrix value; ``weight_refs`` the per-layer
+    (w, b) refs with a leading ensemble axis.
+    """
+    dim_s, dim_u = config.dim_s, config.dim_u
+    n_layers = len(config.hidden) + 1
+    ensemble = config.ensemble_size
+    act = _ACTS[config.activation]
+    compute_dtype = jnp.dtype(config.compute_dtype)
+    mean_s, std_s = stats[0, :dim_s], stats[1, :dim_s]
+    mean_a, std_a = stats[2, :dim_u], stats[3, :dim_u]
+    mean_t, std_t = stats[4, :dim_s], stats[5, :dim_s]
+
+    def net(x):
+        acc = jnp.zeros((x.shape[0], dim_s), jnp.float32)
+        for e in range(ensemble):
+            h = x
+            for layer in range(n_layers):
+                w = weight_refs[2 * layer][e]
+                b = weight_refs[2 * layer + 1][e]
+                h = jnp.dot(h, w.astype(compute_dtype), preferred_element_type=jnp.float32) + b
+                if layer < n_layers - 1:
+                    h = act(h).astype(compute_dtype)
+            acc = acc + h
+        return acc / ensemble
+
+    def step(s, a):
+        if config.normalized:
+            xs = (s - mean_s) / (std_s + _EPS)
+            xa = (a - mean_a) / (std_a + _EPS)
+        else:
+            xs, xa = s, a
+        x = jnp.concatenate([xs, xa], axis=-1).astype(compute_dtype)
+        raw = net(x)
+        if config.normalized:
+            raw = raw * (std_t + _EPS) + mean_t
+        ns = s + raw if config.predict_delta else raw
+        return ns, reward_fn(s, a, ns)
+
+    return step
+
+
+def stats_matrix(dp: DynamicsParams, dim_s: int, dim_u: int) -> jax.Array:
+    """Packs normalizer stats into the [6, max(S,U)] kernel input layout."""
+    width = max(dim_s, dim_u)
+
+    def row(v):
+        return jnp.pad(v.astype(jnp.float32), (0, width - v.shape[0]))
+
+    st = dp.stats
+    return jnp.stack(
+        [
+            row(st.mean_states), row(st.std_states), row(st.mean_actions),
+            row(st.std_actions), row(st.mean_targets), row(st.std_targets),
+        ]
+    )
+
+
+def weight_operands(dp: DynamicsParams, ensemble: int, compute_dtype):
+    """Per-layer (w, b) kernel operands, stacked with a leading ensemble axis."""
+    params = dp.params
+    if ensemble == 1:
+        params = jax.tree_util.tree_map(lambda x: x[None], params)
+    out = []
+    for layer in params:
+        out.append(layer["w"].astype(compute_dtype))
+        out.append(layer["b"].astype(jnp.float32))
+    return out

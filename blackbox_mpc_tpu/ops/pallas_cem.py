@@ -31,6 +31,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 from blackbox_mpc_tpu.core.types import Bounds, Solver, SolverAux
 from blackbox_mpc_tpu.models.dynamics import DynamicsParams, LearnedDynamicsConfig
+from blackbox_mpc_tpu.ops import _kernel_common as kc
 from blackbox_mpc_tpu.solvers import base
 from blackbox_mpc_tpu.solvers.cem import CEMConfig, CEMState
 
@@ -99,15 +100,9 @@ def make_fused_cem_kernels(
     Constraints: deterministic MLP ensemble with mean propagation; rows are laid out
     population-major (row = p * A + a), matching the flattened evaluator convention.
     """
-    if config.ensemble_size > 1 and config.propagation != "mean":
-        raise ValueError("fused CEM supports propagation='mean'")
-    if getattr(config, "probabilistic", False):
-        raise ValueError("fused CEM supports deterministic heads only")
+    kc.check_kernel_support(config, "fused CEM")
     dim_s, dim_u = config.dim_s, config.dim_u
-    hidden = tuple(config.hidden)
-    n_layers = len(hidden) + 1
     ensemble = config.ensemble_size
-    act = {"tanh": jnp.tanh, "relu": jax.nn.relu, "gelu": jax.nn.gelu}[config.activation]
     compute_dtype = jnp.dtype(config.compute_dtype)
     n_flat = horizon * dim_u
     rows = population * agents
@@ -136,23 +131,7 @@ def make_fused_cem_kernels(
         mean_rows, std_rows, _ = _row_stats(mean_ref, std_ref, tile_id)
         actions0 = mean_rows + std_rows * z  # [T, H*U]
 
-        nstats = stats_ref[:]
-        mean_s, std_s = nstats[0, :dim_s], nstats[1, :dim_s]
-        mean_a, std_a = nstats[2, :dim_u], nstats[3, :dim_u]
-        mean_t, std_t = nstats[4, :dim_s], nstats[5, :dim_s]
-
-        def net(x):
-            acc = jnp.zeros((x.shape[0], dim_s), jnp.float32)
-            for e in range(ensemble):
-                h = x
-                for layer in range(n_layers):
-                    w = weight_refs[2 * layer][e]
-                    b = weight_refs[2 * layer + 1][e]
-                    h = jnp.dot(h, w.astype(compute_dtype), preferred_element_type=jnp.float32) + b
-                    if layer < n_layers - 1:
-                        h = act(h).astype(compute_dtype)
-                acc = acc + h
-            return acc / ensemble
+        step_fn = kc.build_step_fn(config, reward_fn, stats_ref[:], weight_refs)
 
         def step(t, carry):
             # The action block rides in the loop carry: step t's actions are the leading
@@ -160,18 +139,8 @@ def make_fused_cem_kernels(
             # by dim_u so step t+1's actions come to the front. Avoids unaligned dynamic
             # lane slices, which Mosaic rejects for dim_u not a multiple of 128.
             s, total, acts = carry
-            a = acts[:, :dim_u]
-            if config.normalized:
-                xs = (s - mean_s) / (std_s + _EPS)
-                xa = (a - mean_a) / (std_a + _EPS)
-            else:
-                xs, xa = s, a
-            x = jnp.concatenate([xs, xa], axis=-1).astype(compute_dtype)
-            raw = net(x)
-            if config.normalized:
-                raw = raw * (std_t + _EPS) + mean_t
-            ns = s + raw if config.predict_delta else raw
-            return ns, total + reward_fn(s, a, ns), pltpu.roll(acts, n_flat - dim_u, axis=1)
+            ns, r = step_fn(s, acts[:, :dim_u])
+            return ns, total + r, pltpu.roll(acts, n_flat - dim_u, axis=1)
 
         s0 = s0_ref[:]
         total0 = jnp.zeros((tile,), jnp.float32)
@@ -206,23 +175,8 @@ def make_fused_cem_kernels(
             s0_rows = jnp.pad(s0_rows, ((0, padded_rows - rows), (0, 0)))
         mean_f = mean.reshape(agents, n_flat).astype(jnp.float32)
         std_f = std.reshape(agents, n_flat).astype(jnp.float32)
-        width = max(dim_s, dim_u)
-
-        def row(v):
-            return jnp.pad(v.astype(jnp.float32), (0, width - v.shape[0]))
-
-        st = dp.stats
-        nstats = jnp.stack([
-            row(st.mean_states), row(st.std_states), row(st.mean_actions),
-            row(st.std_actions), row(st.mean_targets), row(st.std_targets),
-        ])
-        params = dp.params
-        if ensemble == 1:
-            params = jax.tree_util.tree_map(lambda x: x[None], params)
-        weight_args = []
-        for layer in params:
-            weight_args.append(layer["w"].astype(compute_dtype))
-            weight_args.append(layer["b"].astype(jnp.float32))
+        nstats = kc.stats_matrix(dp, dim_s, dim_u)
+        weight_args = kc.weight_operands(dp, ensemble, compute_dtype)
         seed_arr = jnp.asarray([seed], jnp.int32)
         grid_spec = pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,

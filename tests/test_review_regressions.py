@@ -1,0 +1,86 @@
+"""Regression tests for the round-1 code-review findings (each was a live bug)."""
+import copy
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from blackbox_mpc_tpu import DynamicsHandler, MPCPolicy, RandomPolicy, perform_rollouts
+from blackbox_mpc_tpu.envs import NativePendulumVecEnv
+from blackbox_mpc_tpu.models import pendulum_dynamics, pendulum_reward
+from blackbox_mpc_tpu.workflows.dynamics_learning import rollouts_to_episodes
+
+
+def _policy(solver="CEM", **kw):
+    defaults = dict(planning_horizon=10, population=64, num_elite=8, max_iterations=2)
+    defaults.update(kw)
+    return MPCPolicy(
+        action_space=NativePendulumVecEnv().action_space,
+        reward_function=pendulum_reward,
+        dynamics_handler=DynamicsHandler(true_model=pendulum_dynamics),
+        solver_name=solver,
+        num_agents=1,
+        **defaults,
+    )
+
+
+def test_switch_solver_across_config_families():
+    """CEM's num_elite must not leak into PI2's config (was a TypeError)."""
+    policy = _policy("CEM")
+    policy.act(np.array([-1.0, 0.0, 0.0]), 0)
+    policy.switch_solver("PI2")
+    action, _, _ = policy.act(np.array([-1.0, 0.0, 0.0]), 1)
+    assert action.shape == (1,)
+    policy.switch_solver("SPSA")
+    policy.act(np.array([-1.0, 0.0, 0.0]), 2)
+
+
+def test_plan_does_not_mutate_solver_state():
+    """plan() is a read-only query (was warm-start-shifting PI2/SPSA state)."""
+    policy = _policy("PI2")
+    policy.act(np.array([-1.0, 0.0, 0.0]), 0)
+    before = np.asarray(policy._solver_state.mean).copy()
+    policy.plan(np.array([-1.0, 0.0, 0.0]), 1)
+    np.testing.assert_array_equal(before, np.asarray(policy._solver_state.mean))
+
+
+def test_native_pendulum_matches_gymnasium_at_saturation():
+    """Velocity must clip BEFORE theta integration (gymnasium order; old-gym drifts)."""
+    gymnasium = pytest.importorskip("gymnasium")
+    env_g = gymnasium.make("Pendulum-v1")
+    env_g.reset(seed=0)
+    env_g.unwrapped.state = np.array([np.pi, 7.9])  # near the +-8 thdot clip
+    obs_g = env_g.step(np.array([2.0]))[0]
+    nat = NativePendulumVecEnv(1)
+    nat._th[:] = np.pi
+    nat._thdot[:] = 7.9
+    obs_n = nat.step(np.array([[2.0]]))[0][0]
+    np.testing.assert_allclose(obs_g, obs_n, atol=1e-5)
+    # the analytic model agrees with both
+    model_next = np.asarray(
+        pendulum_dynamics(jnp.asarray(obs_n - obs_n + [np.cos(np.pi), np.sin(np.pi), 7.9])[None],
+                          jnp.asarray([[2.0]]))
+    )[0]
+    np.testing.assert_allclose(model_next, obs_g, atol=1e-5)
+
+
+def test_rollouts_to_episodes_truncates_at_done():
+    """Post-terminal transitions of early-finishing envs must not reach training."""
+    result = {
+        "observations": [np.arange(6 * 2 * 1).reshape(6, 2, 1).astype(np.float32)],
+        "actions": [np.zeros((5, 2, 1), np.float32)],
+        "dones": [np.array([
+            [False, False], [True, False], [False, False], [False, False], [False, True],
+        ])],
+    }
+    obs_eps, act_eps = rollouts_to_episodes(result)
+    assert [o.shape[0] for o in obs_eps] == [3, 6]  # env0 stops at done t=1 (2 actions + s')
+    assert [a.shape[0] for a in act_eps] == [2, 5]
+
+
+def test_rollout_result_attribute_protocols():
+    env = NativePendulumVecEnv(1, max_episode_steps=5)
+    r = perform_rollouts(env, RandomPolicy(env.action_space, 1), 1, 5)
+    assert not hasattr(r, "bogus_attribute")
+    assert copy.deepcopy(r)["reward_sum"] == r["reward_sum"]
+    assert r.dones[0].shape == (5, 1)
