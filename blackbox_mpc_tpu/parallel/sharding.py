@@ -41,20 +41,29 @@ def make_sharded_evaluator(
     *,
     discount: float = 1.0,
     nan_guard: bool = True,
+    shard_axis: str = "population",
 ) -> TrajectoryEvaluator:
-    """A trajectory evaluator whose population axis is sharded over ``mesh``.
+    """A trajectory evaluator sharded over ``mesh``.
 
     Drop-in for :func:`make_trajectory_evaluator`; the input/output constraints are what let
     XLA partition the *producer* (the solver's sampling) and *consumer* (elite selection /
     weighting) around the rollout, keeping each chip's candidates resident in its own HBM.
+
+    ``shard_axis``: ``"population"`` (default) shards candidates — per-agent reductions
+    (top-k, softmax) become small cross-chip collectives. ``"agents"`` shards the agent axis —
+    each chip owns whole agents and the solve needs ZERO collectives (best when
+    num_agents >= num_devices, e.g. vectorized multi-agent control).
     """
+    if shard_axis not in ("population", "agents"):
+        raise ValueError(f"shard_axis must be 'population' or 'agents', got {shard_axis!r}")
+    axis = 0 if shard_axis == "population" else 1
     base = make_trajectory_evaluator(
         dynamics_fn, reward_fn, discount=discount, nan_guard=nan_guard
     )
 
     def evaluate(initial_states: jax.Array, action_sequences: jax.Array) -> jax.Array:
-        action_sequences = shard_population(mesh, action_sequences)
+        action_sequences = shard_population(mesh, action_sequences, axis=axis)
         rewards = base(initial_states, action_sequences)
-        return shard_population(mesh, rewards)
+        return shard_population(mesh, rewards, axis=axis)
 
     return evaluate

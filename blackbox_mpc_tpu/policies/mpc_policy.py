@@ -48,14 +48,18 @@ class MPCPolicy(ModelBasedPolicy):
         seed: int = 0,
         metrics_writer=None,
         mesh=None,
+        shard_axis: str = "population",
         rollout_backend: str = "xla",
         **solver_kwargs,
     ):
         """``solver_kwargs`` are forwarded into the solver's config dataclass
         (mirrors ``**optimizer_args`` passthrough, reference mpc_policy.py:20,86).
 
-        ``mesh``: optional ``jax.sharding.Mesh`` with a ``"pop"`` axis — shards the candidate
-        population across chips (see :mod:`blackbox_mpc_tpu.parallel`).
+        ``mesh``: optional ``jax.sharding.Mesh`` with a ``"pop"`` axis — shards the solve
+        across chips (see :mod:`blackbox_mpc_tpu.parallel`). ``shard_axis`` picks what is
+        sharded: ``"population"`` (candidates; small per-iteration collectives) or
+        ``"agents"`` (whole agents per chip; zero collectives — best when
+        num_agents >= num_devices).
 
         ``rollout_backend``: ``"xla"`` (default) or ``"pallas"`` — the fused VMEM-resident
         rollout kernel (:mod:`blackbox_mpc_tpu.ops.pallas_rollout`; learned MLP dynamics with
@@ -70,6 +74,7 @@ class MPCPolicy(ModelBasedPolicy):
         self._discount = discount
         self._writer = metrics_writer
         self._mesh = mesh
+        self._shard_axis = shard_axis
         if rollout_backend not in ("xla", "pallas"):
             raise ValueError(f"rollout_backend must be 'xla' or 'pallas', got {rollout_backend!r}")
         if rollout_backend == "pallas" and dynamics_handler.is_true_model:
@@ -133,7 +138,8 @@ class MPCPolicy(ModelBasedPolicy):
                 from blackbox_mpc_tpu.parallel.sharding import make_sharded_evaluator
 
                 evaluate = make_sharded_evaluator(
-                    partial(dynamics_fn, dynamics_params), reward_fn, mesh, discount=discount
+                    partial(dynamics_fn, dynamics_params), reward_fn, mesh,
+                    discount=discount, shard_axis=self._shard_axis,
                 )
             else:
                 evaluate = make_trajectory_evaluator(

@@ -111,3 +111,24 @@ def test_data_parallel_training_matches_single_device(mesh, rng):
     np.testing.assert_allclose(l1, l2, rtol=1e-5, atol=1e-6)
     for x, y in zip(p1, p2):
         np.testing.assert_allclose(np.asarray(x), np.asarray(y), rtol=1e-5, atol=1e-6)
+
+
+def test_agent_sharded_solve_matches_single_device(mesh):
+    """Agent-axis sharding: each chip owns whole agents; zero-collective solves."""
+    kwargs = dict(planning_horizon=8, num_agents=8, population=32, max_iterations=2,
+                  num_elite=4)
+    bounds = Bounds.of(-2.0, 2.0, dim=1)
+    obs = jnp.tile(jnp.asarray([[-1.0, 0.0, 0.0]]), (8, 1))
+    key = jax.random.PRNGKey(11)
+
+    def run(evaluate):
+        s = make_solver("CEM", bounds, evaluate, **kwargs)
+        state = s.init(jax.random.PRNGKey(0))
+        action, _, aux = jax.jit(s.solve)(state, obs, jnp.asarray(0), key)
+        return np.asarray(action), np.asarray(aux.expected_reward)
+
+    a1, r1 = run(make_trajectory_evaluator(pendulum_dynamics, pendulum_reward))
+    a2, r2 = run(make_sharded_evaluator(pendulum_dynamics, pendulum_reward, mesh,
+                                        shard_axis="agents"))
+    np.testing.assert_allclose(a1, a2, rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(r1, r2, rtol=1e-4, atol=1e-5)
