@@ -19,20 +19,25 @@ _EPS = 1e-7  # must match models/normalizer.py
 _ACTS = {"tanh": jnp.tanh, "relu": jax.nn.relu, "gelu": jax.nn.gelu}
 
 
-def check_kernel_support(config: LearnedDynamicsConfig, what: str) -> None:
-    if config.ensemble_size > 1 and config.propagation != "mean":
-        raise ValueError(f"{what} supports propagation='mean' (or ensemble_size=1)")
+def check_kernel_support(config: LearnedDynamicsConfig, what: str, allow_ts1: bool = False) -> None:
+    allowed = ("mean", "ts1") if allow_ts1 else ("mean",)
+    if config.ensemble_size > 1 and config.propagation not in allowed:
+        raise ValueError(f"{what} supports propagation in {allowed} (or ensemble_size=1)")
     if getattr(config, "probabilistic", False):
         raise ValueError(f"{what} supports deterministic heads only (probabilistic=False)")
     if config.activation not in _ACTS:
         raise ValueError(f"unsupported activation for {what}: {config.activation}")
 
 
-def build_step_fn(config: LearnedDynamicsConfig, reward_fn: Callable, stats, weight_refs):
+def build_step_fn(
+    config: LearnedDynamicsConfig, reward_fn: Callable, stats, weight_refs, member=None
+):
     """Returns ``step(s [T,S], a [T,U]) -> (next_state, reward)`` for use inside a kernel.
 
     ``stats`` is the [6, max(S,U)] normalizer matrix value; ``weight_refs`` the per-layer
-    (w, b) refs with a leading ensemble axis.
+    (w, b) refs with a leading ensemble axis. With ``member=None`` the net is the ensemble
+    mean; with a traced scalar ``member`` (TS-1 tiles) only that member's weights run,
+    selected via a static ``lax.switch`` over the (small) ensemble.
     """
     dim_s, dim_u = config.dim_s, config.dim_u
     n_layers = len(config.hidden) + 1
@@ -43,17 +48,24 @@ def build_step_fn(config: LearnedDynamicsConfig, reward_fn: Callable, stats, wei
     mean_a, std_a = stats[2, :dim_u], stats[3, :dim_u]
     mean_t, std_t = stats[4, :dim_s], stats[5, :dim_s]
 
+    def _member_forward(e, x):
+        h = x
+        for layer in range(n_layers):
+            w = weight_refs[2 * layer][e]
+            b = weight_refs[2 * layer + 1][e]
+            h = jnp.dot(h, w.astype(compute_dtype), preferred_element_type=jnp.float32) + b
+            if layer < n_layers - 1:
+                h = act(h).astype(compute_dtype)
+        return h
+
     def net(x):
+        if member is not None:
+            return jax.lax.switch(
+                member, [lambda x=x, e=e: _member_forward(e, x) for e in range(ensemble)]
+            )
         acc = jnp.zeros((x.shape[0], dim_s), jnp.float32)
         for e in range(ensemble):
-            h = x
-            for layer in range(n_layers):
-                w = weight_refs[2 * layer][e]
-                b = weight_refs[2 * layer + 1][e]
-                h = jnp.dot(h, w.astype(compute_dtype), preferred_element_type=jnp.float32) + b
-                if layer < n_layers - 1:
-                    h = act(h).astype(compute_dtype)
-            acc = acc + h
+            acc = acc + _member_forward(e, x)
         return acc / ensemble
 
     def step(s, a):

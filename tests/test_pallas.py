@@ -56,7 +56,33 @@ def test_pallas_rollout_pads_ragged_rows(rng):
     np.testing.assert_allclose(np.asarray(ref), np.asarray(pal), rtol=1e-4, atol=1e-4)
 
 
-def test_pallas_rejects_ts1():
+def test_fused_cem_rejects_ts1():
+    # The rollout kernel supports ts1 now; the fused CEM kernels still require "mean".
+    from blackbox_mpc_tpu.ops.pallas_cem import make_fused_cem_kernels
+
     cfg = LearnedDynamicsConfig(dim_s=3, dim_u=1, ensemble_size=2, propagation="ts1")
     with pytest.raises(ValueError, match="propagation"):
-        make_pallas_rollout_evaluator(cfg, reward_fn)
+        make_fused_cem_kernels(cfg, reward_fn, horizon=4, agents=1, population=8)
+
+
+def test_pallas_rollout_ts1_matches_xla(rng):
+    cfg = LearnedDynamicsConfig(
+        dim_s=3, dim_u=2, hidden=(16,), ensemble_size=2, propagation="ts1"
+    )
+    init_model, dyn = make_learned_dynamics(cfg)
+    dp = init_model(jax.random.PRNGKey(0))
+    s0 = jnp.asarray(rng.uniform(-1, 1, (2, 3)).astype(np.float32))
+    acts = jnp.asarray(rng.uniform(-2, 2, (9, 2, 6, 2)).astype(np.float32))  # 18 rows, tile 8
+    ref = make_trajectory_evaluator(partial(dyn, dp), reward_fn)(s0, acts)
+    pal = make_pallas_rollout_evaluator(cfg, reward_fn, tile=8, interpret=True)(dp, s0, acts)
+    np.testing.assert_allclose(np.asarray(ref), np.asarray(pal), rtol=1e-4, atol=1e-4)
+
+
+def test_pallas_rollout_ts1_rejects_indivisible(rng):
+    cfg = LearnedDynamicsConfig(dim_s=3, dim_u=1, hidden=(8,), ensemble_size=3,
+                                propagation="ts1")
+    init_model, dyn = make_learned_dynamics(cfg)
+    dp = init_model(jax.random.PRNGKey(0))
+    ev = make_pallas_rollout_evaluator(cfg, reward_fn, tile=8, interpret=True)
+    with pytest.raises(ValueError, match="divisible"):
+        ev(dp, jnp.zeros((1, 3)), jnp.zeros((7, 1, 4, 1)))
