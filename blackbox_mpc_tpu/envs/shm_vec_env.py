@@ -135,6 +135,8 @@ class ShmVecEnv:
         observation_space: Optional[BoxSpace] = None,
     ):
         self.num_envs = len(env_fns)
+        if base_seed < 0:
+            raise ValueError("base_seed must be non-negative")
         self._base_seed = base_seed
         self._timeout_ns = int(step_timeout_s * 1e9)
         self._lib = _load_lib()
@@ -189,6 +191,9 @@ class ShmVecEnv:
     def reset(self, seed: Optional[int] = None) -> np.ndarray:
         self._check_open()
         base = self._base_seed if seed is None else seed
+        if base < 0:
+            # negative seeds are the in-band close sentinel for workers
+            raise ValueError("ShmVecEnv seeds must be non-negative")
         for rank in range(self.num_envs):
             slot = self._slots[rank]
             slot[self._dim_u + self._dim_s + 2] = float(base + rank)

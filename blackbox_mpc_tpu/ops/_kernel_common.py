@@ -19,6 +19,10 @@ _EPS = 1e-7  # must match models/normalizer.py
 _ACTS = {"tanh": jnp.tanh, "relu": jax.nn.relu, "gelu": jax.nn.gelu}
 
 
+def round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
 def check_kernel_support(config: LearnedDynamicsConfig, what: str, allow_ts1: bool = False) -> None:
     allowed = ("mean", "ts1") if allow_ts1 else ("mean",)
     if config.ensemble_size > 1 and config.propagation not in allowed:

@@ -37,12 +37,8 @@ from blackbox_mpc_tpu.solvers.cem import CEMConfig, CEMState
 
 __all__ = ["make_fused_cem_kernels", "make_fused_cem"]
 
-_EPS = 1e-7
 _TWO_PI = 2.0 * np.pi
-
-
-def _round_up(x: int, m: int) -> int:
-    return ((x + m - 1) // m) * m
+_round_up = kc.round_up
 
 
 def _mix(x: jax.Array) -> jax.Array:
@@ -95,7 +91,8 @@ def make_fused_cem_kernels(
     """Builds (rollout_rewards, elite_moments) for the fused CEM iteration.
 
     rollout_rewards(dp, s0 [A,S], mean [A,H,U], std [A,H,U], seed) -> rewards [P, A]
-    elite_moments(mean, std, seed, mask [P, A]) -> (sums [A, H*U], sumsq [A, H*U])
+    elite_moments(mean, std, seed, mask [P, A]) -> CENTERED elite moments
+        (sum of (x - mean), sum of (x - mean)^2), each [A, H*U]
 
     Constraints: deterministic MLP ensemble with mean propagation; rows are laid out
     population-major (row = p * A + a), matching the flattened evaluator convention.
@@ -106,6 +103,13 @@ def make_fused_cem_kernels(
     compute_dtype = jnp.dtype(config.compute_dtype)
     n_flat = horizon * dim_u
     rows = population * agents
+    if rows * n_flat >= 2**32:
+        # The counter-based RNG indexes elements with int32 arithmetic (uint32 wrap);
+        # beyond 2^32 elements counters collide and candidates silently duplicate.
+        raise ValueError(
+            f"fused CEM candidate tensor has {rows * n_flat} elements (>= 2^32); "
+            "the int32 RNG counters would collide — reduce population/horizon"
+        )
     padded_rows = _round_up(rows, tile)
     n_tiles = padded_rows // tile
     # Use the TPU-semantics interpreter for CPU testing (matches Mosaic op behavior).
@@ -153,12 +157,15 @@ def make_fused_cem_kernels(
         tile_id = pl.program_id(0)
         z = _sample_tile(seed_ref, tile_id, tile, n_flat)
         mean_rows, std_rows, onehot = _row_stats(mean_ref, std_ref, tile_id)
-        samples = mean_rows + std_rows * z  # [T, H*U]
+        # Reduce CENTERED moments (sample - sampling mean = std*z): E[x^2]-mean^2 on raw
+        # samples cancels catastrophically in fp32 for large-magnitude action bounds, while
+        # centered values are O(2 sigma). The caller reconstructs mean/var from these.
+        centered = std_rows * z  # [T, H*U]
         # mask_ref is [T, 1]: row r's elite membership (for its own agent); the one-hot
         # restricts the reduction to the owning agent's column.
         mask = mask_ref[:] * onehot  # [T, A]
-        part_sum = jnp.dot(mask.T, samples, preferred_element_type=jnp.float32)
-        part_sq = jnp.dot(mask.T, samples * samples, preferred_element_type=jnp.float32)
+        part_sum = jnp.dot(mask.T, centered, preferred_element_type=jnp.float32)
+        part_sq = jnp.dot(mask.T, centered * centered, preferred_element_type=jnp.float32)
 
         @pl.when(tile_id == 0)
         def _():
@@ -252,6 +259,13 @@ def make_fused_cem(
     horizon, agents, pop, k = (
         config.planning_horizon, config.num_agents, config.population, config.num_elite,
     )
+    if k > pop:
+        raise ValueError(f"num_elite ({k}) must be <= population ({pop})")
+    if getattr(config, "colored_noise_beta", 0.0) > 0.0:
+        raise ValueError(
+            "fused CEM samples white clipped normals in-kernel; colored_noise_beta is not "
+            "supported — use the standard CEM solver for iCEM colored noise"
+        )
     alpha = config.alpha
     rollout_rewards, elite_moments = make_fused_cem_kernels(
         dyn_config, reward_fn,
@@ -280,9 +294,10 @@ def make_fused_cem(
             mask = jnp.zeros((pop, agents), jnp.float32).at[
                 elite_idx.T, jnp.arange(agents)[None, :]
             ].set(1.0)
-            sums, sumsq = elite_moments(mean, std, seed, mask)
-            new_mean = (sums / k).reshape(agents, horizon, bounds.dim)
-            new_var = (sumsq / k).reshape(agents, horizon, bounds.dim) - jnp.square(new_mean)
+            csum, csumsq = elite_moments(mean, std, seed, mask)  # centered moments
+            delta = (csum / k).reshape(agents, horizon, bounds.dim)
+            new_mean = mean + delta  # sampling mean + mean of centered elite offsets
+            new_var = (csumsq / k).reshape(agents, horizon, bounds.dim) - jnp.square(delta)
             new_var = jnp.maximum(new_var, 0.0)
             mean = alpha * mean + (1.0 - alpha) * new_mean
             var = alpha * var + (1.0 - alpha) * new_var

@@ -31,8 +31,7 @@ from blackbox_mpc_tpu.ops import _kernel_common as kc
 __all__ = ["make_pallas_rollout_evaluator"]
 
 
-def _round_up(x: int, m: int) -> int:
-    return ((x + m - 1) // m) * m
+_round_up = kc.round_up
 
 
 def make_pallas_rollout_evaluator(

@@ -88,21 +88,27 @@ class MPCPolicy(ModelBasedPolicy):
         self._key = jax.random.PRNGKey(seed)
         self._solver_kwargs = dict(solver_kwargs)
         self._act_counter = 0
-        self._build(solver_name)
+        self._build(solver_name, strict_kwargs=True)
 
     # ------------------------------------------------------------------ construction
 
-    def _build(self, solver_name: str) -> None:
+    def _build(self, solver_name: str, strict_kwargs: bool = False) -> None:
         if solver_name not in SOLVER_REGISTRY:
             raise KeyError(
                 f"unknown solver {solver_name!r}; available: {sorted(SOLVER_REGISTRY)}"
             )
         config_cls, factory = SOLVER_REGISTRY[solver_name]
-        # Keep only kwargs the target solver's config understands — switching solver
-        # families would otherwise crash on leftover kwargs (e.g. CEM's num_elite -> PI2).
+        # At construction, unknown kwargs are errors (catches typos like population_size=).
+        # On switch_solver, leftover kwargs from the previous solver family are filtered —
+        # switching CEM -> PI2 must not crash on CEM's num_elite.
         valid = set(config_cls.__dataclass_fields__)
         kept = {k: v for k, v in self._solver_kwargs.items() if k in valid}
         dropped = set(self._solver_kwargs) - set(kept)
+        if dropped and strict_kwargs:
+            raise TypeError(
+                f"unknown solver kwargs for {solver_name}: {sorted(dropped)}; "
+                f"valid: {sorted(valid)}"
+            )
         if dropped:
             logger.info("%s ignores solver kwargs %s", solver_name, sorted(dropped))
         config = config_cls(
@@ -238,7 +244,13 @@ class MPCPolicy(ModelBasedPolicy):
         self._solver_state = self._solver_reset(self._solver_state, reset_key)
 
     def switch_solver(self, solver_name: str, **solver_kwargs) -> None:
-        """Swaps the trajectory solver, keeping dynamics handler and evaluator wiring."""
-        self._solver_kwargs = dict(solver_kwargs) if solver_kwargs else self._solver_kwargs
-        self._build(solver_name)
+        """Swaps the trajectory solver, keeping dynamics handler and evaluator wiring.
+
+        New kwargs are validated against the target solver; kwargs carried over from the
+        previous solver that the target does not understand are dropped (logged)."""
+        if solver_kwargs:
+            self._solver_kwargs = dict(solver_kwargs)
+            self._build(solver_name, strict_kwargs=True)
+        else:
+            self._build(solver_name)
         logger.info("switched solver to %s", solver_name)

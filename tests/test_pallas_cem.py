@@ -32,7 +32,7 @@ def setup():
 
 def test_kernel_streams_match_and_rollout_correct(setup):
     dyn_cfg, dyn, dp, (rollout_rewards, elite_moments), (H, A, P) = setup
-    mean = jnp.zeros((A, H, 2))
+    mean = jnp.full((A, H, 2), 0.3)  # nonzero: exercises the centered-moment contract
     std = jnp.full((A, H, 2), 0.5)
     s0 = jnp.asarray([[0.3, -0.2, 0.1], [0.0, 0.5, -0.5]])
     seed = 1234
@@ -47,11 +47,11 @@ def test_kernel_streams_match_and_rollout_correct(setup):
     for p in range(P):
         for a in range(A):
             mask = jnp.zeros((P, A)).at[p, a].set(1.0)
-            sums, sumsq = elite_moments(mean, std, seed, mask)
-            extracted[p, a] = np.asarray(sums[a]).reshape(H, 2)
-            # sum-of-squares consistency for the single row
+            csum, csumsq = elite_moments(mean, std, seed, mask)  # CENTERED moments
+            extracted[p, a] = np.asarray(mean[a]).reshape(H, 2) + np.asarray(csum[a]).reshape(H, 2)
+            # centered sum-of-squares consistency for the single row
             np.testing.assert_allclose(
-                np.asarray(sumsq[a]), np.asarray(sums[a]) ** 2, rtol=1e-4, atol=1e-5
+                np.asarray(csumsq[a]), np.asarray(csum[a]) ** 2, rtol=1e-4, atol=1e-5
             )
     ref_rewards = evaluate(s0, jnp.asarray(extracted))
     np.testing.assert_allclose(np.asarray(rewards), np.asarray(ref_rewards), rtol=1e-3, atol=1e-3)

@@ -12,7 +12,9 @@ from blackbox_mpc_tpu.workflows.dynamics_learning import rollouts_to_episodes
 
 
 def _policy(solver="CEM", **kw):
-    defaults = dict(planning_horizon=10, population=64, num_elite=8, max_iterations=2)
+    defaults = dict(planning_horizon=10, population=64, max_iterations=2)
+    if solver in ("CEM", "CMA-ES"):
+        defaults["num_elite"] = 8
     defaults.update(kw)
     return MPCPolicy(
         action_space=NativePendulumVecEnv().action_space,
@@ -84,3 +86,44 @@ def test_rollout_result_attribute_protocols():
     assert not hasattr(r, "bogus_attribute")
     assert copy.deepcopy(r)["reward_sum"] == r["reward_sum"]
     assert r.dones[0].shape == (5, 1)
+
+
+def test_construction_rejects_unknown_kwargs():
+    """Typo'd kwargs at construction must raise (silent dropping hid wrong configs)."""
+    with pytest.raises(TypeError, match="population_size"):
+        _policy("CEM", population_size=5000)
+
+
+def test_fused_cem_validates_config():
+    import jax
+
+    from blackbox_mpc_tpu.core.types import Bounds
+    from blackbox_mpc_tpu.models.dynamics import LearnedDynamicsConfig, make_learned_dynamics
+    from blackbox_mpc_tpu.ops.pallas_cem import make_fused_cem, make_fused_cem_kernels
+    from blackbox_mpc_tpu.solvers.cem import CEMConfig
+
+    dyn_cfg = LearnedDynamicsConfig(dim_s=3, dim_u=1, hidden=(8,))
+    init_model, _ = make_learned_dynamics(dyn_cfg)
+    dp = init_model(jax.random.PRNGKey(0))
+    bounds = Bounds.of(-1.0, 1.0, dim=1)
+    with pytest.raises(ValueError, match="num_elite"):
+        make_fused_cem(CEMConfig(population=8, num_elite=64), bounds, dyn_cfg, dp,
+                       lambda s, a, ns: ns[:, 0])
+    with pytest.raises(ValueError, match="colored_noise_beta"):
+        make_fused_cem(CEMConfig(population=64, num_elite=8, colored_noise_beta=2.0),
+                       bounds, dyn_cfg, dp, lambda s, a, ns: ns[:, 0])
+    with pytest.raises(ValueError, match="2\\^32"):
+        make_fused_cem_kernels(dyn_cfg, lambda s, a, ns: ns[:, 0], horizon=50,
+                               agents=1, population=300_000_000)
+
+
+def test_shm_rejects_negative_seed():
+    from blackbox_mpc_tpu.envs.shm_vec_env import make_shm_vec_env
+
+    env = make_shm_vec_env("Pendulum-v1", num_envs=1, base_seed=0)
+    try:
+        with pytest.raises(ValueError, match="non-negative"):
+            env.reset(seed=-1)
+        env.reset(seed=3)  # env still alive after the rejected call
+    finally:
+        env.close()
