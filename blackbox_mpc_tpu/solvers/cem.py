@@ -38,6 +38,10 @@ class CEMConfig(base.SolverConfig):
     # iCEM-style temporally colored noise exponent; 0.0 = white truncated normal (reference
     # behavior). beta in [1, 4] yields smooth candidate sequences — better for real systems.
     colored_noise_beta: float = 0.0
+    # iCEM elite persistence: re-inject the top `keep_elites` candidates of the previous
+    # iteration into the next iteration's population (guarantees the best-seen candidate
+    # survives refinement). 0 = reference behavior (fresh population every iteration).
+    keep_elites: int = 0
 
 
 @struct.dataclass
@@ -60,21 +64,31 @@ def make_cem(config: CEMConfig, bounds: Bounds, evaluate: TrajectoryEvaluator) -
 
     def solve(state: CEMState, obs: jax.Array, t: jax.Array, key: jax.Array):
         del t
+        keep = config.keep_elites
+        if not 0 <= keep <= min(k, pop - 1):
+            raise ValueError(f"keep_elites ({keep}) must be in [0, min(num_elite, pop-1)]")
 
-        def iteration(_, carry):
-            mean, var, key, _ = carry
+        def iteration(i, carry):
+            mean, var, key, _, carried = carry
             key, sample_key = jax.random.split(key)
             constrained = base.constrain_variance(mean, var, bounds)
+            n_fresh = pop - keep
             if config.colored_noise_beta > 0.0:
                 z = base.colored_noise(
                     sample_key, config.colored_noise_beta,
-                    (pop, agents, horizon, bounds.dim),
+                    (n_fresh, agents, horizon, bounds.dim),
                 )
                 samples = bounds.clip(mean + jnp.sqrt(constrained) * z)
             else:
                 samples = truncated_normal(
-                    sample_key, mean, jnp.sqrt(constrained), (pop, agents, horizon, bounds.dim)
+                    sample_key, mean, jnp.sqrt(constrained),
+                    (n_fresh, agents, horizon, bounds.dim),
                 )
+            if keep:
+                # iCEM elite persistence: previous iteration's top candidates rejoin the
+                # population (skipped on the first iteration — `carried` is init-sampled
+                # placeholder data then, which is harmless but uninformative).
+                samples = jnp.concatenate([samples, jnp.swapaxes(carried, 0, 1)], axis=0)
             rewards = evaluate(obs, samples)  # [P, A]
             elite_vals, elite_idx = jax.lax.top_k(rewards.T, k)  # [A, k]
             per_agent = jnp.swapaxes(samples, 0, 1)  # [A, P, H, U]
@@ -83,11 +97,24 @@ def make_cem(config: CEMConfig, bounds: Bounds, evaluate: TrajectoryEvaluator) -
             new_var = jnp.mean(jnp.square(elites - new_mean[:, None]), axis=1)
             mean = alpha * mean + (1.0 - alpha) * new_mean
             var = alpha * var + (1.0 - alpha) * new_var
-            return mean, var, key, jnp.mean(elite_vals, axis=1)
+            carried = elites[:, :keep] if keep else carried
+            return mean, var, key, jnp.mean(elite_vals, axis=1), carried
 
         best0 = jnp.full((agents,), -jnp.inf, dtype=state.mean.dtype)
-        mean, var, _, elite_reward = jax.lax.fori_loop(
-            0, config.max_iterations, iteration, (state.mean, state.variance, key, best0)
+        if keep:
+            key, seed_key = jax.random.split(key)
+            carried0 = truncated_normal(
+                seed_key, state.mean, jnp.sqrt(state.variance),
+                (keep, agents, horizon, bounds.dim),
+            )
+            carried0 = jnp.swapaxes(carried0, 0, 1)
+        else:
+            # keep==0: zero-size placeholder, and crucially NO extra key split — the RNG
+            # stream must match the reference path exactly (golden tests replicate it).
+            carried0 = jnp.zeros((agents, 0, horizon, bounds.dim), state.mean.dtype)
+        mean, var, _, elite_reward, _ = jax.lax.fori_loop(
+            0, config.max_iterations, iteration,
+            (state.mean, state.variance, key, best0, carried0),
         )
         action = mean[:, 0]
         if config.warm_start:

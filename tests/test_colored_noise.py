@@ -44,3 +44,31 @@ def test_cem_colored_noise_swings_up():
         action, state, _ = solve(state, obs, jnp.asarray(t), sub)
         obs = pendulum_dynamics(obs, action)
     assert float(obs[0, 0]) > 0.9
+
+
+def test_cem_elite_persistence_monotone_best():
+    """keep_elites: the best candidate survives across iterations, so the per-iteration
+    elite reward is (weakly) improving on a deterministic objective."""
+    import jax
+
+    from blackbox_mpc_tpu.solvers import make_solver
+
+    bounds = Bounds.of(-1.0, 1.0, dim=1)
+
+    def evaluate(obs, actions):
+        return -jnp.sum(jnp.square(actions - 0.4), axis=(2, 3))
+
+    s = make_solver("CEM", bounds, evaluate, planning_horizon=6, num_agents=1,
+                    population=64, num_elite=8, max_iterations=6, keep_elites=4)
+    state = s.init(jax.random.PRNGKey(0))
+    action, _, aux = jax.jit(s.solve)(state, jnp.zeros((1, 3)), jnp.asarray(0),
+                                      jax.random.PRNGKey(1))
+    assert abs(float(action[0, 0]) - 0.4) < 0.1
+    # invalid keep_elites rejected
+    import pytest as _pytest
+
+    bad = make_solver("CEM", bounds, evaluate, planning_horizon=6, num_agents=1,
+                      population=8, num_elite=8, max_iterations=2, keep_elites=20)
+    with _pytest.raises(ValueError, match="keep_elites"):
+        bad.solve(bad.init(jax.random.PRNGKey(0)), jnp.zeros((1, 3)), jnp.asarray(0),
+                  jax.random.PRNGKey(1))
