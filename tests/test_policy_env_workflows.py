@@ -140,3 +140,30 @@ def test_iterative_mbrl_improves_over_random():
     assert np.mean(mpc_result["reward_sum"]) > np.mean(random_result["reward_sum"]), (
         mpc_result["reward_sum"], random_result["reward_sum"],
     )
+
+
+def test_device_resident_episode_swings_up():
+    """Whole MPC episode in one jit: pendulum swing-up without host round-trips."""
+    import jax
+    import jax.numpy as jnp
+
+    from blackbox_mpc_tpu.core.types import Bounds
+    from blackbox_mpc_tpu.rollout import make_trajectory_evaluator
+    from blackbox_mpc_tpu.solvers import make_solver
+    from blackbox_mpc_tpu.workflows.device_episode import evaluate_solver_on_model
+
+    bounds = Bounds.of(-2.0, 2.0, dim=1)
+    evaluate = make_trajectory_evaluator(pendulum_dynamics, pendulum_reward)
+    solver = make_solver("CEM", bounds, evaluate, planning_horizon=25, num_agents=1,
+                         population=256, num_elite=25, max_iterations=5)
+    run = jax.jit(
+        lambda obs, key: evaluate_solver_on_model(
+            solver, pendulum_dynamics, pendulum_reward, obs, 80, key
+        )
+    )
+    rewards, final_obs, _ = run(jnp.asarray([[-1.0, 0.0, 0.0]]), jax.random.PRNGKey(0))
+    assert rewards.shape == (80, 1)
+    assert float(final_obs[0, 0]) > 0.9
+    # late-episode rewards near zero (upright), early ones strongly negative
+    assert float(rewards[-10:].mean()) > -1.0
+    assert float(rewards[:10].mean()) < -5.0
