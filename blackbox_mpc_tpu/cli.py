@@ -164,7 +164,13 @@ def main(argv=None) -> int:
     p.set_defaults(fn=cmd_solvers)
 
     args = parser.parse_args(argv)
-    return args.fn(args)
+    try:
+        return args.fn(args)
+    except (KeyError, TypeError, ValueError) as e:
+        # Configuration errors (unknown solver, bad kwargs, invalid sizes) get one clean
+        # line instead of a traceback; real bugs still raise.
+        print(f"error: {e}", file=sys.stderr)
+        return 2
 
 
 if __name__ == "__main__":
