@@ -106,6 +106,15 @@ def cmd_learn(args):
     if args.env == "Pendulum-v1":
         _, reward = ANALYTIC_MODELS["pendulum"]
     else:
+        # No analytic reward is known for this env — fall back to a generic locomotion
+        # surrogate. This is almost certainly NOT the env's true reward; warn loudly.
+        print(
+            f"WARNING: no built-in reward function for {args.env!r}; planning with a "
+            "generic surrogate reward (obs[0] forward progress - 0.1*||action||^2). "
+            "For meaningful control, use the Python API and pass the env's true reward "
+            "function to learn_dynamics_iteratively_w_mpc.",
+            file=sys.stderr,
+        )
 
         def reward(s, a, ns):  # generic: forward progress on obs[0] minus control cost
             return ns[:, 0] - s[:, 0] - 0.1 * jnp.sum(jnp.square(a), axis=-1)

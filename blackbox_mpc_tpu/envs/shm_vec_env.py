@@ -14,8 +14,10 @@ run Python (they must host the gymnasium env), but the transport is native.
 from __future__ import annotations
 
 import ctypes
+import functools
 import multiprocessing as mp
 import os
+import pickle
 import subprocess
 from multiprocessing import shared_memory
 from typing import Callable, List, Optional, Sequence, Tuple
@@ -61,7 +63,9 @@ class _Layout:
         self.dim_s = dim_s
         self.dim_u = dim_u
         self.status_bytes = _STATUS_BYTES * num_envs
-        # payload per slot: action [U] f32, obs [S] f32, reward f32, done f32, seed f32
+        # payload per slot: action [U] f32, obs [S] f32, reward f32, done f32, seed i32
+        # (the seed travels as raw int32 bytes — a float32 slot would silently lose
+        # precision above 2^24 and reseed workers with the wrong value)
         self.slot_floats = dim_u + dim_s + 3
         self.slot_bytes = 4 * self.slot_floats
         self.total_bytes = self.status_bytes + num_envs * self.slot_bytes
@@ -73,6 +77,11 @@ class _Layout:
         start = self.status_bytes + rank * self.slot_bytes
         return np.ndarray((self.slot_floats,), dtype=np.float32, buffer=buf,
                           offset=start)
+
+    def seed_view(self, buf, rank: int) -> np.ndarray:
+        """int32 view over the last slot word (the seed field)."""
+        start = self.status_bytes + rank * self.slot_bytes + 4 * (self.slot_floats - 1)
+        return np.ndarray((1,), dtype=np.int32, buffer=buf, offset=start)
 
 
 def _worker_entry(shm_name, rank, num_envs, dim_s, dim_u, env_fn, seed):
@@ -87,15 +96,15 @@ def _worker_entry(shm_name, rank, num_envs, dim_s, dim_u, env_fn, seed):
     obs_out = slot[dim_u:dim_u + dim_s]
     rew_out = slot[dim_u + dim_s:dim_u + dim_s + 1]
     done_out = slot[dim_u + dim_s + 1:dim_u + dim_s + 2]
-    seed_in = slot[dim_u + dim_s + 2:dim_u + dim_s + 3]
+    seed_in = layout.seed_view(shm.buf, rank)
+    env = None
     try:
-        env = env_fn()
-    except Exception:  # noqa: BLE001
-        lib.shm_store(status_ptr, _ERROR)
-        shm.close()
-        return
-    lib.shm_store(status_ptr, _DONE)
-    try:
+        try:
+            env = env_fn()
+        except Exception:  # noqa: BLE001
+            lib.shm_store(status_ptr, _ERROR)
+            return
+        lib.shm_store(status_ptr, _DONE)
         while True:
             # wait returns on STEP or RESET; CLOSE is posted as RESET with negative seed
             cmd = lib.shm_wait(status_ptr, _STEP, _RESET, 0)
@@ -117,7 +126,14 @@ def _worker_entry(shm_name, rank, num_envs, dim_s, dim_u, env_fn, seed):
                 lib.shm_store(status_ptr, _ERROR)
                 break
     finally:
-        env.close()
+        if env is not None:
+            env.close()
+        # Release every exported view of the shm buffer (numpy slices + the ctypes
+        # from_buffer export) before close(), or shm.close() raises BufferError.
+        del slot, action, obs_out, rew_out, done_out, seed_in
+        import gc
+
+        gc.collect()
         shm.close()
 
 
@@ -148,9 +164,17 @@ class ShmVecEnv:
             (ctypes.c_char * 1).from_buffer(self._shm.buf, 0)
         )
         self._slots = [self._layout.slot_view(self._shm.buf, r) for r in range(self.num_envs)]
+        self._seeds = [self._layout.seed_view(self._shm.buf, r) for r in range(self.num_envs)]
         self._pending = False
         self._closed = False
-        ctx = mp.get_context("fork")
+        # forkserver avoids forking this (JAX-multithreaded) parent directly — the fork
+        # happens from a clean single-threaded server, so no fork-from-threads deadlock
+        # risk. It requires picklable env_fns; closures fall back to plain fork.
+        try:
+            pickle.dumps(list(env_fns))
+            ctx = mp.get_context("forkserver")
+        except Exception:  # noqa: BLE001 — unpicklable closures
+            ctx = mp.get_context("fork")
         self._procs = []
         for rank, fn in enumerate(env_fns):
             p = ctx.Process(
@@ -190,13 +214,18 @@ class ShmVecEnv:
 
     def reset(self, seed: Optional[int] = None) -> np.ndarray:
         self._check_open()
+        if self._pending:
+            # A RESET posted while a worker is mid-step would race its late DONE and
+            # hand back stale step output as the reset observation.
+            raise RuntimeError("reset called with a step pending; call step_wait first")
         base = self._base_seed if seed is None else seed
         if base < 0:
             # negative seeds are the in-band close sentinel for workers
             raise ValueError("ShmVecEnv seeds must be non-negative")
+        if base + self.num_envs > np.iinfo(np.int32).max:
+            raise ValueError("ShmVecEnv seeds must fit in int32")
         for rank in range(self.num_envs):
-            slot = self._slots[rank]
-            slot[self._dim_u + self._dim_s + 2] = float(base + rank)
+            self._seeds[rank][0] = base + rank
             self._lib.shm_store(self._status_ptr(rank), _RESET)
         self._wait_all(_DONE)
         return np.stack(
@@ -237,7 +266,7 @@ class ShmVecEnv:
             return
         self._closed = True
         for rank in range(self.num_envs):
-            self._slots[rank][self._dim_u + self._dim_s + 2] = -1.0
+            self._seeds[rank][0] = -1
             self._lib.shm_store(self._status_ptr(rank), _RESET)
         for p in self._procs:
             p.join(timeout=5)
@@ -245,6 +274,7 @@ class ShmVecEnv:
                 p.terminate()
         # Release all exported buffer views before closing the shared memory segment.
         self._slots = []
+        self._seeds = []
         self._status_base = None
         import gc
 
@@ -256,6 +286,13 @@ class ShmVecEnv:
             pass
 
 
+def _gym_env_ctor(env_id: str, env_kwargs: dict):
+    """Module-level gym factory — picklable, so ShmVecEnv can use forkserver workers."""
+    import gymnasium
+
+    return gymnasium.make(env_id, **env_kwargs)
+
+
 def make_shm_vec_env(env_id: str, num_envs: int = 1, base_seed: int = 0, **env_kwargs) -> ShmVecEnv:
     """N gymnasium envs over the shared-memory transport."""
     import gymnasium
@@ -265,10 +302,7 @@ def make_shm_vec_env(env_id: str, num_envs: int = 1, base_seed: int = 0, **env_k
     observation_space = as_box_space(probe.observation_space)
     probe.close()
 
-    def env_fn():
-        import gymnasium
-
-        return gymnasium.make(env_id, **env_kwargs)
+    env_fn = functools.partial(_gym_env_ctor, env_id, env_kwargs)
 
     return ShmVecEnv(
         [env_fn] * num_envs,

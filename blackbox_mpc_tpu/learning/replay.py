@@ -112,12 +112,36 @@ class ReplayBuffer:
             idx = orders[:, start : start + batch_size]  # [E, B]
             yield s[idx], a[idx], ns[idx]
 
+    _U64 = (1 << 64) - 1
+
+    def _rng_state_array(self) -> np.ndarray:
+        """PCG64 generator state packed into 6 uint64s (orbax-checkpointable)."""
+        st = self._rng.bit_generator.state
+        s, inc = st["state"]["state"], st["state"]["inc"]
+        return np.array(
+            [s & self._U64, s >> 64, inc & self._U64, inc >> 64,
+             st["has_uint32"], st["uinteger"]],
+            np.uint64,
+        )
+
+    def _set_rng_state_array(self, arr: np.ndarray) -> None:
+        a = [int(x) for x in np.asarray(arr, np.uint64)]
+        self._rng.bit_generator.state = {
+            "bit_generator": "PCG64",
+            "state": {"state": a[0] | (a[1] << 64), "inc": a[2] | (a[3] << 64)},
+            "has_uint32": a[4],
+            "uinteger": a[5],
+        }
+
     def state_dict(self) -> dict:
         return {
             "states": self._states,
             "actions": self._actions,
             "next_states": self._next_states,
             "is_val": self._is_val,
+            # RNG state makes resumed runs bit-reproducible: the val-split assignment of
+            # future transitions and bootstrap minibatch orderings continue the same stream.
+            "rng": self._rng_state_array(),
         }
 
     def load_state_dict(self, state: dict) -> None:
@@ -125,3 +149,5 @@ class ReplayBuffer:
         self._actions = np.asarray(state["actions"], np.float32)
         self._next_states = np.asarray(state["next_states"], np.float32)
         self._is_val = np.asarray(state["is_val"], bool)
+        if "rng" in state and state["rng"] is not None:  # absent in pre-round-2 checkpoints
+            self._set_rng_state_array(state["rng"])

@@ -40,19 +40,26 @@ class SolverConfig:
     population: int = 500
     num_agents: int = 1
     max_iterations: int = 5
+    # dtype of the persistent solver state (plan mean/variance, swarm, CMA matrices).
+    # Sampling/evaluation dtypes follow the state; RandomSearch is stateless and follows
+    # the observation dtype instead.
     dtype: jnp.dtype = jnp.float32
 
 
-def init_solution_mean(bounds: Bounds, horizon: int, num_agents: int) -> jax.Array:
+def init_solution_mean(
+    bounds: Bounds, horizon: int, num_agents: int, dtype=jnp.float32
+) -> jax.Array:
     """Midpoint-of-action-space initial plan, [A, H, U] (reference cem.py:55-63)."""
     mid = bounds.midpoint
-    return jnp.broadcast_to(mid, (num_agents, horizon) + mid.shape)
+    return jnp.broadcast_to(mid, (num_agents, horizon) + mid.shape).astype(dtype)
 
 
-def init_solution_variance(bounds: Bounds, horizon: int, num_agents: int) -> jax.Array:
+def init_solution_variance(
+    bounds: Bounds, horizon: int, num_agents: int, dtype=jnp.float32
+) -> jax.Array:
     """(range/4)^2 initial variance, [A, H, U] (reference cem.py:64-72)."""
     var = bounds.default_variance
-    return jnp.broadcast_to(var, (num_agents, horizon) + var.shape)
+    return jnp.broadcast_to(var, (num_agents, horizon) + var.shape).astype(dtype)
 
 
 def constrain_variance(mean: jax.Array, variance: jax.Array, bounds: Bounds) -> jax.Array:
@@ -88,7 +95,11 @@ def bound_violation_penalty(samples: jax.Array, bounds: Bounds) -> Tuple[jax.Arr
 
 
 def colored_noise(key: jax.Array, beta: float, shape, dtype=jnp.float32) -> jax.Array:
-    """Temporally colored (power-law) noise along the horizon axis, unit variance per step.
+    """Temporally colored (power-law) noise along the horizon axis.
+
+    The returned signal is normalized to unit standard deviation over each whole ``(H, U)``
+    action sequence (not per step — individual steps of a colored sequence are correlated,
+    so their marginal variance varies with position).
 
     ``shape`` is ``[..., H, U]``; the spectrum over the H axis is scaled ``f^(-beta/2)``
     (beta=0 -> white noise; beta~1-4 -> smooth action sequences). This is the iCEM

@@ -58,8 +58,8 @@ def make_cem(config: CEMConfig, bounds: Bounds, evaluate: TrajectoryEvaluator) -
     def init(key: jax.Array) -> CEMState:
         del key
         return CEMState(
-            mean=base.init_solution_mean(bounds, horizon, agents),
-            variance=base.init_solution_variance(bounds, horizon, agents),
+            mean=base.init_solution_mean(bounds, horizon, agents, config.dtype),
+            variance=base.init_solution_variance(bounds, horizon, agents, config.dtype),
         )
 
     def solve(state: CEMState, obs: jax.Array, t: jax.Array, key: jax.Array):

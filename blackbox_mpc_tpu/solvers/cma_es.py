@@ -13,7 +13,11 @@ Deliberate departures from the reference, both fixing documented defects:
   independent CMA-ES over ``n = H*U`` via ``vmap``-style batched einsums — O(A*n^2) memory
   instead of O((A*n)^2), and correct for A > 1. For A == 1 the math is identical.
 * **``eigh`` instead of SVD** on the symmetric covariance (``cma_es.py:195`` uses full SVD) —
-  cheaper and the right decomposition for a symmetric PSD matrix.
+  cheaper and the right decomposition for a symmetric PSD matrix; and **Cholesky sampling**:
+  candidates are drawn through the (unique, perturbation-stable) Cholesky factor of C rather
+  than the eigenbasis ``B D`` (``cma_es.py:139-141``), which makes sharded and single-device
+  solves agree to fp tolerance (the eigenbasis is unstable under near-degenerate spectra).
+  The eigendecomposition is kept only for the basis-invariant ``C^(-1/2)`` whitening.
 * ``reset`` restores the *full* state (the reference's ``reset`` leaves C/B/D/paths stale,
   ``cma_es.py:218-227``).
 """
@@ -45,6 +49,12 @@ class CMAESConfig(base.SolverConfig):
     # every solve restarts sigma/C/paths fresh and warm-starts only the time-shifted mean.
     # Set True to reproduce the reference's persistent behavior.
     persist_across_solves: bool = False
+    # Relative floor/ceiling on the per-coordinate step size, as multiples of the initial
+    # sigma ((range/4) per coordinate). Guards the documented collapse mode (sigma -> 0 within
+    # ~20 control steps when persist_across_solves=True) and runaway growth; the reference has
+    # no guard at all (cma_es.py:199-206).
+    sigma_floor: float = 1e-6
+    sigma_ceil: float = 1e3
 
 
 @struct.dataclass
@@ -54,8 +64,8 @@ class CMAESState:
     cov: jax.Array  # [A, n, n]
     p_sigma: jax.Array  # [A, n]
     p_cov: jax.Array  # [A, n]
-    eigvecs: jax.Array  # [A, n, n] — B
-    eigvals_sqrt: jax.Array  # [A, n] — diag(D)
+    chol: jax.Array  # [A, n, n] — lower Cholesky factor of cov (sampling transform)
+    inv_sqrt: jax.Array  # [A, n, n] — C^(-1/2) (step-size path whitening)
 
 
 def make_cma_es(config: CMAESConfig, bounds: Bounds, evaluate: TrajectoryEvaluator) -> Solver:
@@ -83,20 +93,26 @@ def make_cma_es(config: CMAESConfig, bounds: Bounds, evaluate: TrajectoryEvaluat
         / ((nf + 2.0) ** 2 + config.alpha_cov * mu_eff / 2.0),
     )
     expectation_of_normal = float(np.sqrt(nf) * (1.0 - 1.0 / (4.0 * nf) + 1.0 / (21.0 * nf**2)))
+    # Initial per-coordinate sigma as a numpy closure constant (bakes to an HLO literal),
+    # used for the relative sigma floor/ceiling.
+    sigma0 = np.tile(
+        np.sqrt(np.asarray(bounds.default_variance, np.float32)).reshape(-1), horizon
+    )  # [n]
 
     def init(key: jax.Array) -> CMAESState:
         del key
-        mean = base.init_solution_mean(bounds, horizon, agents).reshape(agents, n)
-        var = base.init_solution_variance(bounds, horizon, agents).reshape(agents, n)
-        eye = jnp.broadcast_to(jnp.eye(n), (agents, n, n))
+        dt = config.dtype
+        mean = base.init_solution_mean(bounds, horizon, agents, dt).reshape(agents, n)
+        var = base.init_solution_variance(bounds, horizon, agents, dt).reshape(agents, n)
+        eye = jnp.broadcast_to(jnp.eye(n, dtype=dt), (agents, n, n))
         return CMAESState(
             mean=mean,
             sigma=jnp.sqrt(var),
             cov=eye,
-            p_sigma=jnp.zeros((agents, n)),
-            p_cov=jnp.zeros((agents, n)),
-            eigvecs=eye,
-            eigvals_sqrt=jnp.ones((agents, n)),
+            p_sigma=jnp.zeros((agents, n), dt),
+            p_cov=jnp.zeros((agents, n), dt),
+            chol=eye,
+            inv_sqrt=eye,
         )
 
     def solve(state: CMAESState, obs: jax.Array, t: jax.Array, key: jax.Array):
@@ -109,10 +125,14 @@ def make_cma_es(config: CMAESConfig, bounds: Bounds, evaluate: TrajectoryEvaluat
         def iteration(_, carry):
             s, key, _ = carry
             key, z_key = jax.random.split(key)
-            z = jax.random.normal(z_key, (agents, pop, n))
-            # y = z @ (B D): scale eigvec columns by sqrt-eigenvalues (cma_es.py:139-141).
-            bd = s.eigvecs * s.eigvals_sqrt[:, None, :]
-            y = jnp.einsum("apk,akn->apn", z, bd)
+            z = jax.random.normal(z_key, (agents, pop, n), s.mean.dtype)
+            # y_i = L z_i ~ N(0, C) via the Cholesky factor. The reference samples through
+            # the eigenbasis z (B D) (cma_es.py:139-141), but eigenvectors of matrices with
+            # near-degenerate spectra are unstable (arbitrary sign, large rotations under fp
+            # reduction-order perturbations), which breaks sharded==single-device parity.
+            # The Cholesky factor is unique and Lipschitz-stable for PD matrices; the
+            # sampling distribution is identical.
+            y = jnp.einsum("apk,ank->apn", z, s.chol)
             flat_samples = s.mean[:, None, :] + s.sigma[:, None, :] * y  # [A, P, n]
             samples = jnp.swapaxes(flat_samples, 0, 1).reshape(pop, agents, horizon, dim_u)
             samples, penalty = base.bound_violation_penalty(samples, bounds)
@@ -126,16 +146,14 @@ def make_cma_es(config: CMAESConfig, bounds: Bounds, evaluate: TrajectoryEvaluat
             new_mean = s.mean + x_mean
             # Step-size control (cma_es.py:166-175).
             y_mean = x_mean / s.sigma
-            c_inv_half = jnp.einsum(
-                "aij,aj,akj->aik", s.eigvecs, 1.0 / s.eigvals_sqrt, s.eigvecs
-            )
             p_sigma = (1.0 - c_sigma) * s.p_sigma + jnp.sqrt(
                 c_sigma * (2.0 - c_sigma) * mu_eff
-            ) * jnp.einsum("aik,ak->ai", c_inv_half, y_mean)
+            ) * jnp.einsum("aik,ak->ai", s.inv_sqrt, y_mean)
             sigma = s.sigma * jnp.exp(
                 (c_sigma / d_sigma)
                 * (jnp.linalg.norm(p_sigma, axis=-1) / expectation_of_normal - 1.0)
             )[:, None]
+            sigma = jnp.clip(sigma, config.sigma_floor * sigma0, config.sigma_ceil * sigma0)
             # Covariance adaptation (cma_es.py:177-190).
             p_cov = (1.0 - cc) * s.p_cov + config.h_sigma * jnp.sqrt(
                 cc * (2.0 - cc) * mu_eff
@@ -148,16 +166,23 @@ def make_cma_es(config: CMAESConfig, bounds: Bounds, evaluate: TrajectoryEvaluat
                 + c_mu * rank_mu
             )
             cov = (cov + jnp.swapaxes(cov, -1, -2)) / 2.0
+            # C^(-1/2) as a matrix function of C — invariant to the eigenbasis ambiguities
+            # (sign flips / degenerate rotations cancel in B f(D) B^T).
             eigvals, eigvecs = jnp.linalg.eigh(cov)
-            eigvals_sqrt = jnp.sqrt(jnp.maximum(eigvals, 1e-20))
+            inv_sqrt = jnp.einsum(
+                "aij,aj,akj->aik", eigvecs, 1.0 / jnp.sqrt(jnp.maximum(eigvals, 1e-20)), eigvecs
+            )
+            # PD is preserved by construction (nonnegative recombination weights); the tiny
+            # jitter guards fp round-off at the PSD boundary so cholesky never NaNs.
+            chol = jnp.linalg.cholesky(cov + 1e-10 * jnp.eye(n, dtype=cov.dtype))
             new_s = CMAESState(
                 mean=new_mean,
                 sigma=sigma,
                 cov=cov,
                 p_sigma=p_sigma,
                 p_cov=p_cov,
-                eigvecs=eigvecs,
-                eigvals_sqrt=eigvals_sqrt,
+                chol=chol,
+                inv_sqrt=inv_sqrt,
             )
             return new_s, key, jnp.max(rewards, axis=0)
 

@@ -40,11 +40,11 @@ def make_pi2(config: PI2Config, bounds: Bounds, evaluate: TrajectoryEvaluator) -
 
     def init(key: jax.Array) -> PI2State:
         del key
-        return PI2State(mean=base.init_solution_mean(bounds, horizon, agents))
+        return PI2State(mean=base.init_solution_mean(bounds, horizon, agents, config.dtype))
 
     def solve(state: PI2State, obs: jax.Array, t: jax.Array, key: jax.Array):
         del t
-        variance = base.init_solution_variance(bounds, horizon, agents)  # static, never adapted
+        variance = base.init_solution_variance(bounds, horizon, agents, config.dtype)  # static, never adapted
         stddev = jnp.sqrt(variance)
 
         def iteration(_, carry):

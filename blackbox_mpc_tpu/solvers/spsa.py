@@ -42,7 +42,7 @@ def make_spsa(config: SPSAConfig, bounds: Bounds, evaluate: TrajectoryEvaluator)
 
     def init(key: jax.Array) -> SPSAState:
         del key
-        return SPSAState(solution=base.init_solution_mean(bounds, horizon, agents))
+        return SPSAState(solution=base.init_solution_mean(bounds, horizon, agents, config.dtype))
 
     def solve(state: SPSAState, obs: jax.Array, t: jax.Array, key: jax.Array):
         del t

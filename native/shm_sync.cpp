@@ -8,10 +8,14 @@
 // transitions and an adaptive wait (spin -> pause -> short nanosleep) that Python cannot
 // express efficiently; numpy views over the same region make the payload path zero-copy.
 //
-// Status protocol per worker slot (single-producer/single-consumer):
-//   IDLE(0)      parent may write actions
-//   REQUEST(1+)  command posted by parent (1=step, 2=reset, 3=close); worker executes
-//   DONE(100)    worker wrote results; parent consumes and stores IDLE
+// Status protocol per worker slot (single-producer/single-consumer; constants mirror
+// blackbox_mpc_tpu/envs/shm_vec_env.py: _STEP=1, _RESET=2, _DONE=100, _ERROR=101):
+//   STEP(1)      parent wrote actions into the slot; worker steps the env
+//   RESET(2)     parent wrote an int32 seed into the slot; worker resets the env.
+//                A RESET with a negative seed is the in-band CLOSE sentinel.
+//   DONE(100)    worker wrote obs/reward/done; parent consumes, then posts the next
+//                STEP/RESET directly (the status never returns to an idle value —
+//                DONE doubles as "parent may write").
 //   ERROR(101)   worker failed; parent raises
 //
 // Build: make -C native   (produces libshm_sync.so, loaded via ctypes)

@@ -55,11 +55,10 @@ def test_sharded_solve_matches_single_device(mesh, name):
     a1, r1 = run(make_trajectory_evaluator(pendulum_dynamics, pendulum_reward))
     a2, r2 = run(make_sharded_evaluator(pendulum_dynamics, pendulum_reward, mesh))
     if name == "CMA-ES":
-        # eigh amplifies fp reduction-order differences between partitionings (eigvector
-        # sign/order flips feed back through the covariance path); exact parity is not
-        # expected — require agreement of the solve outcome at solver-noise level.
-        np.testing.assert_allclose(a1, a2, rtol=0.5, atol=0.5)
-        np.testing.assert_allclose(r1, r2, rtol=0.2, atol=0.5)
+        # Cholesky sampling + basis-invariant C^(-1/2) (see solvers/cma_es.py docstring)
+        # make sharded vs single-device differ only by fp reduction order — tight tolerance.
+        np.testing.assert_allclose(a1, a2, rtol=1e-3, atol=1e-3)
+        np.testing.assert_allclose(r1, r2, rtol=1e-3, atol=1e-3)
     else:
         np.testing.assert_allclose(a1, a2, rtol=1e-4, atol=1e-5)
         np.testing.assert_allclose(r1, r2, rtol=1e-4, atol=1e-5)

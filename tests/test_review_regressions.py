@@ -127,3 +127,62 @@ def test_shm_rejects_negative_seed():
         env.reset(seed=3)  # env still alive after the rejected call
     finally:
         env.close()
+
+
+def test_replay_rng_state_roundtrip():
+    """Resumed replay buffers continue the same RNG stream (ADVICE r1: handler.py:272)."""
+    import numpy as np
+
+    from blackbox_mpc_tpu.learning.replay import ReplayBuffer
+
+    def fresh(seed=7):
+        rb = ReplayBuffer(dim_s=2, dim_u=1, seed=seed)
+        rb.add_transitions(np.zeros((40, 2)), np.zeros((40, 1)), np.zeros((40, 2)))
+        return rb
+
+    a, b = fresh(), fresh()
+    # advance a's stream, snapshot, restore into b
+    list(a.minibatches(8, ensemble_size=3))
+    b.load_state_dict(a.state_dict())
+    next_a = [x[0].copy() for x in a.minibatches(8, ensemble_size=3)]
+    next_b = [x[0].copy() for x in b.minibatches(8, ensemble_size=3)]
+    for x, y in zip(next_a, next_b):
+        np.testing.assert_array_equal(x, y)
+    # and the val-split of future additions matches too
+    a.add_transitions(np.ones((40, 2)), np.ones((40, 1)), np.ones((40, 2)))
+    b.add_transitions(np.ones((40, 2)), np.ones((40, 1)), np.ones((40, 2)))
+    np.testing.assert_array_equal(a.state_dict()["is_val"], b.state_dict()["is_val"])
+
+
+def test_shm_reset_guards_pending_step():
+    """reset() during a pending step_async must raise, not consume stale output."""
+    from blackbox_mpc_tpu.envs.shm_vec_env import make_shm_vec_env
+
+    env = make_shm_vec_env("Pendulum-v1", num_envs=1, base_seed=0)
+    try:
+        env.reset()
+        env.step_async(np.zeros((1, 1), np.float32))
+        with pytest.raises(RuntimeError, match="pending"):
+            env.reset()
+        env.step_wait()  # drain; env still usable
+        env.reset(seed=5)
+    finally:
+        env.close()
+
+
+def test_shm_large_seed_exact():
+    """Seeds above 2^24 must transport exactly (int32 slot, not float32)."""
+    from blackbox_mpc_tpu.envs.shm_vec_env import make_shm_vec_env
+
+    big = 2**24 + 3  # not representable in float32
+    env = make_shm_vec_env("Pendulum-v1", num_envs=1, base_seed=0)
+    env2 = make_shm_vec_env("Pendulum-v1", num_envs=1, base_seed=0)
+    try:
+        obs1 = env.reset(seed=big)
+        obs2 = env2.reset(seed=big)
+        np.testing.assert_array_equal(obs1, obs2)
+        obs3 = env2.reset(seed=big + 1)
+        assert not np.array_equal(obs1, obs3)
+    finally:
+        env.close()
+        env2.close()
