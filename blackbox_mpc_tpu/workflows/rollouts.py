@@ -11,6 +11,7 @@ collection).
 from __future__ import annotations
 
 import logging
+import time
 from typing import List, Optional
 
 import numpy as np
@@ -58,6 +59,7 @@ def perform_rollouts(
     step_counter = start_step
     model_based = isinstance(policy, ModelBasedPolicy)
 
+    wall_start = time.perf_counter()
     for episode in range(number_of_rollouts):
         policy.reset()
         obs = env.reset()
@@ -89,6 +91,13 @@ def perform_rollouts(
                         float(np.mean(np.abs(predicted_rewards[-1] - reward))),
                         step_counter,
                     )
+                    # Per-step model error |f(s,a) - s'|: the user's main tool for judging
+                    # dynamics-model quality during MBRL (reference rollouts.py:103-115).
+                    metrics_writer.scalar(
+                        "states/predicted_observations_abs_error",
+                        float(np.mean(np.abs(np.asarray(pred_next) - obs))),
+                        step_counter,
+                    )
             if np.all(done):
                 break
         all_obs.append(np.stack(ep_obs))
@@ -98,6 +107,14 @@ def perform_rollouts(
         ep_sum = float(np.stack(ep_rewards).sum(axis=0).mean())
         if metrics_writer is not None:
             metrics_writer.scalar("rewards/actual_episode_reward", ep_sum, episode)
+            if model_based and predicted_rewards:
+                # Reference rollouts.py:116-131: the model's own estimate of the episode
+                # return, for an at-a-glance optimism/pessimism read against the actual.
+                metrics_writer.scalar(
+                    "rewards/predicted_episode_reward",
+                    float(np.sum([np.mean(p) for p in predicted_rewards])),
+                    episode,
+                )
         logger.info("rollout %d/%d: mean episode reward %.2f", episode + 1, number_of_rollouts, ep_sum)
 
     latency = timer.summary()
@@ -106,6 +123,13 @@ def perform_rollouts(
             "act() latency: mean %.4fs p50 %.4fs p95 %.4fs over %d solves",
             latency["mean_s"], latency["p50_s"], latency["p95_s"], latency["count"],
         )
+        if metrics_writer is not None:
+            wall_s = max(time.perf_counter() - wall_start, 1e-9)
+            metrics_writer.scalar("perf/solves_per_s", latency["count"] / wall_s, start_step)
+            metrics_writer.scalar(
+                "perf/rollouts_per_s", number_of_rollouts / wall_s, start_step
+            )
+            metrics_writer.scalar("perf/act_latency_p50_s", latency["p50_s"], start_step)
     return RolloutResult(
         observations=all_obs,
         actions=all_actions,

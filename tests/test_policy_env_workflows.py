@@ -167,3 +167,40 @@ def test_device_resident_episode_swings_up():
     # late-episode rewards near zero (upright), early ones strongly negative
     assert float(rewards[-10:].mean()) > -1.0
     assert float(rewards[:10].mean()) < -5.0
+
+
+def test_rollout_metrics_tag_superset_of_reference():
+    """Tag-for-tag superset of the reference's rollout scalars (rollouts.py:103-131)."""
+    from blackbox_mpc_tpu.utils.metrics import MetricsWriter
+
+    env = NativePendulumVecEnv(num_envs=2, seed=0, max_episode_steps=10)
+    policy = MPCPolicy(
+        action_space=env.action_space,
+        reward_function=pendulum_reward,
+        dynamics_handler=_true_handler(),
+        solver_name="RandomSearch",
+        num_agents=2,
+        planning_horizon=5,
+        population=32,
+    )
+    writer = MetricsWriter()
+    perform_rollouts(env, policy, number_of_rollouts=2, rollout_horizon=10,
+                     metrics_writer=writer)
+    reference_tags = {
+        "rewards/actual_reward",
+        "states/predicted_observations_abs_error",
+        "rewards/predicted_reward_abs_error",
+        "rewards/actual_episode_reward",
+        "rewards/predicted_episode_reward",
+    }
+    missing = reference_tags - set(writer.history)
+    assert not missing, f"reference scalar tags not emitted: {missing}"
+    # framework additions
+    for tag in ("perf/solves_per_s", "perf/rollouts_per_s", "perf/act_latency_p50_s"):
+        assert tag in writer.history, tag
+    # per-step tags got one point per step, episode tags one per episode
+    assert len(writer.history["states/predicted_observations_abs_error"]) == 20
+    assert len(writer.history["rewards/predicted_episode_reward"]) == 2
+    # model error of the true model on its own env is ~0
+    errs = [v for _, v in writer.history["states/predicted_observations_abs_error"]]
+    assert max(errs) < 1e-4, errs
