@@ -69,6 +69,7 @@ class DynamicsHandler:
             self._is_true_model = True
             self._config = None
             self._dynamics_fn = true_model_dynamics(true_model)
+            self._mean_dynamics_fn = self._dynamics_fn
             self._params: Optional[DynamicsParams] = DynamicsParams(params=(), stats=())
             self._replay = None
             return
@@ -76,6 +77,18 @@ class DynamicsHandler:
         self._is_true_model = False
         self._config = config
         init, self._dynamics_fn = make_learned_dynamics(config)
+        if config.propagation == "mean":
+            self._mean_dynamics_fn = self._dynamics_fn
+        else:
+            # Posterior-mean variant (ensemble-averaged, head means) for diagnostics such
+            # as the policy's one-step lookahead: member-partitioned propagation (ts1/
+            # ts_inf) requires batch % ensemble == 0, which a [num_agents, S] probe batch
+            # need not satisfy — and a *report* should not be a noise sample anyway.
+            import dataclasses
+
+            _, self._mean_dynamics_fn = make_learned_dynamics(
+                dataclasses.replace(config, propagation="mean")
+            )
         self._params = init(jax.random.PRNGKey(seed))
         self._replay = ReplayBuffer(
             config.dim_s,
@@ -101,8 +114,14 @@ class DynamicsHandler:
 
     @property
     def dynamics_fn(self) -> Callable:
-        """``(DynamicsParams, state [B,S], action [B,U]) -> next_state [B,S]``."""
+        """``(DynamicsParams, state [B,S], action [B,U], key=None) -> next_state [B,S]``."""
         return self._dynamics_fn
+
+    @property
+    def mean_dynamics_fn(self) -> Callable:
+        """Posterior-mean dynamics (ensemble-averaged, head means) for diagnostics; equals
+        :attr:`dynamics_fn` unless propagation is member-partitioned (``ts1``/``ts_inf``)."""
+        return self._mean_dynamics_fn
 
     @property
     def dynamics_params(self) -> DynamicsParams:
@@ -115,8 +134,9 @@ class DynamicsHandler:
     # ------------------------------------------------------------------ prediction
 
     def predict(self, states, actions) -> jax.Array:
-        """One-step prediction through the full normalize/denormalize chain."""
-        return self._dynamics_fn(
+        """One-step posterior-mean prediction through the full normalize/denormalize chain
+        (diagnostic path: batch need not divide the ensemble)."""
+        return self._mean_dynamics_fn(
             self._params, jnp.asarray(states, jnp.float32), jnp.asarray(actions, jnp.float32)
         )
 

@@ -9,11 +9,17 @@ Here the whole chain is one pure function over an explicit :class:`DynamicsParam
 the MPC policy can thread freshly-trained parameters into a jitted solve without recompiling.
 
 Ensembles (absent in the reference — single model only, README TODO) are a stacked leading
-params axis with two propagation modes:
+params axis with three propagation modes:
 
-* ``"mean"``  — average the member predictions each step (probabilistic smoothing);
-* ``"ts1"``   — trajectory sampling: population rows are statically partitioned across members
-  (row ``i`` uses member ``i % E``), the PETS TS-1 scheme, at no extra FLOPs.
+* ``"mean"``   — average the member predictions each step (probabilistic smoothing);
+* ``"ts1"``    — trajectory sampling over members: population rows are statically partitioned
+  across members (row ``i`` uses member ``i % E`` for the whole horizon) at no extra FLOPs.
+  Deterministic: uses the head means;
+* ``"ts_inf"`` — PETS TS-∞: the same fixed per-particle member assignment, **plus** a Gaussian
+  sample from the probabilistic head at every step (``s' ~ N(mean, exp(logvar))``), so planning
+  sees the model's aleatoric + ensemble uncertainty instead of the mean. Requires
+  ``probabilistic=True``; the dynamics function takes an extra PRNG ``key`` argument
+  (``key=None`` falls back to the means — used for the one-step lookahead report).
 """
 from __future__ import annotations
 
@@ -46,7 +52,7 @@ class LearnedDynamicsConfig:
     hidden: tuple = (32, 32, 32)
     activation: str = "tanh"
     ensemble_size: int = 1
-    propagation: str = "mean"  # "mean" | "ts1"
+    propagation: str = "mean"  # "mean" | "ts1" | "ts_inf"
     normalized: bool = True  # reference is_normalized (system_dynamics_handler.py:57)
     predict_delta: bool = True  # default_transform_targets: network predicts s' - s
     # Probabilistic (PETS-style) Gaussian output head: the network predicts (mean, logvar)
@@ -87,6 +93,10 @@ def make_learned_dynamics(
     """
     mlp_cfg = config.mlp
     ensemble = config.ensemble_size
+    if config.propagation not in ("mean", "ts1", "ts_inf"):
+        raise ValueError(f"unknown propagation {config.propagation!r}")
+    if config.propagation == "ts_inf" and not config.probabilistic:
+        raise ValueError("propagation='ts_inf' samples the Gaussian head: set probabilistic=True")
     if config.predict_delta:
         inverse = transforms.delta_inverse_transform
     else:
@@ -110,13 +120,39 @@ def make_learned_dynamics(
         target = dp.stats.denormalize_targets(raw_target) if config.normalized else raw_target
         return inverse(state, target)
 
-    def _head(raw: jax.Array) -> jax.Array:
-        """Probabilistic head -> mean prediction (planning uses the means)."""
-        if config.probabilistic:
-            return raw[..., : config.dim_s]
-        return raw
+    def _head(raw: jax.Array, key: jax.Array | None) -> jax.Array:
+        """Probabilistic head -> prediction in normalized-target space.
 
-    def dynamics_fn(dp: DynamicsParams, state: jax.Array, action: jax.Array) -> jax.Array:
+        ``key=None`` (mean/ts1 modes, or the one-step lookahead) returns the means;
+        with a key (ts_inf) each row gets an independent Gaussian sample
+        ``mean + exp(0.5*logvar) * eps`` — the PETS aleatoric-noise propagation.
+        """
+        if not config.probabilistic:
+            return raw
+        mean = raw[..., : config.dim_s]
+        if key is None:
+            return mean
+        logvar = bound_logvar(raw[..., config.dim_s :])
+        eps = jax.random.normal(key, mean.shape, mean.dtype)
+        return mean + jnp.exp(0.5 * logvar) * eps
+
+    def _member_partitioned(params, x: jax.Array) -> jax.Array:
+        """Row i of x through member i % E, fixed over the whole horizon (TS member scheme)."""
+        batch = x.shape[0]
+        if batch % ensemble != 0:
+            raise ValueError(
+                f"{config.propagation} propagation needs batch ({batch}) divisible by "
+                f"ensemble ({ensemble})"
+            )
+        # Reshape [B, D] -> [E, B/E, D] with member-major interleaving, vmap members,
+        # restore order.
+        x_groups = x.reshape(batch // ensemble, ensemble, -1).swapaxes(0, 1)
+        raw_groups = jax.vmap(lambda p, xe: mlp_apply(p, xe, config=mlp_cfg))(params, x_groups)
+        return raw_groups.swapaxes(0, 1).reshape(batch, -1)
+
+    def dynamics_fn(
+        dp: DynamicsParams, state: jax.Array, action: jax.Array, key: jax.Array | None = None
+    ) -> jax.Array:
         x = _net_input(dp, state, action)
         if ensemble <= 1:
             raw = mlp_apply(dp.params, x, config=mlp_cfg)
@@ -124,22 +160,10 @@ def make_learned_dynamics(
             raw = jnp.mean(
                 jax.vmap(lambda p: mlp_apply(p, x, config=mlp_cfg))(dp.params), axis=0
             )
-        elif config.propagation == "ts1":
-            batch = x.shape[0]
-            if batch % ensemble != 0:
-                raise ValueError(
-                    f"ts1 propagation needs batch ({batch}) divisible by ensemble ({ensemble})"
-                )
-            # Row i uses member i % E: reshape [B, D] -> [E, B/E, D] with member-major
-            # interleaving, vmap members, restore order.
-            x_groups = x.reshape(batch // ensemble, ensemble, -1).swapaxes(0, 1)
-            raw_groups = jax.vmap(lambda p, xe: mlp_apply(p, xe, config=mlp_cfg))(
-                dp.params, x_groups
-            )
-            raw = raw_groups.swapaxes(0, 1).reshape(batch, -1)
-        else:
-            raise ValueError(f"unknown propagation {config.propagation!r}")
-        return _target_to_state(dp, state, _head(raw))
+        else:  # "ts1" | "ts_inf": fixed per-row member assignment
+            raw = _member_partitioned(dp.params, x)
+        sample_key = key if config.propagation == "ts_inf" else None
+        return _target_to_state(dp, state, _head(raw, sample_key))
 
     return init, dynamics_fn
 
@@ -149,8 +173,8 @@ def true_model_dynamics(analytic_fn: Callable) -> Callable:
     convention so true models and learned models are interchangeable in the policy layer
     (reference ``true_model`` flag, system_dynamics_handler.py:61,117)."""
 
-    def dynamics_fn(dp, state, action):
-        del dp
+    def dynamics_fn(dp, state, action, key=None):
+        del dp, key
         return analytic_fn(state, action)
 
     return dynamics_fn

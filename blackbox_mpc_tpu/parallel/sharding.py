@@ -61,9 +61,13 @@ def make_sharded_evaluator(
         dynamics_fn, reward_fn, discount=discount, nan_guard=nan_guard
     )
 
-    def evaluate(initial_states: jax.Array, action_sequences: jax.Array) -> jax.Array:
+    def evaluate(
+        initial_states: jax.Array,
+        action_sequences: jax.Array,
+        key: Optional[jax.Array] = None,
+    ) -> jax.Array:
         action_sequences = shard_population(mesh, action_sequences, axis=axis)
-        rewards = base(initial_states, action_sequences)
+        rewards = base(initial_states, action_sequences, key)
         return shard_population(mesh, rewards, axis=axis)
 
     return evaluate

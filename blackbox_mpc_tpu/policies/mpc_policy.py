@@ -79,6 +79,16 @@ class MPCPolicy(ModelBasedPolicy):
             raise ValueError(f"rollout_backend must be 'xla' or 'pallas', got {rollout_backend!r}")
         if rollout_backend == "pallas" and dynamics_handler.is_true_model:
             raise ValueError("rollout_backend='pallas' requires learned MLP dynamics")
+        self._stochastic = (
+            not dynamics_handler.is_true_model
+            and dynamics_handler.config is not None
+            and dynamics_handler.config.propagation == "ts_inf"
+        )
+        if rollout_backend == "pallas" and self._stochastic:
+            raise ValueError(
+                "rollout_backend='pallas' does not support propagation='ts_inf' "
+                "(the fused kernel is deterministic); use the XLA backend"
+            )
         if rollout_backend == "pallas" and mesh is not None:
             raise ValueError(
                 "rollout_backend='pallas' and mesh= are mutually exclusive for now "
@@ -125,6 +135,7 @@ class MPCPolicy(ModelBasedPolicy):
         bounds = self._bounds
         reward_fn = self._reward_fn
         dynamics_fn = self._handler.dynamics_fn
+        mean_dynamics_fn = self._handler.mean_dynamics_fn
         discount = self._discount
         noise_scale = self._noise_scale
 
@@ -137,7 +148,10 @@ class MPCPolicy(ModelBasedPolicy):
                 self._handler.config, reward_fn, discount=discount
             )
 
+        stochastic = self._stochastic
+
         def step(solver_state, dynamics_params, obs, t, key, add_noise: bool):
+            solve_key, noise_key, rollout_key = jax.random.split(key, 3)
             if pallas_evaluate is not None:
                 evaluate = partial(pallas_evaluate, dynamics_params)
             elif mesh is not None:
@@ -151,14 +165,22 @@ class MPCPolicy(ModelBasedPolicy):
                 evaluate = make_trajectory_evaluator(
                     partial(dynamics_fn, dynamics_params), reward_fn, discount=discount
                 )
+            if stochastic:
+                # TS-inf: bind ONE rollout-noise key for the whole solve — every solver
+                # iteration scores candidates under the same dynamics-noise draw (common
+                # random numbers), so iteration-over-iteration improvement reflects the
+                # candidates, not the noise. The solver->evaluator contract is unchanged.
+                base_evaluate = evaluate
+                evaluate = lambda s, a: base_evaluate(s, a, rollout_key)  # noqa: E731
             solver = factory(config, bounds, evaluate)
-            solve_key, noise_key = jax.random.split(key)
             action, new_state, aux = solver.solve(solver_state, obs, t, solve_key)
             if add_noise:
                 action = _exploration_noise(noise_key, action, bounds, noise_scale)
             # One-step lookahead, as in the reference optimizer base
-            # (optimizer_base.py:91-94): predicted next state + its reward.
-            next_obs = dynamics_fn(dynamics_params, obs, action)
+            # (optimizer_base.py:91-94): predicted next state + its reward. Uses the
+            # posterior-mean dynamics — a [num_agents, S] probe batch need not divide the
+            # ensemble, and the report should not be a single noise draw.
+            next_obs = mean_dynamics_fn(dynamics_params, obs, action)
             pred_reward = reward_fn(obs, action, next_obs)
             return action, new_state, aux, next_obs, pred_reward
 

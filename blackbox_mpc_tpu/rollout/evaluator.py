@@ -31,26 +31,40 @@ def rollout_trajectories(
     *,
     discount: float = 1.0,
     return_states: bool = False,
+    key: jax.Array | None = None,
 ):
     """Rolls a batch of action sequences through the dynamics, accumulating reward.
 
     Returns total_reward [B] (and the visited state trajectory [H, B, S] if requested).
+
+    ``key``: for stochastic dynamics (PETS TS-∞ sampling propagation) — split into one
+    subkey per horizon step and passed as ``dynamics_fn(state, action, key_t)``. ``None``
+    keeps the deterministic two-argument call.
     """
     actions_time_major = jnp.swapaxes(action_sequences, 0, 1)  # [H, B, U]
+    horizon = action_sequences.shape[1]
 
-    def step(carry, actions_t):
+    def step(carry, xs):
         state, total, disc = carry
-        next_state = dynamics_fn(state, actions_t)
+        if key is None:
+            (actions_t,) = xs
+            next_state = dynamics_fn(state, actions_t)
+        else:
+            actions_t, key_t = xs
+            next_state = dynamics_fn(state, actions_t, key_t)
         r = reward_fn(state, actions_t, next_state)
         out = next_state if return_states else None
         return (next_state, total + disc * r, disc * discount), out
 
+    xs = (actions_time_major,) if key is None else (
+        actions_time_major, jax.random.split(key, horizon)
+    )
     init = (
         initial_states,
         jnp.zeros(initial_states.shape[0], dtype=initial_states.dtype),
         jnp.ones((), dtype=initial_states.dtype),
     )
-    (final_state, total_reward, _), states = jax.lax.scan(step, init, actions_time_major)
+    (final_state, total_reward, _), states = jax.lax.scan(step, init, xs)
     del final_state
     if return_states:
         return total_reward, states
@@ -72,13 +86,17 @@ def make_trajectory_evaluator(
     for H steps, and per-trajectory rewards are summed (NaN -> -1e6).
     """
 
-    def evaluate(initial_states: jax.Array, action_sequences: jax.Array) -> jax.Array:
+    def evaluate(
+        initial_states: jax.Array,
+        action_sequences: jax.Array,
+        key: jax.Array | None = None,
+    ) -> jax.Array:
         pop, agents, horizon, dim_u = action_sequences.shape
         flat_actions = action_sequences.reshape(pop * agents, horizon, dim_u)
         # Tile [A, S] -> [P*A, S] with agent minor, matching tf.tile(current_states, [pop, 1]).
         flat_states = jnp.tile(initial_states, (pop, 1))
         total = rollout_trajectories(
-            dynamics_fn, reward_fn, flat_states, flat_actions, discount=discount
+            dynamics_fn, reward_fn, flat_states, flat_actions, discount=discount, key=key
         )
         rewards = total.reshape(pop, agents)
         if nan_guard:

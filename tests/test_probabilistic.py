@@ -48,3 +48,105 @@ def test_pallas_rejects_probabilistic():
     cfg = LearnedDynamicsConfig(dim_s=3, dim_u=1, probabilistic=True)
     with pytest.raises(ValueError, match="probabilistic"):
         make_pallas_rollout_evaluator(cfg, lambda s, a, ns: jnp.zeros(s.shape[0]))
+
+
+# ------------------------------------------------------------------ TS-inf propagation
+
+
+def test_ts_inf_requires_probabilistic():
+    cfg = LearnedDynamicsConfig(dim_s=3, dim_u=1, ensemble_size=2, propagation="ts_inf")
+    with pytest.raises(ValueError, match="probabilistic"):
+        make_learned_dynamics(cfg)
+
+
+def test_ts_inf_one_step_sampling_statistics():
+    """Sampled next states are centred on the mean prediction with nonzero spread."""
+    cfg = LearnedDynamicsConfig(
+        dim_s=3, dim_u=1, hidden=(16,), ensemble_size=2, propagation="ts_inf",
+        probabilistic=True,
+    )
+    init, dyn = make_learned_dynamics(cfg)
+    dp = init(jax.random.PRNGKey(0))
+    s = jnp.tile(jnp.asarray([[1.0, 0.0, 0.5], [0.0, 1.0, -0.5]]), (1, 1))
+    a = jnp.asarray([[0.3], [-0.3]])
+    mean_pred = dyn(dp, s, a)  # key=None -> head means
+    draws = jnp.stack(
+        [dyn(dp, s, a, jax.random.PRNGKey(i)) for i in range(500)]
+    )
+    emp_mean = draws.mean(axis=0)
+    emp_std = draws.std(axis=0)
+    np.testing.assert_allclose(np.asarray(emp_mean), np.asarray(mean_pred), atol=0.15)
+    assert float(emp_std.min()) > 0.0  # aleatoric noise actually propagates
+
+
+def test_ts_inf_rollout_keyed_and_reproducible():
+    from blackbox_mpc_tpu.rollout.evaluator import make_trajectory_evaluator
+
+    cfg = LearnedDynamicsConfig(
+        dim_s=3, dim_u=1, hidden=(16,), ensemble_size=2, propagation="ts_inf",
+        probabilistic=True,
+    )
+    init, dyn = make_learned_dynamics(cfg)
+    dp = init(jax.random.PRNGKey(1))
+    reward = lambda s, a, ns: -jnp.sum(ns**2, axis=-1)  # noqa: E731
+    evaluate = make_trajectory_evaluator(lambda s, a, k=None: dyn(dp, s, a, k), reward)
+    s0 = jnp.zeros((1, 3))
+    acts = jax.random.uniform(jax.random.PRNGKey(2), (8, 1, 5, 1), minval=-1, maxval=1)
+    r_a1 = evaluate(s0, acts, jax.random.PRNGKey(10))
+    r_a2 = evaluate(s0, acts, jax.random.PRNGKey(10))
+    r_b = evaluate(s0, acts, jax.random.PRNGKey(11))
+    r_mean = evaluate(s0, acts)  # no key -> deterministic mean propagation
+    np.testing.assert_array_equal(np.asarray(r_a1), np.asarray(r_a2))
+    assert not np.allclose(np.asarray(r_a1), np.asarray(r_b))
+    assert not np.allclose(np.asarray(r_a1), np.asarray(r_mean))
+    assert np.isfinite(np.asarray(r_a1)).all()
+
+
+def test_ts_inf_batch_divisibility_error():
+    cfg = LearnedDynamicsConfig(
+        dim_s=3, dim_u=1, ensemble_size=2, propagation="ts_inf", probabilistic=True
+    )
+    init, dyn = make_learned_dynamics(cfg)
+    dp = init(jax.random.PRNGKey(0))
+    with pytest.raises(ValueError, match="divisible"):
+        dyn(dp, jnp.zeros((3, 3)), jnp.zeros((3, 1)), jax.random.PRNGKey(0))
+
+
+def test_mpc_policy_ts_inf_acts():
+    from blackbox_mpc_tpu.core.spaces import BoxSpace
+    from blackbox_mpc_tpu.models import pendulum_reward
+    from blackbox_mpc_tpu.policies import MPCPolicy
+
+    cfg = LearnedDynamicsConfig(
+        dim_s=3, dim_u=1, hidden=(16,), ensemble_size=2, propagation="ts_inf",
+        probabilistic=True,
+    )
+    handler = DynamicsHandler(config=cfg, seed=0)
+    space = BoxSpace(low=np.asarray([-2.0]), high=np.asarray([2.0]))
+    policy = MPCPolicy(
+        action_space=space,
+        reward_function=pendulum_reward,
+        dynamics_handler=handler,
+        solver_name="CEM",
+        planning_horizon=5,
+        population=16,
+        num_elite=4,
+        max_iterations=2,
+        seed=0,
+    )
+    obs = np.asarray([1.0, 0.0, 0.0], np.float32)
+    action, next_obs, pred_reward = policy.act(obs)
+    assert action.shape == (1,) and np.isfinite(action).all()
+    assert next_obs.shape == (3,) and np.isfinite(pred_reward)
+
+    with pytest.raises(ValueError, match="ts_inf"):
+        MPCPolicy(
+            action_space=space,
+            reward_function=pendulum_reward,
+            dynamics_handler=handler,
+            solver_name="CEM",
+            planning_horizon=5,
+            population=16,
+            num_elite=4,
+            rollout_backend="pallas",
+        )
