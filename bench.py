@@ -90,12 +90,31 @@ def measure(backend: str, n_chain: int, repeats: int):
     return per_solve, totals[1]
 
 
+# Dense-matmul peak TFLOP/s by TPU generation (public spec sheets), keyed on substrings of
+# jax.Device.device_kind. Used to turn the analytic FLOPs/solve into a measured
+# model-FLOPs-utilization figure (docs/performance.md's "near roofline" claim, as an artifact).
+_PEAK_TFLOPS = {"v5 lite": 197.0, "v5e": 197.0, "v5p": 459.0, "v4": 275.0, "v6": 918.0}
+
+
+def analytic_flops_per_solve() -> float:
+    """MXU FLOPs of one flagship solve: 5 iters x H=50 x pop=1000 x 5 members x MLP fwd."""
+    dims = [17 + 6, 500, 500, 500, 17]
+    mlp = 2 * sum(a * b for a, b in zip(dims[:-1], dims[1:]))  # MACs*2 per row
+    return mlp * 1000 * 5 * 50 * 5
+
+
 def main():
     backend = os.environ.get("BENCH_BACKEND", "xla")
     n_chain = int(os.environ.get("BENCH_CHAIN", "11"))
     repeats = int(os.environ.get("BENCH_REPEATS", "4"))
     per_solve, single_rtt = measure(backend, n_chain, repeats)
     solves_per_s = 1.0 / per_solve
+
+    flops = analytic_flops_per_solve()
+    achieved_tflops = flops / per_solve / 1e12
+    kind = jax.devices()[0].device_kind.lower()
+    peak = next((v for k, v in _PEAK_TFLOPS.items() if k in kind), None)
+    mfu_pct = round(100.0 * achieved_tflops / peak, 1) if peak else None
 
     baseline_path = os.path.join(
         os.path.dirname(os.path.abspath(__file__)), "benchmarks", "baseline.json"
@@ -116,6 +135,9 @@ def main():
                 "unit": "solves/s",
                 "vs_baseline": round(vs_baseline, 1) if vs_baseline else None,
                 "per_solve_ms": round(per_solve * 1e3, 3),
+                "tflop_per_solve": round(flops / 1e12, 3),
+                "achieved_tflops_per_s": round(achieved_tflops, 1),
+                "mfu_pct_of_peak": mfu_pct,
                 "single_dispatch_roundtrip_ms": round(single_rtt * 1e3, 1),
                 "backend": backend,
                 "device": str(jax.devices()[0]),

@@ -1,0 +1,167 @@
+"""Backend regime map: XLA scan vs Pallas fused rollout across (population, model, agents).
+
+Measures per-solve latency of the SAME flagship-style CEM solve under both rollout backends
+over a grid of population sizes, MLP widths, and agent counts, using the differential
+chained-timing method (see bench.py). Emits one JSON line per (config, backend) and a final
+summary line with the per-config winner — the measured decision table behind
+``MPCPolicy(rollout_backend="auto")`` (:mod:`blackbox_mpc_tpu.ops.backend_select`).
+
+  python benchmarks/backend_regimes.py [--out benchmarks/backend_regimes_r2.jsonl] [--quick]
+
+Each new shape compiles once (~90-400 s over the tunnel, then cached); the sweep is sized to
+stay under ~20 configs.
+"""
+from __future__ import annotations
+
+import argparse
+import itertools
+import json
+import os
+import time
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+os.makedirs(os.path.expanduser("~/.jax_cache"), exist_ok=True)
+jax.config.update("jax_compilation_cache_dir", os.path.expanduser("~/.jax_cache"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+
+def build_chain(N, backend, population, hidden, agents, ensemble, horizon=50, iterations=5):
+    from blackbox_mpc_tpu.core.types import Bounds
+    from blackbox_mpc_tpu.models.dynamics import LearnedDynamicsConfig, make_learned_dynamics
+    from blackbox_mpc_tpu.rollout.evaluator import make_trajectory_evaluator
+    from blackbox_mpc_tpu.solvers import make_solver
+
+    reward_fn = lambda s, a, ns: ns[:, 0] - 0.1 * jnp.sum(jnp.square(a), axis=-1)  # noqa: E731
+    bounds = Bounds.of(-1.0, 1.0, dim=6)
+    solver_kw = dict(
+        planning_horizon=horizon, population=population, num_agents=agents,
+        num_elite=max(4, population // 20), max_iterations=iterations,
+    )
+    cfg = LearnedDynamicsConfig(
+        dim_s=17, dim_u=6, hidden=tuple(hidden), ensemble_size=ensemble,
+        propagation="mean" if ensemble > 1 else "mean",
+    )
+    init_model, dyn = make_learned_dynamics(cfg)
+    dp = init_model(jax.random.PRNGKey(0))
+    if backend == "pallas":
+        from blackbox_mpc_tpu.ops.pallas_rollout import make_pallas_rollout_evaluator
+
+        tile = min(512, max(128, population * agents // 2))
+        pal = make_pallas_rollout_evaluator(cfg, reward_fn, tile=tile)
+        make_ev = lambda dp: partial(pal, dp)  # noqa: E731
+    else:
+        make_ev = lambda dp: make_trajectory_evaluator(partial(dyn, dp), reward_fn)  # noqa: E731
+
+    def chained(state, dp, obs, key):
+        s = make_solver("CEM", bounds, make_ev(dp), **solver_kw)
+
+        def body(carry, k):
+            st, ob = carry
+            action, st, aux = s.solve(st, ob, jnp.asarray(0), k)
+            ob = dyn(dp, ob, action)
+            return (st, ob), aux.expected_reward[0]
+
+        (_, _), rs = jax.lax.scan(body, (state, obs), jax.random.split(key, N))
+        return rs[-1]
+
+    s0 = make_solver("CEM", bounds, lambda a, b: jnp.zeros(()), **solver_kw)
+    state = jax.jit(s0.init)(jax.random.PRNGKey(1))
+    obs = jnp.zeros((agents, 17))
+    return jax.jit(chained), (state, dp, obs)
+
+
+def measure(backend, population, hidden, agents, ensemble, n_chain, repeats):
+    totals, value = {}, None
+    for N in (1, n_chain):
+        jfn, (state, dp, obs) = build_chain(N, backend, population, hidden, agents, ensemble)
+        v = float(jfn(state, dp, obs, jax.random.PRNGKey(9)))  # compile + warm
+        if N == 1:
+            value = v
+        lat = []
+        for k in jax.random.split(jax.random.PRNGKey(5), repeats):
+            t0 = time.perf_counter()
+            float(jfn(state, dp, obs, k))
+            lat.append(time.perf_counter() - t0)
+        totals[N] = float(np.min(lat))
+    per_solve = (totals[n_chain] - totals[1]) / (n_chain - 1)
+    return per_solve, value
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--out", default=None)
+    p.add_argument("--quick", action="store_true")
+    p.add_argument("--chain", type=int, default=6)
+    p.add_argument("--repeats", type=int, default=3)
+    args = p.parse_args()
+
+    # The sweep: small-model regimes where the fused kernel's VMEM residency can win, up to
+    # the flagship shape where XLA's big-matmul pipeline is near roofline.
+    grid = [
+        # (population, hidden, agents, ensemble)
+        (128, (64, 64), 1, 1),
+        (512, (64, 64), 1, 1),
+        (4096, (64, 64), 1, 1),
+        (128, (200, 200), 1, 1),
+        (1000, (200, 200), 1, 1),
+        (1000, (200, 200), 16, 1),
+        (1000, (500, 500, 500), 1, 5),  # flagship
+    ]
+    if args.quick:
+        grid = grid[:2]
+
+    rows = []
+    for (population, hidden, agents, ensemble), backend in itertools.product(
+        grid, ("xla", "pallas")
+    ):
+        try:
+            per_solve, value = measure(
+                backend, population, hidden, agents, ensemble, args.chain, args.repeats
+            )
+            row = {
+                "backend": backend, "population": population, "hidden": list(hidden),
+                "agents": agents, "ensemble": ensemble,
+                "per_solve_ms": round(per_solve * 1e3, 3),
+                "solves_per_s": round(1.0 / per_solve, 1),
+                "chain_result": value,
+                "device": str(jax.devices()[0]),
+            }
+        except Exception as e:  # noqa: BLE001 — record per-config failures, keep sweeping
+            row = {
+                "backend": backend, "population": population, "hidden": list(hidden),
+                "agents": agents, "ensemble": ensemble, "error": f"{type(e).__name__}: {e}",
+            }
+        print(json.dumps(row), flush=True)
+        rows.append(row)
+
+    # Per-config winner summary
+    winners = []
+    for population, hidden, agents, ensemble in grid:
+        pair = {
+            r["backend"]: r for r in rows
+            if (r["population"], tuple(r["hidden"]), r["agents"], r["ensemble"])
+            == (population, hidden, agents, ensemble) and "per_solve_ms" in r
+        }
+        if len(pair) == 2:
+            x, pl = pair["xla"]["per_solve_ms"], pair["pallas"]["per_solve_ms"]
+            winners.append({
+                "population": population, "hidden": list(hidden), "agents": agents,
+                "ensemble": ensemble, "xla_ms": x, "pallas_ms": pl,
+                "winner": "pallas" if pl < x else "xla",
+                "speedup": round(max(x, pl) / min(x, pl), 3),
+            })
+    summary = {"summary": "backend_regimes", "winners": winners}
+    print(json.dumps(summary), flush=True)
+    if args.out:
+        with open(args.out, "w") as f:
+            for r in rows:
+                f.write(json.dumps(r) + "\n")
+            f.write(json.dumps(summary) + "\n")
+
+
+if __name__ == "__main__":
+    main()

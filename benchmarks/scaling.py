@@ -12,6 +12,18 @@ cancel.
 Usage:
   python benchmarks/scaling.py --config multi_agent --agents 256 --population 1000
   python benchmarks/scaling.py --config sharded --devices 8
+
+Multi-host weak scaling (BASELINE config #5) — run the SAME command on every host of a pod
+slice (all jax.distributed args auto-detect under standard TPU orchestration), or launch N
+local processes with explicit flags to validate on CPU:
+
+  python benchmarks/scaling.py --config multihost --population-per-device 12500
+  python benchmarks/scaling.py --config multihost --coordinator localhost:9999 \
+      --num-processes 2 --process-id $i          # + JAX_PLATFORMS=cpu for a CPU rehearsal
+
+Population scales with the global device count (weak scaling): constant per-solve latency
+== 100% scaling efficiency; process 0 prints the JSON line with the measured efficiency
+denominator (per-solve time at this world size; compare runs at different sizes).
 Prints one JSON line.
 """
 from __future__ import annotations
@@ -30,7 +42,16 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 def main():
     p = argparse.ArgumentParser()
-    p.add_argument("--config", choices=["multi_agent", "sharded"], default="multi_agent")
+    p.add_argument(
+        "--config", choices=["multi_agent", "sharded", "multihost"], default="multi_agent"
+    )
+    p.add_argument("--coordinator", default=None, help="host:port (multihost; auto on pods)")
+    p.add_argument("--num-processes", type=int, default=None)
+    p.add_argument("--process-id", type=int, default=None)
+    p.add_argument(
+        "--population-per-device", type=int, default=None,
+        help="multihost weak scaling: population = this * global device count",
+    )
     p.add_argument("--agents", type=int, default=256)
     p.add_argument("--population", type=int, default=1000)
     p.add_argument("--horizon", type=int, default=50)
@@ -45,6 +66,14 @@ def main():
     import jax
     import jax.numpy as jnp
 
+    if os.environ.get("JAX_PLATFORMS") == "cpu":
+        # CPU rehearsal of the pod harness (sitecustomize force-registers the TPU plugin).
+        jax.config.update("jax_platforms", "cpu")
+    if args.config == "multihost":
+        from blackbox_mpc_tpu.parallel.multihost import initialize_multihost
+
+        initialize_multihost(args.coordinator, args.num_processes, args.process_id)
+
     os.makedirs(os.path.expanduser("~/.jax_cache"), exist_ok=True)
     jax.config.update("jax_compilation_cache_dir", os.path.expanduser("~/.jax_cache"))
 
@@ -55,6 +84,8 @@ def main():
 
     dim_s, dim_u = 17, 6
     agents = args.agents if args.config == "multi_agent" else 1
+    if args.config == "multihost" and args.population_per_device:
+        args.population = args.population_per_device * jax.device_count()
     cfg = LearnedDynamicsConfig(dim_s=dim_s, dim_u=dim_u, hidden=tuple(args.hidden))
     init_model, dynamics_fn = make_learned_dynamics(cfg)
     dp = init_model(jax.random.PRNGKey(0))
@@ -77,9 +108,18 @@ def main():
         from blackbox_mpc_tpu.parallel import make_pop_mesh
 
         mesh = make_pop_mesh(args.devices or None)
+    elif args.config == "multihost":
+        from blackbox_mpc_tpu.parallel import make_pop_mesh
+
+        mesh = make_pop_mesh()  # all GLOBAL devices across processes
 
     def make_chain(N):
-        def chained(state, dp, obs, key):
+        # Zero array inputs except the key: solver state / model params / obs are created
+        # inside the traced program, so the identical XLA program runs under any process
+        # topology (multi-process jit cannot take process-local host arrays). The constant
+        # init work cancels in the differential (chain(N) - chain(1)) timing.
+        def chained(key):
+            dp = init_model(jax.random.PRNGKey(0))
             if mesh is not None:
                 from blackbox_mpc_tpu.parallel import make_sharded_evaluator
 
@@ -94,41 +134,54 @@ def main():
                 ob = dynamics_fn(dp, ob, action)
                 return (st, ob), aux.expected_reward[0]
 
+            state = s.init(jax.random.PRNGKey(1))
+            obs = jnp.zeros((agents, dim_s))
             (_, _), rs = jax.lax.scan(body, (state, obs), jax.random.split(key, N))
             return rs[-1]
 
         return jax.jit(chained)
 
-    s0 = make_solver(args.solver, bounds, lambda a, b: jnp.zeros(()), **solver_kwargs)
-    state = jax.jit(s0.init)(jax.random.PRNGKey(1))
-    obs = jnp.zeros((agents, dim_s))
+    multiproc = args.config == "multihost" and jax.process_count() > 1
+    if multiproc:
+        from blackbox_mpc_tpu.parallel.multihost import fetch_replicated, replicate_to_global
+
+        def run(jfn, seed):
+            key = replicate_to_global(np.asarray(jax.random.PRNGKey(seed)), mesh)
+            return float(fetch_replicated(jfn(key)))
+    else:
+
+        def run(jfn, seed):
+            return float(jfn(jax.random.PRNGKey(seed)))
+
     totals = {}
     for N in (1, args.chain):
         jfn = make_chain(N)
-        float(jfn(state, dp, obs, jax.random.PRNGKey(9)))
+        run(jfn, 9)  # compile
         lat = []
-        for k in jax.random.split(jax.random.PRNGKey(5), args.repeats):
+        for r in range(args.repeats):
             t0 = time.perf_counter()
-            float(jfn(state, dp, obs, k))
+            run(jfn, 100 + r)
             lat.append(time.perf_counter() - t0)
         totals[N] = float(np.min(lat))
     per_solve = (totals[args.chain] - totals[1]) / (args.chain - 1)
     traj_steps = args.population * agents * args.horizon * args.iterations
-    print(
-        json.dumps(
-            {
-                "config": args.config,
-                "solver": args.solver,
-                "agents": agents,
-                "population": args.population,
-                "devices": len(mesh.devices.flat) if mesh is not None else 1,
-                "per_solve_ms": round(per_solve * 1e3, 3),
-                "solves_per_s": round(1.0 / per_solve, 2),
-                "trajectory_steps_per_s": round(traj_steps / per_solve, 0),
-                "device_kind": str(jax.devices()[0]),
-            }
+    if not multiproc or jax.process_index() == 0:
+        print(
+            json.dumps(
+                {
+                    "config": args.config,
+                    "solver": args.solver,
+                    "agents": agents,
+                    "population": args.population,
+                    "devices": len(mesh.devices.flat) if mesh is not None else 1,
+                    "processes": jax.process_count(),
+                    "per_solve_ms": round(per_solve * 1e3, 3),
+                    "solves_per_s": round(1.0 / per_solve, 2),
+                    "trajectory_steps_per_s": round(traj_steps / per_solve, 0),
+                    "device_kind": str(jax.devices()[0]),
+                }
+            )
         )
-    )
 
 
 if __name__ == "__main__":

@@ -75,8 +75,10 @@ class MPCPolicy(ModelBasedPolicy):
         self._writer = metrics_writer
         self._mesh = mesh
         self._shard_axis = shard_axis
-        if rollout_backend not in ("xla", "pallas"):
-            raise ValueError(f"rollout_backend must be 'xla' or 'pallas', got {rollout_backend!r}")
+        if rollout_backend not in ("xla", "pallas", "auto"):
+            raise ValueError(
+                f"rollout_backend must be 'xla', 'pallas', or 'auto', got {rollout_backend!r}"
+            )
         if rollout_backend == "pallas" and dynamics_handler.is_true_model:
             raise ValueError("rollout_backend='pallas' requires learned MLP dynamics")
         self._stochastic = (
@@ -94,6 +96,9 @@ class MPCPolicy(ModelBasedPolicy):
                 "rollout_backend='pallas' and mesh= are mutually exclusive for now "
                 "(the fused kernel is single-chip; shard with the XLA backend)"
             )
+        # "auto" resolves per solver config in _build (needs the population size); the
+        # measured decision rule lives in ops/backend_select.py.
+        self._requested_backend = rollout_backend
         self._rollout_backend = rollout_backend
         self._key = jax.random.PRNGKey(seed)
         self._solver_kwargs = dict(solver_kwargs)
@@ -132,6 +137,18 @@ class MPCPolicy(ModelBasedPolicy):
             )
         self._solver_name = solver_name
         self._config = config
+        if self._requested_backend == "auto":
+            from blackbox_mpc_tpu.ops.backend_select import choose_backend
+
+            resolved = choose_backend(
+                None if self._handler.is_true_model else self._handler.config,
+                getattr(config, "population", 0),
+                self._num_agents,
+                mesh=self._mesh,
+            ) if not self._stochastic else "xla"
+            if resolved != self._rollout_backend:
+                logger.info("rollout_backend auto -> %s", resolved)
+            self._rollout_backend = resolved
         bounds = self._bounds
         reward_fn = self._reward_fn
         dynamics_fn = self._handler.dynamics_fn

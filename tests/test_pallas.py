@@ -86,3 +86,46 @@ def test_pallas_rollout_ts1_rejects_indivisible(rng):
     ev = make_pallas_rollout_evaluator(cfg, reward_fn, tile=8, interpret=True)
     with pytest.raises(ValueError, match="divisible"):
         ev(dp, jnp.zeros((1, 3)), jnp.zeros((7, 1, 4, 1)))
+
+
+def test_backend_auto_selection():
+    from blackbox_mpc_tpu.models.dynamics import LearnedDynamicsConfig
+    from blackbox_mpc_tpu.ops.backend_select import choose_backend
+
+    small = LearnedDynamicsConfig(dim_s=3, dim_u=1, hidden=(32, 32))
+    big = LearnedDynamicsConfig(dim_s=17, dim_u=6, hidden=(500, 500, 500), ensemble_size=5)
+    prob = LearnedDynamicsConfig(dim_s=3, dim_u=1, hidden=(32, 32), probabilistic=True)
+    assert choose_backend(small, 256, 1, platform="tpu") == "pallas"
+    assert choose_backend(big, 1000, 1, platform="tpu") == "xla"       # flagship: XLA wins
+    assert choose_backend(small, 100000, 1, platform="tpu") == "xla"   # beyond measured rows
+    assert choose_backend(None, 256, 1, platform="tpu") == "xla"       # true model
+    assert choose_backend(small, 256, 1, platform="cpu") == "xla"      # Mosaic needs TPU
+    assert choose_backend(prob, 256, 1, platform="tpu") == "xla"       # deterministic only
+    assert choose_backend(small, 256, 1, platform="tpu", mesh=object()) == "xla"
+
+
+def test_mpc_policy_auto_backend_resolves_on_cpu():
+    import numpy as np
+
+    from blackbox_mpc_tpu.core.spaces import BoxSpace
+    from blackbox_mpc_tpu.learning import DynamicsHandler
+    from blackbox_mpc_tpu.models import pendulum_reward
+    from blackbox_mpc_tpu.models.dynamics import LearnedDynamicsConfig
+    from blackbox_mpc_tpu.policies import MPCPolicy
+
+    handler = DynamicsHandler(config=LearnedDynamicsConfig(dim_s=3, dim_u=1, hidden=(32, 32)))
+    policy = MPCPolicy(
+        action_space=BoxSpace(low=np.asarray([-2.0]), high=np.asarray([2.0])),
+        reward_function=pendulum_reward,
+        dynamics_handler=handler,
+        solver_name="CEM",
+        planning_horizon=5,
+        population=64,
+        num_elite=8,
+        rollout_backend="auto",
+    )
+    # On the CPU test platform auto must fall back to the XLA scan (Mosaic is TPU-only)
+    # and the policy must actually act.
+    assert policy._rollout_backend == "xla"
+    action, _, _ = policy.act(np.asarray([1.0, 0.0, 0.0], np.float32))
+    assert np.isfinite(action).all()
