@@ -17,8 +17,11 @@ import argparse
 import itertools
 import json
 import os
+import sys
 import time
 from functools import partial
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax
 import jax.numpy as jnp

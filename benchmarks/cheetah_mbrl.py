@@ -1,0 +1,127 @@
+"""HalfCheetah MBRL end-to-end: probabilistic-ensemble PETS-style learning + MPC control.
+
+The task-success benchmark (reference flagship demo: ``tutorials/mujoco/tutorial_two.py``,
+10 outer iterations — it publishes GIFs, no numbers). Round-1 run (mean propagation) peaked
+at 409.6 episode reward over 30 refinements; this script parameterizes the propagation mode
+so TS-inf (sampling) planning can be compared on the same training pipeline.
+
+  python benchmarks/cheetah_mbrl.py --propagation ts_inf --refinements 30 \
+      --out benchmarks/cheetah_tsinf_run.jsonl
+
+Appends one JSON line per scalar to --out (same format as cheetah_probabilistic_run.jsonl).
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+class JsonlWriter:
+    """MetricsWriter-compatible scalar sink appending JSONL rows."""
+
+    def __init__(self, path):
+        self._f = open(path, "a")
+        self.history = {}
+
+    def scalar(self, tag, value, step):
+        self._f.write(json.dumps({
+            "tag": tag, "value": float(value), "step": int(step),
+            "t": time.strftime("%H:%M:%S"),
+        }) + "\n")
+        self._f.flush()
+        self.history.setdefault(tag, []).append((step, float(value)))
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--propagation", choices=["mean", "ts1", "ts_inf"], default="ts_inf")
+    p.add_argument("--members", type=int, default=5)
+    p.add_argument("--refinements", type=int, default=30)
+    p.add_argument("--initial-rollouts", type=int, default=5)
+    p.add_argument("--steps", type=int, default=200, help="env rollout horizon")
+    p.add_argument("--planning-horizon", type=int, default=15)
+    p.add_argument("--population", type=int, default=510, help="divisible by members*envs")
+    p.add_argument("--hidden", type=int, nargs="+", default=[256, 256, 256])
+    p.add_argument("--epochs", type=int, default=12)
+    p.add_argument("--num-envs", type=int, default=2)
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--cpu", action="store_true")
+    p.add_argument("--out", default="benchmarks/cheetah_mbrl_run.jsonl")
+    args = p.parse_args()
+
+    if args.cpu:
+        os.environ["JAX_PLATFORMS"] = "cpu"
+    import jax
+
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
+    os.makedirs(os.path.expanduser("~/.jax_cache"), exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", os.path.expanduser("~/.jax_cache"))
+
+    import jax.numpy as jnp
+    import numpy as np
+
+    from blackbox_mpc_tpu import LearnedDynamicsConfig, learn_dynamics_iteratively_w_mpc
+    from blackbox_mpc_tpu.envs import make_gym_vec_env
+
+    writer = JsonlWriter(args.out)
+    writer._f.write(json.dumps({
+        "run": f"{args.propagation} {args.members}-member ensemble HalfCheetah MBRL",
+        "config": f"pop={args.population} H={args.planning_horizon} iters=5 "
+                  f"hidden={'x'.join(map(str, args.hidden))} NLL lr=3e-3 "
+                  f"propagation={args.propagation}",
+        "start": time.strftime("%Y-%m-%dT%H:%M:%S"),
+    }) + "\n")
+    writer._f.flush()
+
+    def cheetah_reward(state, action, next_state):
+        return (next_state[:, 0] - state[:, 0]) / 0.05 - 0.1 * jnp.sum(
+            jnp.square(action), axis=-1
+        )
+
+    env = make_gym_vec_env(
+        "HalfCheetah-v5", num_envs=args.num_envs, mode="subprocess", base_seed=args.seed,
+        exclude_current_positions_from_observation=False,
+    )
+    cfg = LearnedDynamicsConfig(
+        dim_s=18, dim_u=6, hidden=tuple(args.hidden), ensemble_size=args.members,
+        probabilistic=True, propagation=args.propagation,
+    )
+    handler, policy = learn_dynamics_iteratively_w_mpc(
+        env,
+        cheetah_reward,
+        solver_name="CEM",
+        planning_horizon=args.planning_horizon,
+        number_of_initial_rollouts=args.initial_rollouts,
+        number_of_rollouts_per_refinement=1,
+        number_of_refinement_steps=args.refinements,
+        rollout_horizon=args.steps,
+        dynamics_config=cfg,
+        epochs=args.epochs,
+        batch_size=256,
+        learning_rate=3e-3,
+        population=args.population,
+        num_elite=50,
+        max_iterations=5,
+        metrics_writer=writer,
+        seed=args.seed,
+    )
+    env.close()
+    ep = writer.history.get("rewards/actual_episode_reward", [])
+    best = max((v for _, v in ep), default=float("nan"))
+    print(json.dumps({
+        "metric": f"HalfCheetah MBRL peak episode reward ({args.propagation})",
+        "value": round(best, 1),
+        "unit": "episode_reward",
+        "episodes": len(ep),
+        "propagation": args.propagation,
+    }))
+
+
+if __name__ == "__main__":
+    main()

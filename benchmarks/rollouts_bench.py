@@ -28,6 +28,9 @@ def main():
     p.add_argument("--backend", choices=["native", "shm", "subprocess", "sync"], default="native")
     p.add_argument("--population", type=int, default=256)
     p.add_argument("--horizon", type=int, default=25)
+    p.add_argument("--overlap", action="store_true",
+                   help="speculative depth-1 pipelining (policies/pipeline.py)")
+    p.add_argument("--spec-tol", type=float, default=0.05)
     args = p.parse_args()
     if args.cpu:
         os.environ["JAX_PLATFORMS"] = "cpu"
@@ -62,10 +65,13 @@ def main():
         num_elite=max(8, args.population // 10),
         max_iterations=5,
     )
+    run_kw = dict(overlap=args.overlap, spec_tol=args.spec_tol) if args.overlap else {}
     # warm (compile)
-    perform_rollouts(env, policy, number_of_rollouts=1, rollout_horizon=5)
+    perform_rollouts(env, policy, number_of_rollouts=1, rollout_horizon=5, **run_kw)
     t0 = time.perf_counter()
-    result = perform_rollouts(env, policy, number_of_rollouts=1, rollout_horizon=args.steps)
+    result = perform_rollouts(
+        env, policy, number_of_rollouts=1, rollout_horizon=args.steps, **run_kw
+    )
     dt = time.perf_counter() - t0
     if hasattr(env, "close"):
         env.close()
@@ -79,6 +85,8 @@ def main():
                 "env_steps_per_s": round(steps_done * args.envs / dt, 1),
                 "act_p50_ms": round(result["latency"]["p50_s"] * 1e3, 2),
                 "mean_episode_reward": round(float(np.mean(result["reward_sum"])), 2),
+                "overlap": args.overlap,
+                "spec_hit_rate": result.get("spec_hit_rate"),
                 "device": "cpu" if args.cpu else "accelerator",
             }
         )

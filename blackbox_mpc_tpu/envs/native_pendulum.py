@@ -73,6 +73,15 @@ class NativePendulumVecEnv:
         done = np.full(self.num_envs, self._t >= self._max_steps)
         return self._obs(), (-cost).astype(np.float32), done, [{}] * self.num_envs
 
+    def step_async(self, actions: np.ndarray) -> None:
+        """Async-API parity with the process-backed vec envs (physics is instantaneous
+        here, so the 'pending' step simply buffers the result)."""
+        self._pending = self.step(actions)
+
+    def step_wait(self) -> Tuple[np.ndarray, np.ndarray, np.ndarray, list]:
+        result, self._pending = self._pending, None
+        return result
+
     def render(self):
         """Returns a simple [H, W, 3] frame visualizing env 0 (for video recording)."""
         size = 200

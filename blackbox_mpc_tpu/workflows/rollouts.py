@@ -1,12 +1,13 @@
 """Rollout collection: run a policy against a vectorized environment.
 
 Counterpart of ``perform_rollouts`` / ``_sample``
-(``/root/reference/blackbox_mpc/utils/rollouts.py:10-139``). Addition over the reference:
+(``/root/reference/blackbox_mpc/utils/rollouts.py:10-139``). Additions over the reference:
 structured latency/throughput metrics (p50 act latency is the framework's headline number; the
-reference only logs a mean, ``rollouts.py:133``). The MPC control loop is inherently sequential
-(the next solve needs the stepped observation), so this runner steps synchronously; the envs'
-``step_async``/``step_wait`` split exists for pipelines that can overlap (e.g. off-policy
-collection).
+reference only logs a mean, ``rollouts.py:133``), and ``overlap=True`` — depth-1 speculative
+pipelining (:class:`~blackbox_mpc_tpu.policies.pipeline.SpeculativePipeline`) that solves step
+t+1 from the model's predicted observation while the env steps via ``step_async``/
+``step_wait``, hiding solve+readback latency behind env time (the reference blocks
+synchronously on both, ``subprocess_env.py:185-194``).
 """
 from __future__ import annotations
 
@@ -43,12 +44,21 @@ def perform_rollouts(
     exploration_noise: bool = False,
     metrics_writer: Optional[MetricsWriter] = None,
     start_step: int = 0,
+    overlap: bool = False,
+    spec_tol: Optional[float] = 0.05,
 ) -> RolloutResult:
     """Collects ``number_of_rollouts`` episodes of length ``rollout_horizon``.
 
     Returns observations [N, T+1, E, S], actions [N, T, E, U], rewards [N, T, E] with
     E = env.num_envs, plus per-episode reward sums and act-latency stats — the same payload as
     the reference's ``perform_rollouts`` (rollouts.py:136-139) with the env axis explicit.
+
+    ``overlap=True`` (model-based policies only): speculative depth-1 pipelining — while the
+    env executes ``step_async``, the next solve runs from the model's predicted observation
+    and its action readback is in flight; on arrival, the real observation within
+    ``spec_tol`` (max-abs) of the prediction adopts the speculative action, else an exact
+    re-solve runs with the same per-step PRNG key. ``spec_tol=None`` keeps exact semantics
+    (prefetch only).
     """
     num_envs = env.num_envs
     all_obs: List[np.ndarray] = []
@@ -58,16 +68,32 @@ def perform_rollouts(
     timer = LatencyTimer()
     step_counter = start_step
     model_based = isinstance(policy, ModelBasedPolicy)
+    pipe = None
+    if overlap:
+        if not model_based:
+            raise ValueError("overlap=True requires a model-based policy (it speculates "
+                             "on the policy's predicted next observation)")
+        from blackbox_mpc_tpu.policies.pipeline import SpeculativePipeline
+
+        pipe = SpeculativePipeline(
+            policy, spec_tol=spec_tol, exploration_noise=exploration_noise
+        )
 
     wall_start = time.perf_counter()
     for episode in range(number_of_rollouts):
-        policy.reset()
+        if pipe is not None:
+            pipe.reset()
+        else:
+            policy.reset()
         obs = env.reset()
         ep_obs, ep_actions, ep_rewards, ep_dones = [obs], [], [], []
         predicted_rewards = []
         for t in range(rollout_horizon):
             timer.start()
-            if model_based:
+            if pipe is not None:
+                action, pred_next, pred_reward, _hit = pipe.act(obs, t)
+                predicted_rewards.append(np.asarray(pred_reward))
+            elif model_based:
                 action, pred_next, pred_reward = policy.act(
                     obs, t, exploration_noise=exploration_noise
                 )
@@ -75,7 +101,12 @@ def perform_rollouts(
             else:
                 action = policy.act(obs, t, exploration_noise=exploration_noise)
             timer.stop()
-            obs, reward, done, _infos = env.step(action)
+            if pipe is not None:
+                # The speculative solve + async action readback overlap the env step.
+                env.step_async(action)
+                obs, reward, done, _infos = env.step_wait()
+            else:
+                obs, reward, done, _infos = env.step(action)
             ep_obs.append(obs)
             ep_actions.append(np.asarray(action))
             ep_rewards.append(reward)
@@ -130,6 +161,13 @@ def perform_rollouts(
                 "perf/rollouts_per_s", number_of_rollouts / wall_s, start_step
             )
             metrics_writer.scalar("perf/act_latency_p50_s", latency["p50_s"], start_step)
+            if pipe is not None:
+                metrics_writer.scalar("perf/spec_hit_rate", pipe.hit_rate, start_step)
+    if pipe is not None:
+        logger.info(
+            "speculative pipeline: %d hits / %d misses (%.0f%% hit rate)",
+            pipe.hits, pipe.misses, 100 * pipe.hit_rate,
+        )
     return RolloutResult(
         observations=all_obs,
         actions=all_actions,
@@ -137,4 +175,5 @@ def perform_rollouts(
         dones=all_dones,
         reward_sum=[float(r.sum(axis=0).mean()) for r in all_rewards],
         latency=latency,
+        spec_hit_rate=pipe.hit_rate if pipe is not None else None,
     )
