@@ -53,7 +53,10 @@ def build_chain(N, backend, population, hidden, agents, ensemble, horizon=50, it
     if backend == "pallas":
         from blackbox_mpc_tpu.ops.pallas_rollout import make_pallas_rollout_evaluator
 
-        tile = min(512, max(128, population * agents // 2))
+        # Wide ensembles: tile 256 is the largest that fits VMEM with 5x500^3 weights
+        # (docs/performance.md "Tuning knobs"); small models take the largest aligned tile.
+        rows = population * agents
+        tile = 256 if max(hidden) >= 500 else min(512, max(128, rows))
         pal = make_pallas_rollout_evaluator(cfg, reward_fn, tile=tile)
         make_ev = lambda dp: partial(pal, dp)  # noqa: E731
     else:
@@ -98,32 +101,31 @@ def main():
     p = argparse.ArgumentParser()
     p.add_argument("--out", default=None)
     p.add_argument("--quick", action="store_true")
-    p.add_argument("--chain", type=int, default=6)
     p.add_argument("--repeats", type=int, default=3)
     args = p.parse_args()
 
     # The sweep: small-model regimes where the fused kernel's VMEM residency can win, up to
-    # the flagship shape where XLA's big-matmul pipeline is near roofline.
+    # the flagship shape where XLA's big-matmul pipeline is near roofline. Chain length
+    # scales inversely with expected solve time so the differential (chain(N) - chain(1))
+    # stays far above the tunnel-RTT jitter floor (~1 ms) even for ~100 us solves.
     grid = [
-        # (population, hidden, agents, ensemble)
-        (128, (64, 64), 1, 1),
-        (512, (64, 64), 1, 1),
-        (4096, (64, 64), 1, 1),
-        (128, (200, 200), 1, 1),
-        (1000, (200, 200), 1, 1),
-        (1000, (200, 200), 16, 1),
-        (1000, (500, 500, 500), 1, 5),  # flagship
+        # (population, hidden, agents, ensemble, chain)
+        (128, (64, 64), 1, 1, 64),
+        (4096, (64, 64), 1, 1, 32),
+        (1000, (200, 200), 1, 1, 16),
+        (1000, (200, 200), 16, 1, 8),
+        (1000, (500, 500, 500), 1, 5, 11),  # flagship (chain 11 matches bench.py's cache)
     ]
     if args.quick:
-        grid = grid[:2]
+        grid = grid[:1]
 
     rows = []
-    for (population, hidden, agents, ensemble), backend in itertools.product(
+    for (population, hidden, agents, ensemble, chain), backend in itertools.product(
         grid, ("xla", "pallas")
     ):
         try:
             per_solve, value = measure(
-                backend, population, hidden, agents, ensemble, args.chain, args.repeats
+                backend, population, hidden, agents, ensemble, chain, args.repeats
             )
             row = {
                 "backend": backend, "population": population, "hidden": list(hidden),
@@ -143,7 +145,7 @@ def main():
 
     # Per-config winner summary
     winners = []
-    for population, hidden, agents, ensemble in grid:
+    for population, hidden, agents, ensemble, _chain in grid:
         pair = {
             r["backend"]: r for r in rows
             if (r["population"], tuple(r["hidden"]), r["agents"], r["ensemble"])

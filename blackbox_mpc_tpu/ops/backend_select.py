@@ -24,6 +24,12 @@ __all__ = ["choose_backend", "PALLAS_MAX_WIDTH", "PALLAS_MAX_ROWS"]
 PALLAS_MAX_WIDTH = 64
 PALLAS_MAX_ROWS = 4096
 
+# Candidate tensors beyond this are at risk of exhausting HBM (v5e: 16 GB; the XLA path
+# materializes [P, A, H, U] plus transposed/workspace copies): route CEM to the fused
+# generate-in-kernel solver (ops/pallas_cem.py), which never materializes candidates and has
+# solved 8M-candidate populations on one chip (docs/performance.md "Beyond-HBM populations").
+FUSED_CEM_MIN_BYTES = 4 * 1024**3
+
 
 def choose_backend(
     config,  # LearnedDynamicsConfig | None (None == analytic true model)
@@ -31,8 +37,11 @@ def choose_backend(
     num_agents: int,
     mesh: Optional[object] = None,
     platform: Optional[str] = None,
+    horizon: int = 0,
+    dim_u: int = 0,
+    solver_name: str = "",
 ) -> str:
-    """Returns "pallas" or "xla" for the given solve configuration.
+    """Returns "pallas", "fused_cem", or "xla" for the given solve configuration.
 
     Mirrors the eligibility gates of :func:`~blackbox_mpc_tpu.ops._kernel_common.
     check_kernel_support` plus the measured performance regimes; never raises.
@@ -54,6 +63,15 @@ def choose_backend(
     rows = population * num_agents
     if config.propagation == "ts1" and config.ensemble_size > 1 and rows % config.ensemble_size:
         return "xla"
+    # Beyond-HBM populations: only the generate-in-kernel fused CEM can run them at all.
+    candidate_bytes = rows * horizon * dim_u * 4
+    if (
+        solver_name == "CEM"
+        and candidate_bytes >= FUSED_CEM_MIN_BYTES
+        and config.propagation == "mean"
+        and rows * horizon * dim_u < 2**32  # in-kernel RNG counter range
+    ):
+        return "fused_cem"
     if max(config.hidden) <= PALLAS_MAX_WIDTH and rows <= PALLAS_MAX_ROWS:
         return "pallas"
     return "xla"

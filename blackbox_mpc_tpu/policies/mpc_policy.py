@@ -75,26 +75,28 @@ class MPCPolicy(ModelBasedPolicy):
         self._writer = metrics_writer
         self._mesh = mesh
         self._shard_axis = shard_axis
-        if rollout_backend not in ("xla", "pallas", "auto"):
+        if rollout_backend not in ("xla", "pallas", "fused_cem", "auto"):
             raise ValueError(
-                f"rollout_backend must be 'xla', 'pallas', or 'auto', got {rollout_backend!r}"
+                f"rollout_backend must be 'xla', 'pallas', 'fused_cem', or 'auto', "
+                f"got {rollout_backend!r}"
             )
-        if rollout_backend == "pallas" and dynamics_handler.is_true_model:
-            raise ValueError("rollout_backend='pallas' requires learned MLP dynamics")
+        kernel_backend = rollout_backend in ("pallas", "fused_cem")
+        if kernel_backend and dynamics_handler.is_true_model:
+            raise ValueError(f"rollout_backend={rollout_backend!r} requires learned MLP dynamics")
         self._stochastic = (
             not dynamics_handler.is_true_model
             and dynamics_handler.config is not None
             and dynamics_handler.config.propagation == "ts_inf"
         )
-        if rollout_backend == "pallas" and self._stochastic:
+        if kernel_backend and self._stochastic:
             raise ValueError(
-                "rollout_backend='pallas' does not support propagation='ts_inf' "
-                "(the fused kernel is deterministic); use the XLA backend"
+                f"rollout_backend={rollout_backend!r} does not support propagation='ts_inf' "
+                "(the fused kernels are deterministic); use the XLA backend"
             )
-        if rollout_backend == "pallas" and mesh is not None:
+        if kernel_backend and mesh is not None:
             raise ValueError(
-                "rollout_backend='pallas' and mesh= are mutually exclusive for now "
-                "(the fused kernel is single-chip; shard with the XLA backend)"
+                f"rollout_backend={rollout_backend!r} and mesh= are mutually exclusive for now "
+                "(the fused kernels are single-chip; shard with the XLA backend)"
             )
         # "auto" resolves per solver config in _build (needs the population size); the
         # measured decision rule lives in ops/backend_select.py.
@@ -140,15 +142,23 @@ class MPCPolicy(ModelBasedPolicy):
         if self._requested_backend == "auto":
             from blackbox_mpc_tpu.ops.backend_select import choose_backend
 
+            dyn_cfg = None if self._handler.is_true_model else self._handler.config
             resolved = choose_backend(
-                None if self._handler.is_true_model else self._handler.config,
+                dyn_cfg,
                 getattr(config, "population", 0),
                 self._num_agents,
                 mesh=self._mesh,
+                horizon=self._planning_horizon,
+                dim_u=self._bounds.dim,
+                solver_name=solver_name,
             ) if not self._stochastic else "xla"
             if resolved != self._rollout_backend:
                 logger.info("rollout_backend auto -> %s", resolved)
             self._rollout_backend = resolved
+        if self._rollout_backend == "fused_cem" and solver_name != "CEM":
+            raise ValueError(
+                f"rollout_backend='fused_cem' only applies to the CEM solver, not {solver_name}"
+            )
         bounds = self._bounds
         reward_fn = self._reward_fn
         dynamics_fn = self._handler.dynamics_fn
@@ -158,17 +168,37 @@ class MPCPolicy(ModelBasedPolicy):
 
         mesh = self._mesh
         pallas_evaluate = None
+        fused_cem_factory = None
+        # Off-TPU (CPU tests), the Mosaic kernels run in TPU-semantics interpreter mode.
+        interpret = jax.default_backend() != "tpu"
         if self._rollout_backend == "pallas":
             from blackbox_mpc_tpu.ops.pallas_rollout import make_pallas_rollout_evaluator
 
             pallas_evaluate = make_pallas_rollout_evaluator(
-                self._handler.config, reward_fn, discount=discount
+                self._handler.config, reward_fn, discount=discount, interpret=interpret
+            )
+        elif self._rollout_backend == "fused_cem":
+            from blackbox_mpc_tpu.ops.pallas_cem import make_fused_cem
+
+            dyn_cfg = self._handler.config
+            fused_cem_factory = lambda dp: make_fused_cem(  # noqa: E731
+                config, bounds, dyn_cfg, dp, reward_fn, interpret=interpret
             )
 
         stochastic = self._stochastic
 
         def step(solver_state, dynamics_params, obs, t, key, add_noise: bool):
             solve_key, noise_key, rollout_key = jax.random.split(key, 3)
+            if fused_cem_factory is not None:
+                # Generate-in-kernel CEM: the candidate tensor never exists in HBM
+                # (beyond-HBM populations, ops/pallas_cem.py).
+                solver = fused_cem_factory(dynamics_params)
+                action, new_state, aux = solver.solve(solver_state, obs, t, solve_key)
+                if add_noise:
+                    action = _exploration_noise(noise_key, action, bounds, noise_scale)
+                next_obs = mean_dynamics_fn(dynamics_params, obs, action)
+                pred_reward = reward_fn(obs, action, next_obs)
+                return action, new_state, aux, next_obs, pred_reward
             if pallas_evaluate is not None:
                 evaluate = partial(pallas_evaluate, dynamics_params)
             elif mesh is not None:

@@ -74,3 +74,60 @@ def test_fused_cem_solves_quadratic(setup):
     assert action.shape == (A, 2)
     assert np.all(np.isfinite(np.asarray(action)))
     assert np.all(np.isfinite(np.asarray(aux.expected_reward)))
+
+
+def test_mpc_policy_fused_cem_backend():
+    """rollout_backend='fused_cem' drives the generate-in-kernel CEM through the policy
+    facade (interpreter mode off-TPU)."""
+    import numpy as np
+
+    from blackbox_mpc_tpu.core.spaces import BoxSpace
+    from blackbox_mpc_tpu.learning import DynamicsHandler
+    from blackbox_mpc_tpu.models import pendulum_reward
+    from blackbox_mpc_tpu.models.dynamics import LearnedDynamicsConfig
+    from blackbox_mpc_tpu.policies import MPCPolicy
+
+    handler = DynamicsHandler(config=LearnedDynamicsConfig(dim_s=3, dim_u=1, hidden=(16,)))
+    policy = MPCPolicy(
+        action_space=BoxSpace(low=np.asarray([-2.0]), high=np.asarray([2.0])),
+        reward_function=pendulum_reward,
+        dynamics_handler=handler,
+        solver_name="CEM",
+        planning_horizon=5,
+        population=32,
+        num_elite=4,
+        max_iterations=2,
+        rollout_backend="fused_cem",
+    )
+    action, next_obs, pred_reward = policy.act(np.asarray([1.0, 0.0, 0.0], np.float32))
+    assert action.shape == (1,) and np.isfinite(action).all()
+    assert np.isfinite(pred_reward)
+
+    import pytest
+
+    with pytest.raises(ValueError, match="fused_cem"):
+        MPCPolicy(
+            action_space=BoxSpace(low=np.asarray([-2.0]), high=np.asarray([2.0])),
+            reward_function=pendulum_reward,
+            dynamics_handler=handler,
+            solver_name="PI2",
+            planning_horizon=5,
+            population=32,
+            rollout_backend="fused_cem",
+        )
+
+
+def test_backend_auto_selects_fused_cem_beyond_hbm():
+    from blackbox_mpc_tpu.models.dynamics import LearnedDynamicsConfig
+    from blackbox_mpc_tpu.ops.backend_select import choose_backend
+
+    cfg = LearnedDynamicsConfig(dim_s=17, dim_u=6, hidden=(200, 200))
+    # 8M candidates x H=50 x U=6 x 4B = 9.6 GB candidate tensor: beyond HBM -> fused CEM.
+    assert choose_backend(cfg, 8_000_000, 1, platform="tpu", horizon=50, dim_u=6,
+                          solver_name="CEM") == "fused_cem"
+    # Same scale but a non-CEM solver has no fused path: XLA (will OOM, but honestly).
+    assert choose_backend(cfg, 8_000_000, 1, platform="tpu", horizon=50, dim_u=6,
+                          solver_name="PI2") == "xla"
+    # Ordinary populations stay on the measured xla/pallas rule.
+    assert choose_backend(cfg, 1000, 1, platform="tpu", horizon=50, dim_u=6,
+                          solver_name="CEM") == "xla"
