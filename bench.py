@@ -103,6 +103,33 @@ def analytic_flops_per_solve() -> float:
     return mlp * 1000 * 5 * 50 * 5
 
 
+def pallas_numerics_check() -> str:
+    """Compares one Mosaic-compiled fused-rollout evaluation against the XLA scan on the
+    actual device (hardware numerics evidence for the Pallas path; fault-isolated)."""
+    if jax.default_backend() != "tpu":
+        return "skipped (not on tpu)"
+    try:
+        from blackbox_mpc_tpu.models.dynamics import LearnedDynamicsConfig, make_learned_dynamics
+        from blackbox_mpc_tpu.ops.pallas_rollout import make_pallas_rollout_evaluator
+        from blackbox_mpc_tpu.rollout.evaluator import make_trajectory_evaluator
+
+        reward_fn = lambda s, a, ns: ns[:, 0] - 0.1 * jnp.sum(jnp.square(a), axis=-1)  # noqa: E731
+        cfg = LearnedDynamicsConfig(dim_s=17, dim_u=6, hidden=(64, 64))
+        init_model, dyn = make_learned_dynamics(cfg)
+        dp = init_model(jax.random.PRNGKey(0))
+        pal = make_pallas_rollout_evaluator(cfg, reward_fn, tile=128)
+        xla = make_trajectory_evaluator(partial(dyn, dp), reward_fn)
+        s0 = jnp.zeros((1, 17))
+        acts = jax.random.uniform(jax.random.PRNGKey(3), (128, 1, 50, 6), minval=-1, maxval=1)
+        r_pal = np.asarray(jax.jit(lambda a: pal(dp, s0, a))(acts))
+        r_xla = np.asarray(jax.jit(lambda a: xla(s0, a))(acts))
+        diff = float(np.max(np.abs(r_pal - r_xla)))
+        rel = diff / max(float(np.max(np.abs(r_xla))), 1e-9)
+        return f"max_abs_diff={diff:.3e} rel={rel:.2e} ({'match' if rel < 1e-4 else 'MISMATCH'})"
+    except Exception as e:  # noqa: BLE001 — never let the check kill the headline bench
+        return f"error: {type(e).__name__}: {e}"
+
+
 def main():
     backend = os.environ.get("BENCH_BACKEND", "xla")
     n_chain = int(os.environ.get("BENCH_CHAIN", "11"))
@@ -139,6 +166,7 @@ def main():
                 "achieved_tflops_per_s": round(achieved_tflops, 1),
                 "mfu_pct_of_peak": mfu_pct,
                 "single_dispatch_roundtrip_ms": round(single_rtt * 1e3, 1),
+                "pallas_numerics": pallas_numerics_check(),
                 "backend": backend,
                 "device": str(jax.devices()[0]),
                 "baseline_solves_per_s": baseline_solves_per_s,

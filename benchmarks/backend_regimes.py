@@ -53,10 +53,11 @@ def build_chain(N, backend, population, hidden, agents, ensemble, horizon=50, it
     if backend == "pallas":
         from blackbox_mpc_tpu.ops.pallas_rollout import make_pallas_rollout_evaluator
 
-        # Wide ensembles: tile 256 is the largest that fits VMEM with 5x500^3 weights
-        # (docs/performance.md "Tuning knobs"); small models take the largest aligned tile.
+        # tile 256 is the largest that fits scoped VMEM with H=50 action blocks (tile 512
+        # exceeded the 16M scoped-vmem limit by 9M even at hidden=64 — measured r2 sweep);
+        # smaller populations take their row count.
         rows = population * agents
-        tile = 256 if max(hidden) >= 500 else min(512, max(128, rows))
+        tile = min(256, max(128, rows))
         pal = make_pallas_rollout_evaluator(cfg, reward_fn, tile=tile)
         make_ev = lambda dp: partial(pal, dp)  # noqa: E731
     else:

@@ -20,6 +20,12 @@ Deliberate departures from the reference, both fixing documented defects:
   The eigendecomposition is kept only for the basis-invariant ``C^(-1/2)`` whitening.
 * ``reset`` restores the *full* state (the reference's ``reset`` leaves C/B/D/paths stale,
   ``cma_es.py:218-227``).
+
+Beyond the reference: ``diagonal=True`` selects **sep-CMA-ES** (Ros & Hansen 2008) — C is
+restricted to its diagonal, updates are O(n) with no eigh/cholesky, and the covariance
+learning rates scale by (n+2)/3. The right mode for long horizons / high-dim action spaces
+(n = H*U), where the full solver's per-iteration eigendecomposition dominates (measured
+25.9 ms vs CEM's 8.9 ms on the flagship workload, docs/performance.md).
 """
 from __future__ import annotations
 
@@ -55,17 +61,22 @@ class CMAESConfig(base.SolverConfig):
     # no guard at all (cma_es.py:199-206).
     sigma_floor: float = 1e-6
     sigma_ceil: float = 1e3
+    # sep-CMA-ES (Ros & Hansen 2008): restrict C to its diagonal — O(n) covariance updates,
+    # no eigendecomposition or Cholesky, learning rates scaled by (n+2)/3. The right mode for
+    # long horizons / high-dim actions, where the full solver's per-iteration O(n^3) eigh is
+    # the dominant cost (n = H*U; e.g. 300 for cheetah H=50 U=6). No reference counterpart.
+    diagonal: bool = False
 
 
 @struct.dataclass
 class CMAESState:
     mean: jax.Array  # [A, n]
     sigma: jax.Array  # [A, n] — per-coordinate step size (vector, as in the reference)
-    cov: jax.Array  # [A, n, n]
+    cov: jax.Array  # [A, n, n]; diagonal mode: [A, n] (the diagonal of C)
     p_sigma: jax.Array  # [A, n]
     p_cov: jax.Array  # [A, n]
-    chol: jax.Array  # [A, n, n] — lower Cholesky factor of cov (sampling transform)
-    inv_sqrt: jax.Array  # [A, n, n] — C^(-1/2) (step-size path whitening)
+    chol: jax.Array  # [A, n, n] lower Cholesky of cov; diagonal mode: [A, n] (sqrt(C))
+    inv_sqrt: jax.Array  # [A, n, n] C^(-1/2); diagonal mode: [A, n]
 
 
 def make_cma_es(config: CMAESConfig, bounds: Bounds, evaluate: TrajectoryEvaluator) -> Solver:
@@ -92,6 +103,13 @@ def make_cma_es(config: CMAESConfig, bounds: Bounds, evaluate: TrajectoryEvaluat
         config.alpha_cov * (mu_eff - 2.0 + 1.0 / mu_eff)
         / ((nf + 2.0) ** 2 + config.alpha_cov * mu_eff / 2.0),
     )
+    diagonal = config.diagonal
+    if diagonal:
+        # sep-CMA-ES: the diagonal model has n (not n^2/2) free parameters, so the
+        # covariance learning rates can be ~(n+2)/3 times larger (Ros & Hansen 2008, eq. 4).
+        scale = (nf + 2.0) / 3.0
+        c1 = min(1.0, c1 * scale)
+        c_mu = min(1.0 - c1, c_mu * scale)
     expectation_of_normal = float(np.sqrt(nf) * (1.0 - 1.0 / (4.0 * nf) + 1.0 / (21.0 * nf**2)))
     # Initial per-coordinate sigma as a numpy closure constant (bakes to an HLO literal),
     # used for the relative sigma floor/ceiling.
@@ -104,7 +122,10 @@ def make_cma_es(config: CMAESConfig, bounds: Bounds, evaluate: TrajectoryEvaluat
         dt = config.dtype
         mean = base.init_solution_mean(bounds, horizon, agents, dt).reshape(agents, n)
         var = base.init_solution_variance(bounds, horizon, agents, dt).reshape(agents, n)
-        eye = jnp.broadcast_to(jnp.eye(n, dtype=dt), (agents, n, n))
+        if diagonal:
+            eye = jnp.ones((agents, n), dt)  # diag(C) = 1
+        else:
+            eye = jnp.broadcast_to(jnp.eye(n, dtype=dt), (agents, n, n))
         return CMAESState(
             mean=mean,
             sigma=jnp.sqrt(var),
@@ -132,7 +153,10 @@ def make_cma_es(config: CMAESConfig, bounds: Bounds, evaluate: TrajectoryEvaluat
             # reduction-order perturbations), which breaks sharded==single-device parity.
             # The Cholesky factor is unique and Lipschitz-stable for PD matrices; the
             # sampling distribution is identical.
-            y = jnp.einsum("apk,ank->apn", z, s.chol)
+            if diagonal:
+                y = z * s.chol[:, None, :]  # [A, P, n]: y_i ~ N(0, diag(C))
+            else:
+                y = jnp.einsum("apk,ank->apn", z, s.chol)
             flat_samples = s.mean[:, None, :] + s.sigma[:, None, :] * y  # [A, P, n]
             samples = jnp.swapaxes(flat_samples, 0, 1).reshape(pop, agents, horizon, dim_u)
             samples, penalty = base.bound_violation_penalty(samples, bounds)
@@ -146,9 +170,13 @@ def make_cma_es(config: CMAESConfig, bounds: Bounds, evaluate: TrajectoryEvaluat
             new_mean = s.mean + x_mean
             # Step-size control (cma_es.py:166-175).
             y_mean = x_mean / s.sigma
+            whitened = (
+                s.inv_sqrt * y_mean if diagonal
+                else jnp.einsum("aik,ak->ai", s.inv_sqrt, y_mean)
+            )
             p_sigma = (1.0 - c_sigma) * s.p_sigma + jnp.sqrt(
                 c_sigma * (2.0 - c_sigma) * mu_eff
-            ) * jnp.einsum("aik,ak->ai", s.inv_sqrt, y_mean)
+            ) * whitened
             sigma = s.sigma * jnp.exp(
                 (c_sigma / d_sigma)
                 * (jnp.linalg.norm(p_sigma, axis=-1) / expectation_of_normal - 1.0)
@@ -159,22 +187,35 @@ def make_cma_es(config: CMAESConfig, bounds: Bounds, evaluate: TrajectoryEvaluat
                 cc * (2.0 - cc) * mu_eff
             ) * y_mean
             y_unweighted = x_diff / s.sigma[:, None, :]
-            rank_mu = jnp.einsum("p,apn,apm->anm", weights, y_unweighted, y_unweighted)
-            cov = (
-                (1.0 - c1 - c_mu) * s.cov
-                + c1 * p_cov[:, :, None] * p_cov[:, None, :]
-                + c_mu * rank_mu
-            )
-            cov = (cov + jnp.swapaxes(cov, -1, -2)) / 2.0
-            # C^(-1/2) as a matrix function of C — invariant to the eigenbasis ambiguities
-            # (sign flips / degenerate rotations cancel in B f(D) B^T).
-            eigvals, eigvecs = jnp.linalg.eigh(cov)
-            inv_sqrt = jnp.einsum(
-                "aij,aj,akj->aik", eigvecs, 1.0 / jnp.sqrt(jnp.maximum(eigvals, 1e-20)), eigvecs
-            )
-            # PD is preserved by construction (nonnegative recombination weights); the tiny
-            # jitter guards fp round-off at the PSD boundary so cholesky never NaNs.
-            chol = jnp.linalg.cholesky(cov + 1e-10 * jnp.eye(n, dtype=cov.dtype))
+            if diagonal:
+                # sep-CMA: only the diagonal of the rank-mu / rank-one updates — O(n).
+                rank_mu_d = jnp.einsum("p,apn->an", weights, jnp.square(y_unweighted))
+                cov = (
+                    (1.0 - c1 - c_mu) * s.cov
+                    + c1 * jnp.square(p_cov)
+                    + c_mu * rank_mu_d
+                )
+                cov = jnp.maximum(cov, 1e-20)
+                chol = jnp.sqrt(cov)
+                inv_sqrt = 1.0 / chol
+            else:
+                rank_mu = jnp.einsum("p,apn,apm->anm", weights, y_unweighted, y_unweighted)
+                cov = (
+                    (1.0 - c1 - c_mu) * s.cov
+                    + c1 * p_cov[:, :, None] * p_cov[:, None, :]
+                    + c_mu * rank_mu
+                )
+                cov = (cov + jnp.swapaxes(cov, -1, -2)) / 2.0
+                # C^(-1/2) as a matrix function of C — invariant to the eigenbasis
+                # ambiguities (sign flips / degenerate rotations cancel in B f(D) B^T).
+                eigvals, eigvecs = jnp.linalg.eigh(cov)
+                inv_sqrt = jnp.einsum(
+                    "aij,aj,akj->aik",
+                    eigvecs, 1.0 / jnp.sqrt(jnp.maximum(eigvals, 1e-20)), eigvecs,
+                )
+                # PD is preserved by construction (nonnegative recombination weights); the
+                # tiny jitter guards fp round-off at the PSD boundary so cholesky never NaNs.
+                chol = jnp.linalg.cholesky(cov + 1e-10 * jnp.eye(n, dtype=cov.dtype))
             new_s = CMAESState(
                 mean=new_mean,
                 sigma=sigma,
