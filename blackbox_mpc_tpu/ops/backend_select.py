@@ -1,28 +1,31 @@
 """Measured rollout-backend auto-selection (``MPCPolicy(rollout_backend="auto")``).
 
 Decision rule distilled from the regime sweep in ``benchmarks/backend_regimes.py``
-(results: ``benchmarks/backend_regimes_r2.jsonl``, one v5e chip): the Pallas fused rollout
-kernel (:mod:`~blackbox_mpc_tpu.ops.pallas_rollout`) keeps the population tile + MLP weights
-VMEM-resident across the whole horizon, which wins when the model is small enough that
-XLA's per-step HBM traffic (state round-trips between scan steps, weight re-reads) dominates;
-XLA's scan wins once the matmuls are big enough to pipeline near roofline (flagship
-MLP 3x500: XLA ~75% of bf16 peak — see docs/performance.md).
+(results: ``benchmarks/backend_regimes_r2.jsonl``, one v5e chip, 5 shapes from
+pop=128/MLP-64^2 to the flagship pop=1000/5-member-500^3): **the XLA scan path wins every
+shape that fits in HBM** — by 3% at the smallest (0.290 vs 0.300 ms) up to 5-6x at
+mid-size shapes (the kernel serializes row tiles over its grid while XLA pipelines the whole
+batch), and 17% at the flagship (8.76 vs 10.25 ms, XLA at ~78% of chip peak). Both backends
+produce bit-identical chained-solve results on hardware (``chain_result`` fields).
 
-The rule is deliberately conservative: "pallas" only in regimes where the sweep measured it
-faster; anything unmeasured or ineligible (true model, probabilistic head, ts_inf, mesh
-sharding) falls back to "xla".
+So "auto" never selects the plain pallas rollout kernel — XLA is the measured winner
+wherever both can run. What the fused kernels uniquely provide is **capacity**: the
+generate-in-kernel fused CEM (:mod:`~blackbox_mpc_tpu.ops.pallas_cem`) never materializes
+the candidate tensor, so populations whose [P, A, H, U] tensor exceeds HBM (measured: 8M
+candidates = 9.6 GB x2 on a 16 GB v5e) route there automatically.
 """
 from __future__ import annotations
 
 from typing import Optional
 
-__all__ = ["choose_backend", "PALLAS_MAX_WIDTH", "PALLAS_MAX_ROWS"]
+__all__ = ["choose_backend", "PALLAS_MAX_WIDTH", "PALLAS_MAX_ROWS", "FUSED_CEM_MIN_BYTES"]
 
-# Filled from benchmarks/backend_regimes_r2.jsonl (see module docstring). A config is
-# pallas-eligible when its widest hidden layer and total rollout rows (population * agents)
-# are within these measured-win bounds.
-PALLAS_MAX_WIDTH = 64
-PALLAS_MAX_ROWS = 4096
+# Measured r2 sweep (benchmarks/backend_regimes_r2.jsonl): the plain pallas rollout kernel
+# won NO mainstream shape, so auto never picks it (both 0 => the width/rows gate is never
+# satisfied). Kept as tunables so a future-hardware re-measurement can re-enable the regime
+# without code changes; `rollout_backend="pallas"` remains available explicitly.
+PALLAS_MAX_WIDTH = 0
+PALLAS_MAX_ROWS = 0
 
 # Candidate tensors beyond this are at risk of exhausting HBM (v5e: 16 GB; the XLA path
 # materializes [P, A, H, U] plus transposed/workspace copies): route CEM to the fused
@@ -63,6 +66,8 @@ def choose_backend(
     rows = population * num_agents
     if config.propagation == "ts1" and config.ensemble_size > 1 and rows % config.ensemble_size:
         return "xla"
+    if PALLAS_MAX_WIDTH and max(config.hidden) <= PALLAS_MAX_WIDTH and rows <= PALLAS_MAX_ROWS:
+        return "pallas"
     # Beyond-HBM populations: only the generate-in-kernel fused CEM can run them at all.
     candidate_bytes = rows * horizon * dim_u * 4
     if (
@@ -72,6 +77,4 @@ def choose_backend(
         and rows * horizon * dim_u < 2**32  # in-kernel RNG counter range
     ):
         return "fused_cem"
-    if max(config.hidden) <= PALLAS_MAX_WIDTH and rows <= PALLAS_MAX_ROWS:
-        return "pallas"
     return "xla"

@@ -92,16 +92,27 @@ def test_backend_auto_selection():
     from blackbox_mpc_tpu.models.dynamics import LearnedDynamicsConfig
     from blackbox_mpc_tpu.ops.backend_select import choose_backend
 
+    import blackbox_mpc_tpu.ops.backend_select as bs
+
     small = LearnedDynamicsConfig(dim_s=3, dim_u=1, hidden=(32, 32))
     big = LearnedDynamicsConfig(dim_s=17, dim_u=6, hidden=(500, 500, 500), ensemble_size=5)
     prob = LearnedDynamicsConfig(dim_s=3, dim_u=1, hidden=(32, 32), probabilistic=True)
-    assert choose_backend(small, 256, 1, platform="tpu") == "pallas"
+    # Measured r2 sweep: XLA wins every in-HBM shape, so auto never picks the plain
+    # pallas rollout kernel (benchmarks/backend_regimes_r2.jsonl).
+    assert choose_backend(small, 256, 1, platform="tpu") == "xla"
     assert choose_backend(big, 1000, 1, platform="tpu") == "xla"       # flagship: XLA wins
-    assert choose_backend(small, 100000, 1, platform="tpu") == "xla"   # beyond measured rows
     assert choose_backend(None, 256, 1, platform="tpu") == "xla"       # true model
-    assert choose_backend(small, 256, 1, platform="cpu") == "xla"      # Mosaic needs TPU
     assert choose_backend(prob, 256, 1, platform="tpu") == "xla"       # deterministic only
     assert choose_backend(small, 256, 1, platform="tpu", mesh=object()) == "xla"
+    # The width/rows gate is a re-measurement hook: enabling it restores the regime rule.
+    orig = (bs.PALLAS_MAX_WIDTH, bs.PALLAS_MAX_ROWS)
+    try:
+        bs.PALLAS_MAX_WIDTH, bs.PALLAS_MAX_ROWS = 64, 4096
+        assert choose_backend(small, 256, 1, platform="tpu") == "pallas"
+        assert choose_backend(small, 100000, 1, platform="tpu") == "xla"  # beyond rows gate
+        assert choose_backend(small, 256, 1, platform="cpu") == "xla"     # Mosaic needs TPU
+    finally:
+        bs.PALLAS_MAX_WIDTH, bs.PALLAS_MAX_ROWS = orig
 
 
 def test_mpc_policy_auto_backend_resolves_on_cpu():
