@@ -60,7 +60,9 @@ def main():
     p.add_argument("--chain", type=int, default=6)
     p.add_argument("--repeats", type=int, default=3)
     p.add_argument("--hidden", type=int, nargs="+", default=[200, 200])
+    p.add_argument("--ensemble", type=int, default=1)
     p.add_argument("--solver", default="CEM")
+    p.add_argument("--diagonal", action="store_true", help="CMA-ES: sep-CMA (diagonal C)")
     args = p.parse_args()
 
     import jax
@@ -86,7 +88,8 @@ def main():
     agents = args.agents if args.config == "multi_agent" else 1
     if args.config == "multihost" and args.population_per_device:
         args.population = args.population_per_device * jax.device_count()
-    cfg = LearnedDynamicsConfig(dim_s=dim_s, dim_u=dim_u, hidden=tuple(args.hidden))
+    cfg = LearnedDynamicsConfig(dim_s=dim_s, dim_u=dim_u, hidden=tuple(args.hidden),
+                            ensemble_size=args.ensemble)
     init_model, dynamics_fn = make_learned_dynamics(cfg)
     dp = init_model(jax.random.PRNGKey(0))
     bounds = Bounds.of(-1.0, 1.0, dim=dim_u)
@@ -102,6 +105,8 @@ def main():
     )
     if args.solver in ("CEM", "CMA-ES"):
         solver_kwargs["num_elite"] = max(10, args.population // 20)
+    if args.solver == "CMA-ES" and args.diagonal:
+        solver_kwargs["diagonal"] = True
 
     mesh = None
     if args.config == "sharded":
@@ -170,7 +175,7 @@ def main():
             json.dumps(
                 {
                     "config": args.config,
-                    "solver": args.solver,
+                    "solver": args.solver + (" (sep/diagonal)" if args.diagonal else ""),
                     "agents": agents,
                     "population": args.population,
                     "devices": len(mesh.devices.flat) if mesh is not None else 1,

@@ -1,4 +1,5 @@
 """Shared-memory vec env: parity with the pipe backend + workflow integration."""
+import os
 import numpy as np
 import pytest
 
@@ -77,3 +78,19 @@ def test_shm_works_with_perform_rollouts():
         assert result["observations"][0].shape == (16, 2, 3)
     finally:
         env.close()
+
+
+def test_native_protocol_tsan_clean():
+    """Race-detection artifact (SURVEY §5.2): the lock-free shm status protocol passes
+    ThreadSanitizer — 4 worker threads x 20k handshakes with payload verification."""
+    import shutil
+    import subprocess
+
+    if shutil.which("g++") is None:
+        pytest.skip("no g++")
+    native = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "native")
+    result = subprocess.run(
+        ["make", "-C", native, "tsan"], capture_output=True, text=True, timeout=300
+    )
+    assert result.returncode == 0, f"tsan harness failed:\n{result.stdout}\n{result.stderr}"
+    assert "tsan_test OK" in result.stdout
