@@ -27,6 +27,14 @@ class PI2Config(base.SolverConfig):
     lamda: float = 1.0  # energy temperature (reference pi2.py:11)
     # iCEM-style colored noise exponent; 0.0 = white truncated normal (reference behavior).
     colored_noise_beta: float = 0.0
+    # PI2-CMA (Stulp & Sigaud 2012; "Path Integral Policy Improvement with Covariance
+    # Matrix Adaptation", arxiv 1206.4621 — see PAPERS.md): adapt the per-coordinate
+    # sampling variance across iterations as the softmax-weighted empirical variance of the
+    # population. The reference never adapts variance (pi2.py:50-55); off by default for
+    # parity. Variance restarts fresh each solve; the floor (as a fraction of the initial
+    # variance) prevents premature collapse.
+    adapt_variance: bool = False
+    variance_floor_frac: float = 0.01
 
 
 @struct.dataclass
@@ -44,11 +52,11 @@ def make_pi2(config: PI2Config, bounds: Bounds, evaluate: TrajectoryEvaluator) -
 
     def solve(state: PI2State, obs: jax.Array, t: jax.Array, key: jax.Array):
         del t
-        variance = base.init_solution_variance(bounds, horizon, agents, config.dtype)  # static, never adapted
-        stddev = jnp.sqrt(variance)
+        variance0 = base.init_solution_variance(bounds, horizon, agents, config.dtype)
 
         def iteration(_, carry):
-            mean, key, _ = carry
+            mean, variance, key, _ = carry
+            stddev = jnp.sqrt(variance)
             key, sample_key = jax.random.split(key)
             if config.colored_noise_beta > 0.0:
                 z = base.colored_noise(
@@ -67,11 +75,16 @@ def make_pi2(config: PI2Config, bounds: Bounds, evaluate: TrajectoryEvaluator) -
             prob = jnp.exp(-(costs - beta) / lamda)
             omega = prob / jnp.sum(prob, axis=0, keepdims=True)  # [P, A]
             new_mean = jnp.einsum("pa,pahu->ahu", omega, samples)
-            return new_mean, key, jnp.max(rewards, axis=0)
+            if config.adapt_variance:
+                # PI2-CMA diagonal update: weighted empirical variance about the new mean.
+                dev = samples - new_mean[None]
+                new_var = jnp.einsum("pa,pahu->ahu", omega, jnp.square(dev))
+                variance = jnp.maximum(new_var, config.variance_floor_frac * variance0)
+            return new_mean, variance, key, jnp.max(rewards, axis=0)
 
         best0 = jnp.full((agents,), -jnp.inf, dtype=state.mean.dtype)
-        mean, _, best_reward = jax.lax.fori_loop(
-            0, config.max_iterations, iteration, (state.mean, key, best0)
+        mean, _, _, best_reward = jax.lax.fori_loop(
+            0, config.max_iterations, iteration, (state.mean, variance0, key, best0)
         )
         action = mean[:, 0]
         next_state = PI2State(mean=base.shift_time(mean))

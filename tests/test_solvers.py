@@ -167,3 +167,21 @@ def test_sep_cma_es_matches_full_on_separable_problem():
         action, _, _ = jax.jit(s.solve)(state, obs, jnp.asarray(0), jax.random.PRNGKey(1))
         errs[diag] = float(np.abs(np.asarray(action) + 0.5).max())
     assert errs[True] < 0.15, errs
+
+
+def test_pi2_cma_variance_adaptation_improves_convergence():
+    """PI2-CMA (adapt_variance=True) should reach the quadratic optimum at least as closely
+    as static-variance PI2 with the same budget (variance shrinks onto the optimum)."""
+    horizon, agents = 8, 2
+    bounds = Bounds.of(-2.0, 2.0, dim=1)
+    evaluate = quadratic_evaluate(0.7)
+    errs = {}
+    for adapt in (False, True):
+        s = make_solver("PI2", bounds, evaluate, planning_horizon=horizon, num_agents=agents,
+                        population=200, max_iterations=10, adapt_variance=adapt)
+        state = s.init(jax.random.PRNGKey(0))
+        obs = jnp.zeros((agents, 3))
+        action, _, _ = jax.jit(s.solve)(state, obs, jnp.asarray(0), jax.random.PRNGKey(1))
+        errs[adapt] = float(np.abs(np.asarray(action) - 0.7).max())
+    assert errs[True] < 0.1, errs
+    assert errs[True] <= errs[False] + 0.02, errs
