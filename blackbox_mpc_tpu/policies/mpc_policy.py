@@ -61,9 +61,14 @@ class MPCPolicy(ModelBasedPolicy):
         ``"agents"`` (whole agents per chip; zero collectives — best when
         num_agents >= num_devices).
 
-        ``rollout_backend``: ``"xla"`` (default) or ``"pallas"`` — the fused VMEM-resident
-        rollout kernel (:mod:`blackbox_mpc_tpu.ops.pallas_rollout`; learned MLP dynamics with
-        mean/single-member propagation only)."""
+        ``rollout_backend``: ``"xla"`` (default; measured fastest at every in-HBM shape —
+        docs/performance.md regime map), ``"pallas"`` (fused VMEM-resident rollout kernel,
+        :mod:`blackbox_mpc_tpu.ops.pallas_rollout`), ``"fused_cem"`` (generate-in-kernel CEM,
+        :mod:`blackbox_mpc_tpu.ops.pallas_cem` — candidates never materialized, for
+        beyond-HBM populations), or ``"auto"`` (measured rule in
+        :mod:`blackbox_mpc_tpu.ops.backend_select`: XLA, except beyond-HBM CEM populations
+        route to the fused solver). Kernel backends need learned MLP dynamics with
+        mean/ts1 propagation."""
         self._space = as_box_space(action_space)
         self._bounds = Bounds.from_space(self._space)
         self._reward_fn = reward_function
