@@ -65,6 +65,18 @@ def main():
              "--steps", "50" if args.quick else "100"],
             None,
         ),
+        "rollouts_overlap_cpu": (
+            [py, "benchmarks/rollouts_bench.py", "--cpu", "--envs", "4",
+             "--backend", "subprocess", "--steps", "40" if args.quick else "60",
+             "--overlap", "--spec-tol", "0.01"],
+            None,
+        ),
+        "sep_cma_flagship": (
+            [py, "benchmarks/scaling.py", "--config", "multi_agent", "--agents", "1",
+             "--population", "1000", "--hidden", "500", "500", "500", "--ensemble", "5",
+             "--solver", "CMA-ES", "--diagonal", "--chain", "4", "--repeats", "2"],
+            None,
+        ),
     }
     for name, (cmd, env) in sections.items():
         t0 = time.time()

@@ -48,6 +48,7 @@ def learn_dynamics_from_policy(
     exploration_noise: bool = False,
     metrics_writer=None,
     learning_rate: float = 1e-3,
+    overlap: bool = False,
     **handler_kwargs,
 ):
     """Collects rollouts with ``policy`` and (re)trains the dynamics handler on them.
@@ -72,6 +73,7 @@ def learn_dynamics_from_policy(
         rollout_horizon=rollout_horizon,
         exploration_noise=exploration_noise,
         metrics_writer=metrics_writer,
+        overlap=overlap,
     )
     observations, actions = rollouts_to_episodes(result)
     metrics = handler.train(observations, actions, epochs=epochs, batch_size=batch_size)

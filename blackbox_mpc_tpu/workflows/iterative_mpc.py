@@ -41,6 +41,7 @@ def learn_dynamics_iteratively_w_mpc(
     seed: int = 0,
     checkpoint_dir: Optional[str] = None,
     resume: bool = False,
+    overlap: bool = False,
     **solver_kwargs,
 ):
     """Full MBRL loop. ``solver_kwargs`` forward into the solver config (population, ...).
@@ -122,6 +123,7 @@ def learn_dynamics_iteratively_w_mpc(
             batch_size=batch_size,
             exploration_noise=exploration_noise,
             metrics_writer=metrics_writer,
+            overlap=overlap,
         )
         logger.info(
             "refinement %d: episode reward %.2f, val loss %.5f",

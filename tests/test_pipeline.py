@@ -83,3 +83,29 @@ def test_overlap_requires_model_based():
     policy = RandomPolicy(env.action_space, num_agents=2, seed=0)
     with pytest.raises(ValueError, match="model-based"):
         perform_rollouts(env, policy, rollout_horizon=5, overlap=True)
+
+
+def test_iterative_mbrl_with_overlap():
+    """The MBRL loop's MPC-collection phase runs under the speculative pipeline."""
+    from blackbox_mpc_tpu import LearnedDynamicsConfig, learn_dynamics_iteratively_w_mpc
+
+    env = NativePendulumVecEnv(num_envs=2, seed=0, max_episode_steps=25)
+    handler, policy = learn_dynamics_iteratively_w_mpc(
+        env,
+        pendulum_reward,
+        solver_name="CEM",
+        planning_horizon=10,
+        number_of_initial_rollouts=2,
+        number_of_rollouts_per_refinement=1,
+        number_of_refinement_steps=2,
+        rollout_horizon=25,
+        dynamics_config=LearnedDynamicsConfig(dim_s=3, dim_u=1, hidden=(32, 32)),
+        epochs=5,
+        batch_size=64,
+        population=64,
+        num_elite=8,
+        max_iterations=2,
+        overlap=True,
+        seed=0,
+    )
+    assert handler is not None and policy is not None
