@@ -48,6 +48,8 @@ def main():
     p.add_argument("--population", type=int, default=510, help="divisible by members*envs")
     p.add_argument("--hidden", type=int, nargs="+", default=[256, 256, 256])
     p.add_argument("--epochs", type=int, default=12)
+    p.add_argument("--particles", type=int, default=1,
+                   help="ts_inf: PETS particles per candidate (returns averaged)")
     p.add_argument("--num-envs", type=int, default=2)
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--cpu", action="store_true")
@@ -74,7 +76,7 @@ def main():
         "run": f"{args.propagation} {args.members}-member ensemble HalfCheetah MBRL",
         "config": f"pop={args.population} H={args.planning_horizon} iters=5 "
                   f"hidden={'x'.join(map(str, args.hidden))} NLL lr=3e-3 "
-                  f"propagation={args.propagation}",
+                  f"propagation={args.propagation} particles={args.particles}",
         "start": time.strftime("%Y-%m-%dT%H:%M:%S"),
     }) + "\n")
     writer._f.flush()
@@ -90,7 +92,7 @@ def main():
     )
     cfg = LearnedDynamicsConfig(
         dim_s=18, dim_u=6, hidden=tuple(args.hidden), ensemble_size=args.members,
-        probabilistic=True, propagation=args.propagation,
+        probabilistic=True, propagation=args.propagation, num_particles=args.particles,
     )
     handler, policy = learn_dynamics_iteratively_w_mpc(
         env,

@@ -53,6 +53,10 @@ class LearnedDynamicsConfig:
     activation: str = "tanh"
     ensemble_size: int = 1
     propagation: str = "mean"  # "mean" | "ts1" | "ts_inf"
+    # ts_inf only: PETS particle count — each candidate is rolled out this many times with
+    # independent members/noise and the returns averaged (see rollout/evaluator.py). K=1
+    # measured much worse than mean propagation (elite selection rewards lucky draws).
+    num_particles: int = 1
     normalized: bool = True  # reference is_normalized (system_dynamics_handler.py:57)
     predict_delta: bool = True  # default_transform_targets: network predicts s' - s
     # Probabilistic (PETS-style) Gaussian output head: the network predicts (mean, logvar)

@@ -42,6 +42,7 @@ def make_sharded_evaluator(
     discount: float = 1.0,
     nan_guard: bool = True,
     shard_axis: str = "population",
+    num_particles: int = 1,
 ) -> TrajectoryEvaluator:
     """A trajectory evaluator sharded over ``mesh``.
 
@@ -58,7 +59,8 @@ def make_sharded_evaluator(
         raise ValueError(f"shard_axis must be 'population' or 'agents', got {shard_axis!r}")
     axis = 0 if shard_axis == "population" else 1
     base = make_trajectory_evaluator(
-        dynamics_fn, reward_fn, discount=discount, nan_guard=nan_guard
+        dynamics_fn, reward_fn, discount=discount, nan_guard=nan_guard,
+        num_particles=num_particles,
     )
 
     def evaluate(

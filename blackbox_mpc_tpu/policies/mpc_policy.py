@@ -191,6 +191,10 @@ class MPCPolicy(ModelBasedPolicy):
             )
 
         stochastic = self._stochastic
+        num_particles = (
+            self._handler.config.num_particles
+            if stochastic and self._handler.config is not None else 1
+        )
 
         def step(solver_state, dynamics_params, obs, t, key, add_noise: bool):
             solve_key, noise_key, rollout_key = jax.random.split(key, 3)
@@ -212,10 +216,12 @@ class MPCPolicy(ModelBasedPolicy):
                 evaluate = make_sharded_evaluator(
                     partial(dynamics_fn, dynamics_params), reward_fn, mesh,
                     discount=discount, shard_axis=self._shard_axis,
+                    num_particles=num_particles,
                 )
             else:
                 evaluate = make_trajectory_evaluator(
-                    partial(dynamics_fn, dynamics_params), reward_fn, discount=discount
+                    partial(dynamics_fn, dynamics_params), reward_fn, discount=discount,
+                    num_particles=num_particles,
                 )
             if stochastic:
                 # TS-inf: bind ONE rollout-noise key for the whole solve — every solver

@@ -77,6 +77,7 @@ def make_trajectory_evaluator(
     *,
     discount: float = 1.0,
     nan_guard: bool = True,
+    num_particles: int = 1,
 ) -> TrajectoryEvaluator:
     """Builds ``evaluate(initial_states [A,S], action_sequences [P,A,H,U]) -> rewards [P,A]``.
 
@@ -84,7 +85,16 @@ def make_trajectory_evaluator(
     (/root/reference/blackbox_mpc/trajectory_evaluators/deterministic.py:26-77): the initial
     state of agent ``a`` is tiled across the population, each candidate sequence is rolled out
     for H steps, and per-trajectory rewards are summed (NaN -> -1e6).
+
+    ``num_particles`` (stochastic dynamics only, i.e. when a ``key`` is passed): each
+    candidate is rolled out K times — different particle rows get different ensemble members
+    and independent aleatoric noise — and the K returns are AVERAGED. This is the PETS
+    trajectory-sampling estimator: with K=1 elite selection rewards lucky noise draws
+    (measured: single-particle ts_inf peaked at 197 vs 449 for mean propagation on cheetah);
+    averaging restores a low-variance value estimate while keeping uncertainty-awareness.
     """
+    if num_particles < 1:
+        raise ValueError(f"num_particles must be >= 1, got {num_particles}")
 
     def evaluate(
         initial_states: jax.Array,
@@ -92,13 +102,20 @@ def make_trajectory_evaluator(
         key: jax.Array | None = None,
     ) -> jax.Array:
         pop, agents, horizon, dim_u = action_sequences.shape
-        flat_actions = action_sequences.reshape(pop * agents, horizon, dim_u)
+        k = num_particles if key is not None else 1
+        if k > 1:
+            # [P, A, H, U] -> [P*K, A, H, U]: particle j of candidate i is row i*K + j, so
+            # the member-partitioned dynamics (row % E) spreads members across particles.
+            action_sequences = jnp.repeat(action_sequences, k, axis=0)
+        flat_actions = action_sequences.reshape(pop * k * agents, horizon, dim_u)
         # Tile [A, S] -> [P*A, S] with agent minor, matching tf.tile(current_states, [pop, 1]).
-        flat_states = jnp.tile(initial_states, (pop, 1))
+        flat_states = jnp.tile(initial_states, (pop * k, 1))
         total = rollout_trajectories(
             dynamics_fn, reward_fn, flat_states, flat_actions, discount=discount, key=key
         )
-        rewards = total.reshape(pop, agents)
+        rewards = total.reshape(pop, k, agents).mean(axis=1) if k > 1 else total.reshape(
+            pop, agents
+        )
         if nan_guard:
             rewards = jnp.where(jnp.isnan(rewards), jnp.asarray(NAN_REWARD, rewards.dtype), rewards)
         return rewards

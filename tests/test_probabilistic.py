@@ -150,3 +150,54 @@ def test_mpc_policy_ts_inf_acts():
             num_elite=4,
             rollout_backend="pallas",
         )
+
+
+def test_ts_inf_particle_averaging_reduces_variance():
+    """K-particle evaluation: reward estimates are averaged over K independent rollouts, so
+    their spread across keys shrinks (PETS estimator); K>1 without a key is a no-op."""
+    from blackbox_mpc_tpu.rollout.evaluator import make_trajectory_evaluator
+
+    cfg = LearnedDynamicsConfig(
+        dim_s=3, dim_u=1, hidden=(16,), ensemble_size=2, propagation="ts_inf",
+        probabilistic=True,
+    )
+    init, dyn = make_learned_dynamics(cfg)
+    dp = init(jax.random.PRNGKey(1))
+    reward = lambda s, a, ns: -jnp.sum(ns**2, axis=-1)  # noqa: E731
+    dyn_fn = lambda s, a, k=None: dyn(dp, s, a, k)  # noqa: E731
+    ev1 = make_trajectory_evaluator(dyn_fn, reward, num_particles=1)
+    ev8 = make_trajectory_evaluator(dyn_fn, reward, num_particles=8)
+    s0 = jnp.zeros((1, 3))
+    acts = jax.random.uniform(jax.random.PRNGKey(2), (4, 1, 5, 1), minval=-1, maxval=1)
+    r1 = np.stack([np.asarray(ev1(s0, acts, jax.random.PRNGKey(i))) for i in range(30)])
+    r8 = np.stack([np.asarray(ev8(s0, acts, jax.random.PRNGKey(i))) for i in range(30)])
+    assert r8.std(axis=0).mean() < r1.std(axis=0).mean() * 0.6, (
+        r1.std(axis=0).mean(), r8.std(axis=0).mean()
+    )
+    # deterministic path (no key): K is ignored, results identical
+    np.testing.assert_array_equal(np.asarray(ev8(s0, acts)), np.asarray(ev1(s0, acts)))
+
+
+def test_mpc_policy_ts_inf_with_particles():
+    from blackbox_mpc_tpu.core.spaces import BoxSpace
+    from blackbox_mpc_tpu.models import pendulum_reward
+    from blackbox_mpc_tpu.policies import MPCPolicy
+
+    cfg = LearnedDynamicsConfig(
+        dim_s=3, dim_u=1, hidden=(16,), ensemble_size=2, propagation="ts_inf",
+        probabilistic=True, num_particles=4,
+    )
+    handler = DynamicsHandler(config=cfg, seed=0)
+    policy = MPCPolicy(
+        action_space=BoxSpace(low=np.asarray([-2.0]), high=np.asarray([2.0])),
+        reward_function=pendulum_reward,
+        dynamics_handler=handler,
+        solver_name="CEM",
+        planning_horizon=5,
+        population=16,
+        num_elite=4,
+        max_iterations=2,
+        seed=0,
+    )
+    action, _, _ = policy.act(np.asarray([1.0, 0.0, 0.0], np.float32))
+    assert np.isfinite(action).all()
