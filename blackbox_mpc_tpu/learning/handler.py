@@ -77,7 +77,9 @@ class DynamicsHandler:
         self._is_true_model = False
         self._config = config
         init, self._dynamics_fn = make_learned_dynamics(config)
-        if config.propagation == "mean":
+        if config.propagation in ("mean", "mm"):
+            # mm with key=None returns the moment-matched mean == ensemble mean of means,
+            # and has no batch-divisibility constraint, so it doubles as its own mean fn.
             self._mean_dynamics_fn = self._dynamics_fn
         else:
             # Posterior-mean variant (ensemble-averaged, head means) for diagnostics such

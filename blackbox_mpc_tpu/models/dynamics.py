@@ -19,7 +19,14 @@ params axis with three propagation modes:
   sample from the probabilistic head at every step (``s' ~ N(mean, exp(logvar))``), so planning
   sees the model's aleatoric + ensemble uncertainty instead of the mean. Requires
   ``probabilistic=True``; the dynamics function takes an extra PRNG ``key`` argument
-  (``key=None`` falls back to the means — used for the one-step lookahead report).
+  (``key=None`` falls back to the means — used for the one-step lookahead report);
+* ``"mm"``     — PETS moment matching: every member predicts a Gaussian for every row, the E
+  Gaussians are collapsed into one (mean of means; law-of-total-variance variance
+  ``E[var] + Var[mean]``) and the next state is a single sample from it. Unlike ts1/ts_inf
+  this is not member-partitioned (full E× FLOPs per row, no batch-divisibility constraint)
+  and re-Gaussianizes the state distribution each step, which suppresses multi-modality but
+  gives the lowest-variance uncertainty-aware estimate. Requires ``probabilistic=True``;
+  ``key=None`` returns the moment-matched mean.
 """
 from __future__ import annotations
 
@@ -52,10 +59,11 @@ class LearnedDynamicsConfig:
     hidden: tuple = (32, 32, 32)
     activation: str = "tanh"
     ensemble_size: int = 1
-    propagation: str = "mean"  # "mean" | "ts1" | "ts_inf"
-    # ts_inf only: PETS particle count — each candidate is rolled out this many times with
-    # independent members/noise and the returns averaged (see rollout/evaluator.py). K=1
-    # measured much worse than mean propagation (elite selection rewards lucky draws).
+    propagation: str = "mean"  # "mean" | "ts1" | "ts_inf" | "mm"
+    # Stochastic propagation (ts_inf/mm) only: PETS particle count — each candidate is rolled
+    # out this many times with independent members/noise and the returns averaged (see
+    # rollout/evaluator.py). K=1 measured much worse than mean propagation (elite selection
+    # rewards lucky draws).
     num_particles: int = 1
     normalized: bool = True  # reference is_normalized (system_dynamics_handler.py:57)
     predict_delta: bool = True  # default_transform_targets: network predicts s' - s
@@ -97,10 +105,12 @@ def make_learned_dynamics(
     """
     mlp_cfg = config.mlp
     ensemble = config.ensemble_size
-    if config.propagation not in ("mean", "ts1", "ts_inf"):
+    if config.propagation not in ("mean", "ts1", "ts_inf", "mm"):
         raise ValueError(f"unknown propagation {config.propagation!r}")
-    if config.propagation == "ts_inf" and not config.probabilistic:
-        raise ValueError("propagation='ts_inf' samples the Gaussian head: set probabilistic=True")
+    if config.propagation in ("ts_inf", "mm") and not config.probabilistic:
+        raise ValueError(
+            f"propagation={config.propagation!r} samples the Gaussian head: set probabilistic=True"
+        )
     if config.predict_delta:
         inverse = transforms.delta_inverse_transform
     else:
@@ -140,6 +150,22 @@ def make_learned_dynamics(
         eps = jax.random.normal(key, mean.shape, mean.dtype)
         return mean + jnp.exp(0.5 * logvar) * eps
 
+    def _mm_head(raw_all: jax.Array, key: jax.Array | None) -> jax.Array:
+        """Moment-match E per-member Gaussians ``[E, B, 2S]`` into one and sample it.
+
+        PETS "MM" propagation (Chua et al. 2018 §4.1): mu = mean_e(mu_e),
+        var = mean_e(var_e + mu_e^2) - mu^2 (law of total variance over the uniform
+        member mixture). ``key=None`` returns the mixture mean (lookahead report).
+        """
+        mu_e = raw_all[..., : config.dim_s]
+        mu = jnp.mean(mu_e, axis=0)
+        if key is None:
+            return mu
+        var_e = jnp.exp(bound_logvar(raw_all[..., config.dim_s :]))
+        var = jnp.maximum(jnp.mean(var_e + jnp.square(mu_e), axis=0) - jnp.square(mu), 0.0)
+        eps = jax.random.normal(key, mu.shape, mu.dtype)
+        return mu + jnp.sqrt(var) * eps
+
     def _member_partitioned(params, x: jax.Array) -> jax.Array:
         """Row i of x through member i % E, fixed over the whole horizon (TS member scheme)."""
         batch = x.shape[0]
@@ -158,6 +184,12 @@ def make_learned_dynamics(
         dp: DynamicsParams, state: jax.Array, action: jax.Array, key: jax.Array | None = None
     ) -> jax.Array:
         x = _net_input(dp, state, action)
+        if config.propagation == "mm":
+            if ensemble <= 1:
+                raw_all = mlp_apply(dp.params, x, config=mlp_cfg)[None]
+            else:
+                raw_all = jax.vmap(lambda p: mlp_apply(p, x, config=mlp_cfg))(dp.params)
+            return _target_to_state(dp, state, _mm_head(raw_all, key))
         if ensemble <= 1:
             raw = mlp_apply(dp.params, x, config=mlp_cfg)
         elif config.propagation == "mean":

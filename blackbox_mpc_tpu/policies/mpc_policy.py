@@ -91,11 +91,12 @@ class MPCPolicy(ModelBasedPolicy):
         self._stochastic = (
             not dynamics_handler.is_true_model
             and dynamics_handler.config is not None
-            and dynamics_handler.config.propagation == "ts_inf"
+            and dynamics_handler.config.propagation in ("ts_inf", "mm")
         )
         if kernel_backend and self._stochastic:
             raise ValueError(
-                f"rollout_backend={rollout_backend!r} does not support propagation='ts_inf' "
+                f"rollout_backend={rollout_backend!r} does not support propagation="
+                f"{dynamics_handler.config.propagation!r} "
                 "(the fused kernels are deterministic); use the XLA backend"
             )
         if kernel_backend and mesh is not None:

@@ -178,6 +178,111 @@ def test_ts_inf_particle_averaging_reduces_variance():
     np.testing.assert_array_equal(np.asarray(ev8(s0, acts)), np.asarray(ev1(s0, acts)))
 
 
+# ------------------------------------------------------------------ MM propagation
+
+
+def test_mm_requires_probabilistic():
+    cfg = LearnedDynamicsConfig(dim_s=3, dim_u=1, ensemble_size=2, propagation="mm")
+    with pytest.raises(ValueError, match="probabilistic"):
+        make_learned_dynamics(cfg)
+
+
+def test_mm_mean_equals_mean_propagation():
+    """key=None under mm returns the moment-matched mean == mean-propagation prediction."""
+    import dataclasses
+
+    cfg = LearnedDynamicsConfig(
+        dim_s=3, dim_u=1, hidden=(16,), ensemble_size=2, propagation="mm",
+        probabilistic=True,
+    )
+    init, dyn_mm = make_learned_dynamics(cfg)
+    _, dyn_mean = make_learned_dynamics(dataclasses.replace(cfg, propagation="mean"))
+    dp = init(jax.random.PRNGKey(3))
+    s = jnp.asarray([[1.0, 0.0, 0.5], [0.0, 1.0, -0.5], [0.5, 0.5, 0.0]])
+    a = jnp.asarray([[0.3], [-0.3], [0.1]])
+    np.testing.assert_allclose(
+        np.asarray(dyn_mm(dp, s, a)), np.asarray(dyn_mean(dp, s, a)), rtol=1e-6
+    )
+
+
+def test_mm_no_batch_divisibility_constraint():
+    """mm evaluates all members per row — odd batches work (unlike ts1/ts_inf)."""
+    cfg = LearnedDynamicsConfig(
+        dim_s=3, dim_u=1, hidden=(16,), ensemble_size=2, propagation="mm",
+        probabilistic=True,
+    )
+    init, dyn = make_learned_dynamics(cfg)
+    dp = init(jax.random.PRNGKey(0))
+    out = dyn(dp, jnp.zeros((3, 3)), jnp.zeros((3, 1)), jax.random.PRNGKey(0))
+    assert out.shape == (3, 3) and np.isfinite(np.asarray(out)).all()
+
+
+def test_mm_law_of_total_variance():
+    """Empirical mm sample variance >= epistemic (member-mean) variance, and draws are
+    centred on the moment-matched mean."""
+    import dataclasses
+
+    cfg = LearnedDynamicsConfig(
+        dim_s=3, dim_u=1, hidden=(16,), ensemble_size=2, propagation="mm",
+        probabilistic=True,
+    )
+    init, dyn = make_learned_dynamics(cfg)
+    dp = init(jax.random.PRNGKey(7))
+    s = jnp.asarray([[1.0, 0.0, 2.0], [0.0, -1.0, -2.0]])
+    a = jnp.asarray([[1.5], [-1.5]])
+    mm_mean = dyn(dp, s, a)  # key=None
+    draws = jnp.stack([dyn(dp, s, a, jax.random.PRNGKey(i)) for i in range(800)])
+    emp_mean, emp_var = draws.mean(axis=0), draws.var(axis=0)
+    np.testing.assert_allclose(np.asarray(emp_mean), np.asarray(mm_mean), atol=0.15)
+    # Per-member means via ts1 on an interleaved batch: rows [r, r] of a 2-member ts1 batch
+    # go through members 0 and 1 respectively, recovering mu_e for the epistemic term.
+    _, dyn_ts1 = make_learned_dynamics(dataclasses.replace(cfg, propagation="ts1"))
+    s_rep = jnp.repeat(s, 2, axis=0)
+    a_rep = jnp.repeat(a, 2, axis=0)
+    member_means = np.asarray(dyn_ts1(dp, s_rep, a_rep)).reshape(2, 2, 3)  # [row, member, S]
+    epistemic_var = member_means.var(axis=1)
+    assert (np.asarray(emp_var) >= epistemic_var * 0.7).all(), (emp_var, epistemic_var)
+
+
+def test_mpc_policy_mm_acts():
+    from blackbox_mpc_tpu.core.spaces import BoxSpace
+    from blackbox_mpc_tpu.models import pendulum_reward
+    from blackbox_mpc_tpu.policies import MPCPolicy
+
+    cfg = LearnedDynamicsConfig(
+        dim_s=3, dim_u=1, hidden=(16,), ensemble_size=2, propagation="mm",
+        probabilistic=True, num_particles=2,
+    )
+    handler = DynamicsHandler(config=cfg, seed=0)
+    space = BoxSpace(low=np.asarray([-2.0]), high=np.asarray([2.0]))
+    policy = MPCPolicy(
+        action_space=space,
+        reward_function=pendulum_reward,
+        dynamics_handler=handler,
+        solver_name="CEM",
+        planning_horizon=5,
+        population=16,
+        num_elite=4,
+        max_iterations=2,
+        seed=0,
+    )
+    action, next_obs, pred_reward = policy.act(np.asarray([1.0, 0.0, 0.0], np.float32))
+    assert action.shape == (1,) and np.isfinite(action).all()
+    assert next_obs.shape == (3,) and np.isfinite(pred_reward)
+
+    with pytest.raises(ValueError, match="mm"):
+        MPCPolicy(
+            action_space=space,
+            reward_function=pendulum_reward,
+            dynamics_handler=handler,
+            solver_name="CEM",
+            planning_horizon=5,
+            population=16,
+            num_elite=4,
+            rollout_backend="pallas",
+        )
+
+
 def test_mpc_policy_ts_inf_with_particles():
     from blackbox_mpc_tpu.core.spaces import BoxSpace
     from blackbox_mpc_tpu.models import pendulum_reward
