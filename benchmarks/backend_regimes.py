@@ -46,7 +46,7 @@ def build_chain(N, backend, population, hidden, agents, ensemble, horizon=50, it
     )
     cfg = LearnedDynamicsConfig(
         dim_s=17, dim_u=6, hidden=tuple(hidden), ensemble_size=ensemble,
-        propagation="mean" if ensemble > 1 else "mean",
+        propagation="mean",
     )
     init_model, dyn = make_learned_dynamics(cfg)
     dp = init_model(jax.random.PRNGKey(0))

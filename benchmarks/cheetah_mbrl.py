@@ -21,25 +21,9 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
-class JsonlWriter:
-    """MetricsWriter-compatible scalar sink appending JSONL rows."""
-
-    def __init__(self, path):
-        self._f = open(path, "a")
-        self.history = {}
-
-    def scalar(self, tag, value, step):
-        self._f.write(json.dumps({
-            "tag": tag, "value": float(value), "step": int(step),
-            "t": time.strftime("%H:%M:%S"),
-        }) + "\n")
-        self._f.flush()
-        self.history.setdefault(tag, []).append((step, float(value)))
-
-
 def main():
     p = argparse.ArgumentParser()
-    p.add_argument("--propagation", choices=["mean", "ts1", "ts_inf"], default="ts_inf")
+    p.add_argument("--propagation", choices=["mean", "ts1", "ts_inf", "mm"], default="ts_inf")
     p.add_argument("--members", type=int, default=5)
     p.add_argument("--refinements", type=int, default=30)
     p.add_argument("--initial-rollouts", type=int, default=5)
@@ -71,15 +55,17 @@ def main():
     from blackbox_mpc_tpu import LearnedDynamicsConfig, learn_dynamics_iteratively_w_mpc
     from blackbox_mpc_tpu.envs import make_gym_vec_env
 
-    writer = JsonlWriter(args.out)
-    writer._f.write(json.dumps({
+    from blackbox_mpc_tpu.utils.metrics import MetricsWriter
+
+    with open(args.out, "a") as f:  # run-header row precedes the scalar stream
+        f.write(json.dumps({
         "run": f"{args.propagation} {args.members}-member ensemble HalfCheetah MBRL",
         "config": f"pop={args.population} H={args.planning_horizon} iters=5 "
                   f"hidden={'x'.join(map(str, args.hidden))} NLL lr=3e-3 "
                   f"propagation={args.propagation} particles={args.particles}",
         "start": time.strftime("%Y-%m-%dT%H:%M:%S"),
-    }) + "\n")
-    writer._f.flush()
+        }) + "\n")
+    writer = MetricsWriter(jsonl_path=args.out, tensorboard=False)
 
     def cheetah_reward(state, action, next_state):
         return (next_state[:, 0] - state[:, 0]) / 0.05 - 0.1 * jnp.sum(

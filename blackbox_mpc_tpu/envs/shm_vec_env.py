@@ -149,7 +149,14 @@ class ShmVecEnv:
         step_timeout_s: float = 60.0,
         action_space: Optional[BoxSpace] = None,
         observation_space: Optional[BoxSpace] = None,
+        start_method: Optional[str] = None,
     ):
+        """``start_method``: multiprocessing start method for the workers. Default
+        ``"fork"`` — env_fns routinely depend on parent-process state (closures, gymnasium
+        ids registered in the parent) that only fork inherits. Forking a JAX-multithreaded
+        parent is safe on Linux in practice but can emit fork-from-threads warnings; pass
+        ``"forkserver"`` or ``"spawn"`` for a clean-interpreter start when your env_fns are
+        picklable AND self-contained (no parent-side registrations)."""
         self.num_envs = len(env_fns)
         if base_seed < 0:
             raise ValueError("base_seed must be non-negative")
@@ -167,14 +174,19 @@ class ShmVecEnv:
         self._seeds = [self._layout.seed_view(self._shm.buf, r) for r in range(self.num_envs)]
         self._pending = False
         self._closed = False
-        # forkserver avoids forking this (JAX-multithreaded) parent directly — the fork
-        # happens from a clean single-threaded server, so no fork-from-threads deadlock
-        # risk. It requires picklable env_fns; closures fall back to plain fork.
-        try:
-            pickle.dumps(list(env_fns))
-            ctx = mp.get_context("forkserver")
-        except Exception:  # noqa: BLE001 — unpicklable closures
-            ctx = mp.get_context("fork")
+        if start_method is None:
+            start_method = "fork"
+        if start_method != "fork":
+            # Non-fork children start from a clean interpreter: env_fns must be picklable.
+            # Fail here with a clear message rather than an opaque worker error.
+            try:
+                pickle.dumps(list(env_fns))
+            except Exception as e:  # noqa: BLE001
+                raise ValueError(
+                    f"start_method={start_method!r} needs picklable env_fns; got {e!r}. "
+                    "Use start_method='fork' for closures or parent-registered envs."
+                ) from e
+        ctx = mp.get_context(start_method)
         self._procs = []
         for rank, fn in enumerate(env_fns):
             p = ctx.Process(
@@ -222,7 +234,7 @@ class ShmVecEnv:
         if base < 0:
             # negative seeds are the in-band close sentinel for workers
             raise ValueError("ShmVecEnv seeds must be non-negative")
-        if base + self.num_envs > np.iinfo(np.int32).max:
+        if base + self.num_envs - 1 > np.iinfo(np.int32).max:
             raise ValueError("ShmVecEnv seeds must fit in int32")
         for rank in range(self.num_envs):
             self._seeds[rank][0] = base + rank
@@ -293,7 +305,13 @@ def _gym_env_ctor(env_id: str, env_kwargs: dict):
     return gymnasium.make(env_id, **env_kwargs)
 
 
-def make_shm_vec_env(env_id: str, num_envs: int = 1, base_seed: int = 0, **env_kwargs) -> ShmVecEnv:
+def make_shm_vec_env(
+    env_id: str,
+    num_envs: int = 1,
+    base_seed: int = 0,
+    start_method: Optional[str] = None,
+    **env_kwargs,
+) -> ShmVecEnv:
     """N gymnasium envs over the shared-memory transport."""
     import gymnasium
 
@@ -311,4 +329,5 @@ def make_shm_vec_env(env_id: str, num_envs: int = 1, base_seed: int = 0, **env_k
         base_seed=base_seed,
         action_space=action_space,
         observation_space=observation_space,
+        start_method=start_method,
     )

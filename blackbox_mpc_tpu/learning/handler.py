@@ -285,7 +285,14 @@ class DynamicsHandler:
             "stats": handler._params.stats,
             "replay": handler._replay.state_dict(),
         }
-        restored = ckptr.restore(os.path.join(directory, "checkpoint"), item=template)
+        ckpt_path = os.path.join(directory, "checkpoint")
+        # The restore template must match the saved structure exactly; pre-round-2
+        # checkpoints lack replay["rng"] (added later for resume bit-reproducibility),
+        # so trim template keys the checkpoint doesn't have — load_state_dict treats a
+        # missing "rng" as "keep the fresh stream".
+        saved_replay = ckptr.metadata(ckpt_path).item_metadata.tree["replay"]
+        template["replay"] = {k: v for k, v in template["replay"].items() if k in saved_replay}
+        restored = ckptr.restore(ckpt_path, item=template)
         handler._train_state = handler._trainer_init(restored["params"])
         handler._train_state = handler._train_state.replace(
             opt_state=restored["opt_state"], step=restored["step"]

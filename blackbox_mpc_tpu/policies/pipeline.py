@@ -111,6 +111,12 @@ class SpeculativePipeline:
         batched = obs.ndim > 1
         if not batched:
             obs = np.tile(obs[None], (p._num_agents, 1))
+        if obs.shape[0] != p._num_agents:
+            # Same early validation as MPCPolicy.act — without it a size mismatch
+            # surfaces as an opaque jit shape error inside the solver.
+            raise ValueError(
+                f"observations batch {obs.shape[0]} != num_agents {p._num_agents}"
+            )
 
         hit = False
         if self._spec is not None and self._spec[0] == t and self._spec_tol is not None:
@@ -138,6 +144,12 @@ class SpeculativePipeline:
 
         action, next_obs, pred_reward = jax.device_get((action, next_obs, pred_reward))
         p._act_counter += 1
+        if p._writer is not None:
+            # Keep the reference-parity per-step scalar flowing in overlap mode too
+            # (MPCPolicy.act emits it on the non-overlap path).
+            p._writer.scalar(
+                "rewards/predicted_reward", float(np.mean(pred_reward)), p._act_counter
+            )
         if batched:
             return action, next_obs, pred_reward, hit
         return action[0], next_obs[0], pred_reward[0], hit

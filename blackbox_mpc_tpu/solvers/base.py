@@ -14,10 +14,11 @@ from typing import Tuple
 import jax
 import jax.numpy as jnp
 
-from blackbox_mpc_tpu.core.types import Bounds, truncated_normal
+from blackbox_mpc_tpu.core.types import Bounds, Solver, truncated_normal
 
 __all__ = [
     "SolverConfig",
+    "with_state_dtype",
     "init_solution_mean",
     "init_solution_variance",
     "constrain_variance",
@@ -40,10 +41,41 @@ class SolverConfig:
     population: int = 500
     num_agents: int = 1
     max_iterations: int = 5
-    # dtype of the persistent solver state (plan mean/variance, swarm, CMA matrices).
-    # Sampling/evaluation dtypes follow the state; RandomSearch is stateless and follows
-    # the observation dtype instead.
+    # Storage dtype of the persistent solver state between solves (plan mean/variance,
+    # swarm, CMA matrices) — halves warm-start state HBM at bfloat16. Iteration math always
+    # runs in float32: moment accumulation and eigh are not bf16-safe, so the state is
+    # upcast at solve entry and cast back on exit (see with_state_dtype).
     dtype: jnp.dtype = jnp.float32
+
+
+def with_state_dtype(solver: Solver, dtype) -> Solver:
+    """Stores the persistent solver state in ``dtype`` between solves.
+
+    Identity for float32. Otherwise: float leaves of the state pytree are cast to
+    ``dtype`` by init/reset and after each solve, and upcast to float32 before the
+    update math (which stays f32 — bf16 accumulation of elite moments / covariance
+    updates diverges, and ``jnp.linalg.eigh`` rejects bf16). Actions and aux outputs
+    are always float32.
+    """
+    if jnp.dtype(dtype) == jnp.float32:
+        return solver
+
+    def _cast(tree, dt):
+        return jax.tree.map(
+            lambda x: x.astype(dt) if jnp.issubdtype(x.dtype, jnp.floating) else x, tree
+        )
+
+    def init(key):
+        return _cast(solver.init(key), dtype)
+
+    def solve(state, obs, t, key):
+        action, next_state, aux = solver.solve(_cast(state, jnp.float32), obs, t, key)
+        return action, _cast(next_state, dtype), aux
+
+    def reset(state, key):
+        return _cast(solver.reset(_cast(state, jnp.float32), key), dtype)
+
+    return Solver(init=init, solve=solve, reset=reset, name=solver.name)
 
 
 def init_solution_mean(

@@ -58,8 +58,8 @@ def make_cem(config: CEMConfig, bounds: Bounds, evaluate: TrajectoryEvaluator) -
     def init(key: jax.Array) -> CEMState:
         del key
         return CEMState(
-            mean=base.init_solution_mean(bounds, horizon, agents, config.dtype),
-            variance=base.init_solution_variance(bounds, horizon, agents, config.dtype),
+            mean=base.init_solution_mean(bounds, horizon, agents),
+            variance=base.init_solution_variance(bounds, horizon, agents),
         )
 
     def solve(state: CEMState, obs: jax.Array, t: jax.Array, key: jax.Array):
@@ -129,4 +129,6 @@ def make_cem(config: CEMConfig, bounds: Bounds, evaluate: TrajectoryEvaluator) -
         del state
         return init(key)
 
-    return Solver(init=init, solve=solve, reset=reset, name="CEM")
+    return base.with_state_dtype(
+        Solver(init=init, solve=solve, reset=reset, name="CEM"), config.dtype
+    )

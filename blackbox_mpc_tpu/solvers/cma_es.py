@@ -119,7 +119,9 @@ def make_cma_es(config: CMAESConfig, bounds: Bounds, evaluate: TrajectoryEvaluat
 
     def init(key: jax.Array) -> CMAESState:
         del key
-        dt = config.dtype
+        # f32 always: with_state_dtype owns the storage dtype at the solver boundary
+        # (solve's per-solve restart calls init and must stay in the f32 compute dtype).
+        dt = jnp.float32
         mean = base.init_solution_mean(bounds, horizon, agents, dt).reshape(agents, n)
         var = base.init_solution_variance(bounds, horizon, agents, dt).reshape(agents, n)
         if diagonal:
@@ -242,4 +244,6 @@ def make_cma_es(config: CMAESConfig, bounds: Bounds, evaluate: TrajectoryEvaluat
         del state
         return init(key)
 
-    return Solver(init=init, solve=solve, reset=reset, name="CMA-ES")
+    return base.with_state_dtype(
+        Solver(init=init, solve=solve, reset=reset, name="CMA-ES"), config.dtype
+    )

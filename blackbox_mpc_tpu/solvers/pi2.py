@@ -48,11 +48,11 @@ def make_pi2(config: PI2Config, bounds: Bounds, evaluate: TrajectoryEvaluator) -
 
     def init(key: jax.Array) -> PI2State:
         del key
-        return PI2State(mean=base.init_solution_mean(bounds, horizon, agents, config.dtype))
+        return PI2State(mean=base.init_solution_mean(bounds, horizon, agents))
 
     def solve(state: PI2State, obs: jax.Array, t: jax.Array, key: jax.Array):
         del t
-        variance0 = base.init_solution_variance(bounds, horizon, agents, config.dtype)
+        variance0 = base.init_solution_variance(bounds, horizon, agents)
 
         def iteration(_, carry):
             mean, variance, key, _ = carry
@@ -94,4 +94,6 @@ def make_pi2(config: PI2Config, bounds: Bounds, evaluate: TrajectoryEvaluator) -
         del state
         return init(key)
 
-    return Solver(init=init, solve=solve, reset=reset, name="PI2")
+    return base.with_state_dtype(
+        Solver(init=init, solve=solve, reset=reset, name="PI2"), config.dtype
+    )

@@ -55,22 +55,22 @@ def make_pso(config: PSOConfig, bounds: Bounds, evaluate: TrajectoryEvaluator) -
     def _initial_velocities(key: jax.Array) -> jax.Array:
         init_vel = config.initial_velocity_fraction * bounds.range
         return jax.random.uniform(
-            key, shape, dtype=config.dtype, minval=-init_vel, maxval=init_vel
+            key, shape, dtype=jnp.float32, minval=-init_vel, maxval=init_vel
         )
 
     def init(key: jax.Array) -> PSOState:
         """Uniform swarm — the reference's ``reset()`` (pso.py:149-166)."""
         pos_key, vel_key = jax.random.split(key)
         positions = jax.random.uniform(
-            pos_key, shape, dtype=config.dtype, minval=bounds.lower, maxval=bounds.upper
+            pos_key, shape, dtype=jnp.float32, minval=bounds.lower, maxval=bounds.upper
         )
         return PSOState(
             positions=positions,
             velocities=_initial_velocities(vel_key),
             best_positions=positions,
-            best_rewards=jnp.full((pop, agents), -jnp.inf, config.dtype),
-            global_best_position=jnp.zeros((agents, horizon, bounds.dim), config.dtype),
-            global_best_reward=jnp.full((agents,), -jnp.inf, config.dtype),
+            best_rewards=jnp.full((pop, agents), -jnp.inf, jnp.float32),
+            global_best_position=jnp.zeros((agents, horizon, bounds.dim), jnp.float32),
+            global_best_reward=jnp.full((agents,), -jnp.inf, jnp.float32),
         )
 
     def solve(state: PSOState, obs: jax.Array, t: jax.Array, key: jax.Array):
@@ -139,4 +139,6 @@ def make_pso(config: PSOConfig, bounds: Bounds, evaluate: TrajectoryEvaluator) -
         del state
         return init(key)
 
-    return Solver(init=init, solve=solve, reset=reset, name="PSO")
+    return base.with_state_dtype(
+        Solver(init=init, solve=solve, reset=reset, name="PSO"), config.dtype
+    )

@@ -60,4 +60,6 @@ def make_random_search(
         del key
         return state
 
-    return Solver(init=init, solve=solve, reset=reset, name="RandomSearch")
+    return base.with_state_dtype(
+        Solver(init=init, solve=solve, reset=reset, name="RandomSearch"), config.dtype
+    )

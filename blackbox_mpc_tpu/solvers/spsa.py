@@ -42,7 +42,7 @@ def make_spsa(config: SPSAConfig, bounds: Bounds, evaluate: TrajectoryEvaluator)
 
     def init(key: jax.Array) -> SPSAState:
         del key
-        return SPSAState(solution=base.init_solution_mean(bounds, horizon, agents, config.dtype))
+        return SPSAState(solution=base.init_solution_mean(bounds, horizon, agents))
 
     def solve(state: SPSAState, obs: jax.Array, t: jax.Array, key: jax.Array):
         del t
@@ -80,4 +80,6 @@ def make_spsa(config: SPSAConfig, bounds: Bounds, evaluate: TrajectoryEvaluator)
         del state
         return init(key)
 
-    return Solver(init=init, solve=solve, reset=reset, name="SPSA")
+    return base.with_state_dtype(
+        Solver(init=init, solve=solve, reset=reset, name="SPSA"), config.dtype
+    )

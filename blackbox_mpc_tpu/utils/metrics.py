@@ -24,13 +24,23 @@ __all__ = ["MetricsWriter", "LatencyTimer"]
 class MetricsWriter:
     """Scalar metrics sink: in-memory history, optional TensorBoard + JSONL files."""
 
-    def __init__(self, log_dir: Optional[str] = None, tensorboard: bool = True):
+    def __init__(
+        self,
+        log_dir: Optional[str] = None,
+        tensorboard: bool = True,
+        jsonl_path: Optional[str] = None,
+    ):
+        """``jsonl_path``: append scalars to this exact file instead of
+        ``log_dir/metrics.jsonl`` (benchmark scripts keep one artifact per run)."""
         self.history: Dict[str, List[tuple]] = collections.defaultdict(list)
         self._tb = None
         self._jsonl = None
+        if jsonl_path is not None:
+            self._jsonl = open(jsonl_path, "a")
         if log_dir is not None:
             os.makedirs(log_dir, exist_ok=True)
-            self._jsonl = open(os.path.join(log_dir, "metrics.jsonl"), "a")
+            if self._jsonl is None:
+                self._jsonl = open(os.path.join(log_dir, "metrics.jsonl"), "a")
             if tensorboard:
                 try:
                     from tensorboardX import SummaryWriter
