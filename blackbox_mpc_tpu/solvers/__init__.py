@@ -13,6 +13,7 @@ from blackbox_mpc_tpu.core.types import Bounds, Solver, SolverAux, TrajectoryEva
 from blackbox_mpc_tpu.solvers.base import SolverConfig
 from blackbox_mpc_tpu.solvers.cem import CEMConfig, CEMState, make_cem
 from blackbox_mpc_tpu.solvers.cma_es import CMAESConfig, CMAESState, make_cma_es
+from blackbox_mpc_tpu.solvers.gradient import GradientConfig, GradientState, make_gradient
 from blackbox_mpc_tpu.solvers.pi2 import PI2Config, PI2State, make_pi2
 from blackbox_mpc_tpu.solvers.pso import PSOConfig, PSOState, make_pso
 from blackbox_mpc_tpu.solvers.random_search import (
@@ -25,6 +26,7 @@ from blackbox_mpc_tpu.solvers.spsa import SPSAConfig, SPSAState, make_spsa
 SOLVER_REGISTRY: Dict[str, Tuple[Type[SolverConfig], Callable]] = {
     "CEM": (CEMConfig, make_cem),
     "CMA-ES": (CMAESConfig, make_cma_es),
+    "Gradient": (GradientConfig, make_gradient),
     "PI2": (PI2Config, make_pi2),
     "PSO": (PSOConfig, make_pso),
     "RandomSearch": (RandomSearchConfig, make_random_search),
@@ -60,6 +62,9 @@ __all__ = [
     "CMAESConfig",
     "CMAESState",
     "make_cma_es",
+    "GradientConfig",
+    "GradientState",
+    "make_gradient",
     "PI2Config",
     "PI2State",
     "make_pi2",

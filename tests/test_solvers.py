@@ -58,7 +58,7 @@ def test_solver_improves_quadratic(name):
     err = np.abs(np.asarray(action) - target)
     assert np.all(err < err0), f"{name}: first action {np.asarray(action).ravel()} vs {target}"
     # Strong solvers should get close.
-    if name in ("CEM", "CMA-ES", "PI2", "RandomSearch"):
+    if name in ("CEM", "CMA-ES", "Gradient", "PI2", "RandomSearch"):
         assert np.all(err < 0.2), f"{name}: err {err.ravel()}"
 
 
@@ -90,6 +90,7 @@ SWINGUP_BUDGET = {
     "PSO": (120, 0.6),
     "SPSA": (200, -0.2),  # SPSA is a weak local optimizer; just require no divergence
     "CMA-ES": (120, 0.8),
+    "Gradient": (120, 0.9),  # gradient ascent through the rollout, 64 restarts
 }
 
 
@@ -103,6 +104,10 @@ def test_pendulum_swingup(name):
         kwargs["num_elite"] = 25
     if name == "RandomSearch":
         kwargs = dict(planning_horizon=40, num_agents=1, population=2048)
+    if name == "Gradient":
+        # population = random restarts; more Adam steps replace sampled iterations
+        kwargs = dict(planning_horizon=25, num_agents=1, population=64,
+                      max_iterations=30, learning_rate=0.2)
     s = make_solver(name, bounds, evaluate, **kwargs)
     key = jax.random.PRNGKey(42)
     state = s.init(key)
@@ -167,6 +172,50 @@ def test_sep_cma_es_matches_full_on_separable_problem():
         action, _, _ = jax.jit(s.solve)(state, obs, jnp.asarray(0), jax.random.PRNGKey(1))
         errs[diag] = float(np.abs(np.asarray(action) + 0.5).max())
     assert errs[True] < 0.15, errs
+
+
+# --- Gradient (first-order) solver ---------------------------------------------------------
+
+
+def test_gradient_solver_through_learned_mlp():
+    """The gradient solver backprops through learned MLP dynamics: an MPCPolicy built on a
+    (probabilistic-ensemble) handler acts finitely and improves the plan over restarts."""
+    from blackbox_mpc_tpu.core.spaces import BoxSpace
+    from blackbox_mpc_tpu.learning import DynamicsHandler
+    from blackbox_mpc_tpu.models import LearnedDynamicsConfig
+    from blackbox_mpc_tpu.policies import MPCPolicy
+
+    cfg = LearnedDynamicsConfig(dim_s=3, dim_u=1, hidden=(16,), ensemble_size=2)
+    policy = MPCPolicy(
+        action_space=BoxSpace(low=np.asarray([-2.0]), high=np.asarray([2.0])),
+        reward_function=pendulum_reward,
+        dynamics_handler=DynamicsHandler(config=cfg, seed=0),
+        solver_name="Gradient",
+        planning_horizon=6,
+        population=8,
+        max_iterations=5,
+        learning_rate=0.2,
+        seed=0,
+    )
+    action, next_obs, pred_reward = policy.act(np.asarray([1.0, 0.0, 0.0], np.float32))
+    assert action.shape == (1,) and np.isfinite(action).all()
+    assert np.isfinite(pred_reward)
+
+
+def test_gradient_incumbent_never_regresses():
+    """Restart 0 is the incumbent plan: with zero iterations, the returned best plan's
+    reward is at least the incumbent's (argmax over restarts includes it)."""
+    bounds = Bounds.of(-2.0, 2.0, dim=1)
+    evaluate = quadratic_evaluate(0.0)  # optimum exactly at the init mean (midpoint = 0)
+    s = make_solver("Gradient", bounds, evaluate, planning_horizon=5, num_agents=1,
+                    population=16, max_iterations=0)
+    state = s.init(jax.random.PRNGKey(0))
+    action, _, aux = jax.jit(s.solve)(
+        state, jnp.zeros((1, 3)), jnp.asarray(0), jax.random.PRNGKey(5)
+    )
+    # incumbent (the midpoint plan) is optimal here; no random restart can beat it
+    np.testing.assert_allclose(np.asarray(action), 0.0, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(aux.expected_reward), 0.0, atol=1e-6)
 
 
 def test_pi2_cma_variance_adaptation_improves_convergence():
