@@ -24,6 +24,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 def main():
     p = argparse.ArgumentParser()
     p.add_argument("--propagation", choices=["mean", "ts1", "ts_inf", "mm"], default="ts_inf")
+    p.add_argument("--solver", choices=["CEM", "Gradient"], default="CEM")
     p.add_argument("--members", type=int, default=5)
     p.add_argument("--refinements", type=int, default=30)
     p.add_argument("--initial-rollouts", type=int, default=5)
@@ -59,7 +60,7 @@ def main():
 
     with open(args.out, "a") as f:  # run-header row precedes the scalar stream
         f.write(json.dumps({
-        "run": f"{args.propagation} {args.members}-member ensemble HalfCheetah MBRL",
+        "run": f"{args.solver} {args.propagation} {args.members}-member ensemble HalfCheetah MBRL",
         "config": f"pop={args.population} H={args.planning_horizon} iters=5 "
                   f"hidden={'x'.join(map(str, args.hidden))} NLL lr=3e-3 "
                   f"propagation={args.propagation} particles={args.particles}",
@@ -80,10 +81,17 @@ def main():
         dim_s=18, dim_u=6, hidden=tuple(args.hidden), ensemble_size=args.members,
         probabilistic=True, propagation=args.propagation, num_particles=args.particles,
     )
+    if args.solver == "Gradient":
+        # population = random restarts; Adam steps replace sampled iterations.
+        # GradientConfig's default learning_rate=0.1 applies (the workflow's learning_rate
+        # kwarg is the model-training LR, so the solver LR can't be forwarded here).
+        solver_kwargs = dict(population=32, max_iterations=20)
+    else:
+        solver_kwargs = dict(population=args.population, num_elite=50, max_iterations=5)
     handler, policy = learn_dynamics_iteratively_w_mpc(
         env,
         cheetah_reward,
-        solver_name="CEM",
+        solver_name=args.solver,
         planning_horizon=args.planning_horizon,
         number_of_initial_rollouts=args.initial_rollouts,
         number_of_rollouts_per_refinement=1,
@@ -93,17 +101,15 @@ def main():
         epochs=args.epochs,
         batch_size=256,
         learning_rate=3e-3,
-        population=args.population,
-        num_elite=50,
-        max_iterations=5,
         metrics_writer=writer,
+        **solver_kwargs,
         seed=args.seed,
     )
     env.close()
     ep = writer.history.get("rewards/actual_episode_reward", [])
     best = max((v for _, v in ep), default=float("nan"))
     print(json.dumps({
-        "metric": f"HalfCheetah MBRL peak episode reward ({args.propagation})",
+        "metric": f"HalfCheetah MBRL peak episode reward ({args.solver}, {args.propagation})",
         "value": round(best, 1),
         "unit": "episode_reward",
         "episodes": len(ep),
