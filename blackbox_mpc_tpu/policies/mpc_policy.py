@@ -165,6 +165,11 @@ class MPCPolicy(ModelBasedPolicy):
             raise ValueError(
                 f"rollout_backend='fused_cem' only applies to the CEM solver, not {solver_name}"
             )
+        if self._rollout_backend == "pallas" and solver_name in ("Gradient", "CEM-GD"):
+            raise ValueError(
+                f"rollout_backend='pallas' cannot back the first-order {solver_name} solver "
+                "(the Mosaic rollout kernel has no VJP); use the XLA backend"
+            )
         bounds = self._bounds
         reward_fn = self._reward_fn
         dynamics_fn = self._handler.dynamics_fn

@@ -12,6 +12,7 @@ from typing import Callable, Dict, Tuple, Type
 from blackbox_mpc_tpu.core.types import Bounds, Solver, SolverAux, TrajectoryEvaluator
 from blackbox_mpc_tpu.solvers.base import SolverConfig
 from blackbox_mpc_tpu.solvers.cem import CEMConfig, CEMState, make_cem
+from blackbox_mpc_tpu.solvers.cem_gd import CEMGDConfig, CEMGDState, make_cem_gd
 from blackbox_mpc_tpu.solvers.cma_es import CMAESConfig, CMAESState, make_cma_es
 from blackbox_mpc_tpu.solvers.gradient import GradientConfig, GradientState, make_gradient
 from blackbox_mpc_tpu.solvers.pi2 import PI2Config, PI2State, make_pi2
@@ -25,6 +26,7 @@ from blackbox_mpc_tpu.solvers.spsa import SPSAConfig, SPSAState, make_spsa
 
 SOLVER_REGISTRY: Dict[str, Tuple[Type[SolverConfig], Callable]] = {
     "CEM": (CEMConfig, make_cem),
+    "CEM-GD": (CEMGDConfig, make_cem_gd),
     "CMA-ES": (CMAESConfig, make_cma_es),
     "Gradient": (GradientConfig, make_gradient),
     "PI2": (PI2Config, make_pi2),
@@ -59,6 +61,9 @@ __all__ = [
     "CEMConfig",
     "CEMState",
     "make_cem",
+    "CEMGDConfig",
+    "CEMGDState",
+    "make_cem_gd",
     "CMAESConfig",
     "CMAESState",
     "make_cma_es",

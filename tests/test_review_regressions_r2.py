@@ -103,7 +103,7 @@ def test_solver_state_dtype_bf16(name):
         planning_horizon=8, num_agents=1, population=32, max_iterations=2,
         dtype=jnp.bfloat16,
     )
-    if name in ("CEM", "CMA-ES"):
+    if name in ("CEM", "CEM-GD", "CMA-ES"):
         kw["num_elite"] = 8
     solver = make_solver(name, bounds, evaluate, **kw)
     state = solver.init(jax.random.PRNGKey(0))

@@ -36,7 +36,7 @@ def test_solver_improves_quadratic(name):
     evaluate = quadratic_evaluate(target)
     kwargs = dict(planning_horizon=horizon, num_agents=agents, population=200,
                   max_iterations=8)
-    if name in ("CEM", "CMA-ES"):
+    if name in ("CEM", "CEM-GD", "CMA-ES"):
         kwargs["num_elite"] = 20
     if name == "RandomSearch":
         # single-shot uniform sampling: shrink the search space so best-of-N is meaningful
@@ -58,7 +58,7 @@ def test_solver_improves_quadratic(name):
     err = np.abs(np.asarray(action) - target)
     assert np.all(err < err0), f"{name}: first action {np.asarray(action).ravel()} vs {target}"
     # Strong solvers should get close.
-    if name in ("CEM", "CMA-ES", "Gradient", "PI2", "RandomSearch"):
+    if name in ("CEM", "CEM-GD", "CMA-ES", "Gradient", "PI2", "RandomSearch"):
         assert np.all(err < 0.2), f"{name}: err {err.ravel()}"
 
 
@@ -91,6 +91,7 @@ SWINGUP_BUDGET = {
     "SPSA": (200, -0.2),  # SPSA is a weak local optimizer; just require no divergence
     "CMA-ES": (120, 0.8),
     "Gradient": (120, 0.9),  # gradient ascent through the rollout, 64 restarts
+    "CEM-GD": (80, 0.9),  # CEM basin search + Adam polish: at least as strong as CEM
 }
 
 
@@ -100,7 +101,7 @@ def test_pendulum_swingup(name):
     bounds = Bounds.of(-2.0, 2.0, dim=1)
     evaluate = make_trajectory_evaluator(pendulum_dynamics, pendulum_reward)
     kwargs = dict(planning_horizon=25, num_agents=1, population=256, max_iterations=5)
-    if name in ("CEM", "CMA-ES"):
+    if name in ("CEM", "CEM-GD", "CMA-ES"):
         kwargs["num_elite"] = 25
     if name == "RandomSearch":
         kwargs = dict(planning_horizon=40, num_agents=1, population=2048)
@@ -234,3 +235,29 @@ def test_pi2_cma_variance_adaptation_improves_convergence():
         errs[adapt] = float(np.abs(np.asarray(action) - 0.7).max())
     assert errs[True] < 0.1, errs
     assert errs[True] <= errs[False] + 0.02, errs
+
+
+# --- CEM-GD hybrid -------------------------------------------------------------------------
+
+
+def test_cem_gd_polish_beats_plain_cem_on_quadratic():
+    """At an equal CEM budget, the Adam polish must not lose to plain CEM — the incumbent
+    blended mean is candidate 0, so CEM-GD's final plan only departs from CEM's when the
+    gradient found something strictly better (final argmax re-evaluates every candidate)."""
+    horizon, agents = 8, 2
+    bounds = Bounds.of(-2.0, 2.0, dim=1)
+    evaluate = quadratic_evaluate(0.7)
+    shared = dict(planning_horizon=horizon, num_agents=agents, population=100,
+                  max_iterations=3, num_elite=10)
+    cem = make_solver("CEM", bounds, evaluate, **shared)
+    hybrid = make_solver("CEM-GD", bounds, evaluate, gd_iterations=15,
+                         gd_learning_rate=0.05, **shared)
+    obs = jnp.zeros((agents, 3))
+    key, solve_key = jax.random.PRNGKey(3), jax.random.PRNGKey(4)
+    _, _, aux_cem = jax.jit(cem.solve)(cem.init(key), obs, jnp.asarray(0), solve_key)
+    _, _, aux_gd = jax.jit(hybrid.solve)(hybrid.init(key), obs, jnp.asarray(0), solve_key)
+    reward_cem = float(jnp.sum(evaluate(obs, aux_cem.plan[None])))
+    reward_gd = float(jnp.sum(evaluate(obs, aux_gd.plan[None])))
+    assert reward_gd >= reward_cem - 1e-6, (reward_gd, reward_cem)
+    # the polish should actually close most of the remaining gap to the optimum (reward 0)
+    assert reward_gd > 0.5 * reward_cem, (reward_gd, reward_cem)
