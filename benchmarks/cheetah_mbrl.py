@@ -24,7 +24,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 def main():
     p = argparse.ArgumentParser()
     p.add_argument("--propagation", choices=["mean", "ts1", "ts_inf", "mm"], default="ts_inf")
-    p.add_argument("--solver", choices=["CEM", "Gradient"], default="CEM")
+    p.add_argument("--solver", choices=["CEM", "Gradient", "CEM-GD"], default="CEM")
     p.add_argument("--members", type=int, default=5)
     p.add_argument("--refinements", type=int, default=30)
     p.add_argument("--initial-rollouts", type=int, default=5)
@@ -87,6 +87,7 @@ def main():
         # kwarg is the model-training LR, so the solver LR can't be forwarded here).
         solver_kwargs = dict(population=32, max_iterations=20)
     else:
+        # CEM and CEM-GD share the sampled budget; CEM-GD adds the default 8x10 Adam polish
         solver_kwargs = dict(population=args.population, num_elite=50, max_iterations=5)
     handler, policy = learn_dynamics_iteratively_w_mpc(
         env,

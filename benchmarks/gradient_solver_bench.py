@@ -88,6 +88,8 @@ def main():
                           max_iterations=20, learning_rate=0.1), "restarts=64 adam=20"),
         ("Gradient", dict(planning_horizon=50, population=16, num_agents=1,
                           max_iterations=5, learning_rate=0.2), "restarts=16 adam=5"),
+        ("CEM-GD", dict(planning_horizon=50, population=1000, num_agents=1, num_elite=50,
+                        max_iterations=5), "pop=1000 iters=5 + polish 8x10"),
     ]
     with open(out, "a") as f:
         for name, kw, label in configs:
