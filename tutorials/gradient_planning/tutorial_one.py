@@ -1,0 +1,58 @@
+"""Tutorial: first-order planning — the Gradient and CEM-GD solvers.
+
+No reference counterpart: every optimizer in ``/root/reference/blackbox_mpc/optimizers/`` is
+derivative-free. Because this build's trajectory evaluator is a pure differentiable
+``lax.scan``, ``jax.grad`` of the return with respect to the action sequence is exact — so two
+extra solver families come for free:
+
+1. ``Gradient``  — Adam ascent from random restarts (population = restarts, not samples),
+2. ``CEM-GD``    — CEM finds the basin, Adam polishes the blended mean + top elites.
+
+Both work with analytic models AND learned (probabilistic-ensemble) dynamics; on HalfCheetah
+MBRL the Gradient planner more than doubled CEM's peak episode reward (930.6 vs 409.6,
+``benchmarks/cheetah_gradient_run.jsonl``). Here: pendulum swing-up with the true model, all
+three planners on the same budget clock.
+"""
+import sys, pathlib, time
+
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parents[1]))
+from _common import setup
+
+args = setup("Gradient & CEM-GD first-order planning", steps=80)
+
+import jax
+import jax.numpy as jnp
+
+from blackbox_mpc_tpu.core import Bounds
+from blackbox_mpc_tpu.models.analytic import pendulum_dynamics, pendulum_reward
+from blackbox_mpc_tpu.rollout import make_trajectory_evaluator
+from blackbox_mpc_tpu.solvers import make_solver
+
+bounds = Bounds.of(-2.0, 2.0, dim=1)
+evaluate = make_trajectory_evaluator(pendulum_dynamics, pendulum_reward)
+
+PLANNERS = {
+    # name -> solver kwargs (sampled budget vs restart budget chosen to be comparable)
+    "CEM": dict(population=256, max_iterations=5, num_elite=25),
+    "Gradient": dict(population=32, max_iterations=20, learning_rate=0.2),
+    "CEM-GD": dict(population=256, max_iterations=5, num_elite=25,
+                   gd_iterations=10, gd_learning_rate=0.05),
+}
+
+for name, kw in PLANNERS.items():
+    solver = make_solver(name, bounds, evaluate, planning_horizon=25, num_agents=1, **kw)
+    key = jax.random.PRNGKey(args.seed)
+    state = solver.init(key)
+    solve = jax.jit(solver.solve)
+    obs = jnp.asarray([[-1.0, 0.0, 0.0]])  # hanging straight down
+    total = 0.0
+    t0 = time.perf_counter()
+    for t in range(args.steps):
+        key, sub = jax.random.split(key)
+        action, state, aux = solve(state, obs, jnp.asarray(t), sub)
+        nxt = pendulum_dynamics(obs, action)
+        total += float(pendulum_reward(obs, action, nxt)[0])
+        obs = nxt
+    dt = time.perf_counter() - t0
+    print(f"{name:9s} return {total:8.1f}  final cos(theta) {float(obs[0, 0]):+.3f}  "
+          f"({dt / args.steps * 1e3:.1f} ms/step incl. host loop)")
