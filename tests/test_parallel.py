@@ -35,11 +35,14 @@ def test_sharded_evaluator_matches_single_device(mesh, rng):
     )
 
 
-@pytest.mark.parametrize("name", ["CEM", "PI2", "RandomSearch", "SPSA", "PSO", "CMA-ES"])
+@pytest.mark.parametrize("name", ["CEM", "PI2", "RandomSearch", "SPSA", "PSO", "CMA-ES",
+                                  "Gradient", "CEM-GD"])
 def test_sharded_solve_matches_single_device(mesh, name):
     kwargs = dict(planning_horizon=10, num_agents=2, population=64, max_iterations=2)
-    if name in ("CEM", "CMA-ES"):
+    if name in ("CEM", "CEM-GD", "CMA-ES"):
         kwargs["num_elite"] = 8
+    if name == "CEM-GD":
+        kwargs.update(gd_candidates=4, gd_iterations=3)
     if name == "RandomSearch":
         kwargs = dict(planning_horizon=10, num_agents=2, population=64)
     bounds = Bounds.of(-2.0, 2.0, dim=1)
