@@ -35,6 +35,8 @@ def main():
     p.add_argument("--epochs", type=int, default=12)
     p.add_argument("--particles", type=int, default=1,
                    help="ts_inf: PETS particles per candidate (returns averaged)")
+    p.add_argument("--warm-start", type=int, default=None, choices=[0, 1],
+                   help="override solver warm_start (Gradient/CEM-GD only)")
     p.add_argument("--num-envs", type=int, default=2)
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--cpu", action="store_true")
@@ -89,6 +91,8 @@ def main():
     else:
         # CEM and CEM-GD share the sampled budget; CEM-GD adds the default 8x10 Adam polish
         solver_kwargs = dict(population=args.population, num_elite=50, max_iterations=5)
+    if args.warm_start is not None and args.solver in ("Gradient", "CEM-GD"):
+        solver_kwargs["warm_start"] = bool(args.warm_start)
     handler, policy = learn_dynamics_iteratively_w_mpc(
         env,
         cheetah_reward,
