@@ -103,7 +103,7 @@ def main():
         num_agents=agents,
         max_iterations=args.iterations,
     )
-    if args.solver in ("CEM", "CMA-ES"):
+    if args.solver in ("CEM", "CEM-GD", "CMA-ES"):
         solver_kwargs["num_elite"] = max(10, args.population // 20)
     if args.solver == "CMA-ES" and args.diagonal:
         solver_kwargs["diagonal"] = True

@@ -46,9 +46,13 @@ class CEMGDConfig(base.SolverConfig):
     gd_candidates: int = 8
     gd_iterations: int = 10
     gd_learning_rate: float = 0.02
-    # Unlike CEM's reference-parity default (warm_start=False), the polished plan is a real
-    # local optimum worth keeping: shift it into the next solve (pi2.py:92-93 rule).
-    warm_start: bool = True
+    # Default matches CEM's reference-parity restart-every-solve behavior. Measured on
+    # HalfCheetah MBRL (35 episodes, 5-member NLL ensemble): warm_start=False peaks at 675
+    # episode reward vs 192 with warm_start=True — shift-carrying the polished plan collapses
+    # exploration exactly as the reference observed for CEM warm-starting ("causing problems
+    # with cheetah env", reference cem.py:133-134); plain CEM peaked at 449 on the same
+    # pipeline (benchmarks/cheetah_cemgd_nows_run.jsonl, cheetah_cemgd_run.jsonl).
+    warm_start: bool = False
 
 
 @struct.dataclass
