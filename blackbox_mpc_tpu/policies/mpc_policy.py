@@ -50,6 +50,7 @@ class MPCPolicy(ModelBasedPolicy):
         mesh=None,
         shard_axis: str = "population",
         rollout_backend: str = "xla",
+        proposer=None,
         **solver_kwargs,
     ):
         """``solver_kwargs`` are forwarded into the solver's config dataclass
@@ -68,7 +69,13 @@ class MPCPolicy(ModelBasedPolicy):
         beyond-HBM populations), or ``"auto"`` (measured rule in
         :mod:`blackbox_mpc_tpu.ops.backend_select`: XLA, except beyond-HBM CEM populations
         route to the fused solver). Kernel backends need learned MLP dynamics with
-        mean/ts1 propagation."""
+        mean/ts1 propagation.
+
+        ``proposer``: optional :class:`~blackbox_mpc_tpu.learning.proposer.PolicyProposer`
+        (POPLIN-style amortization) — its policy net is unrolled through the posterior-mean
+        dynamics each solve and the resulting plan replaces the solver's carried mean, so
+        refinement starts from a learned proposal instead of the midpoint. Requires a
+        mean-carrying solver (CEM, CEM-GD, PI2, SPSA, Gradient)."""
         self._space = as_box_space(action_space)
         self._bounds = Bounds.from_space(self._space)
         self._reward_fn = reward_function
@@ -109,6 +116,7 @@ class MPCPolicy(ModelBasedPolicy):
         self._requested_backend = rollout_backend
         self._rollout_backend = rollout_backend
         self._key = jax.random.PRNGKey(seed)
+        self._proposer = proposer
         self._solver_kwargs = dict(solver_kwargs)
         self._act_counter = 0
         self._build(solver_name, strict_kwargs=True)
@@ -202,8 +210,23 @@ class MPCPolicy(ModelBasedPolicy):
             if stochastic and self._handler.config is not None else 1
         )
 
-        def step(solver_state, dynamics_params, obs, t, key, add_noise: bool):
+        proposer = self._proposer
+        if proposer is not None:
+            from blackbox_mpc_tpu.learning.proposer import make_plan_proposal_fn
+
+            propose = make_plan_proposal_fn(
+                proposer.config, bounds, mean_dynamics_fn, self._planning_horizon
+            )
+
+        def step(solver_state, dynamics_params, proposer_params, obs, t, key,
+                 add_noise: bool):
             solve_key, noise_key, rollout_key = jax.random.split(key, 3)
+            if proposer is not None:
+                # POPLIN-style seeding: the policy-net unroll replaces the carried mean.
+                proposed = propose(proposer_params, dynamics_params, obs)
+                solver_state = solver_state.replace(
+                    mean=proposed.astype(solver_state.mean.dtype)
+                )
             if fused_cem_factory is not None:
                 # Generate-in-kernel CEM: the candidate tensor never exists in HBM
                 # (beyond-HBM populations, ops/pallas_cem.py).
@@ -257,6 +280,16 @@ class MPCPolicy(ModelBasedPolicy):
         self._solver_init = jax.jit(solver.init)
         self._solver_reset = jax.jit(solver.reset)
         self._solver_state = self._solver_init(init_key)
+        if self._proposer is not None and not hasattr(self._solver_state, "mean"):
+            raise ValueError(
+                f"proposer= requires a mean-carrying solver (CEM, CEM-GD, PI2, SPSA, "
+                f"Gradient); {solver_name} state has no plan mean"
+            )
+
+    def _proposer_params_arg(self):
+        # Threaded as a jit ARGUMENT (device-array closures are pathological on remote
+        # frontends); a dummy scalar keeps the step signature stable when no proposer is set.
+        return self._proposer.params if self._proposer is not None else np.zeros((), np.float32)
 
     # ------------------------------------------------------------------ public API
 
@@ -267,6 +300,10 @@ class MPCPolicy(ModelBasedPolicy):
     @property
     def dynamics_handler(self) -> DynamicsHandler:
         return self._handler
+
+    @property
+    def proposer(self):
+        return self._proposer
 
     def act(self, observations, t: int = 0, exploration_noise: bool = False):
         """Solves one MPC step.
@@ -288,6 +325,7 @@ class MPCPolicy(ModelBasedPolicy):
         action, self._solver_state, aux, next_obs, pred_reward = self._step(
             self._solver_state,
             self._handler.dynamics_params,
+            self._proposer_params_arg(),
             jnp.asarray(obs),
             jnp.asarray(t, jnp.int32),
             step_key,
@@ -317,6 +355,7 @@ class MPCPolicy(ModelBasedPolicy):
         _, _discarded_state, aux, _, _ = self._step(
             self._solver_state,
             self._handler.dynamics_params,
+            self._proposer_params_arg(),
             jnp.asarray(obs),
             jnp.asarray(t, jnp.int32),
             step_key,

@@ -73,8 +73,8 @@ class SpeculativePipeline:
         """Runs the policy's jitted step; returns device handles (no sync)."""
         p = self._policy
         action, new_state, aux, next_obs, pred_reward = p._step(
-            p._solver_state, p._handler.dynamics_params, obs_dev,
-            jnp.asarray(t, jnp.int32), self._step_key(t), self._noise,
+            p._solver_state, p._handler.dynamics_params, p._proposer_params_arg(),
+            obs_dev, jnp.asarray(t, jnp.int32), self._step_key(t), self._noise,
         )
         del aux
         return action, new_state, next_obs, pred_reward

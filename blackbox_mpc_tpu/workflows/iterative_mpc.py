@@ -11,6 +11,8 @@ from __future__ import annotations
 import logging
 from typing import Callable, Optional
 
+import numpy as np
+
 from blackbox_mpc_tpu.learning.handler import DynamicsHandler
 from blackbox_mpc_tpu.models.dynamics import LearnedDynamicsConfig
 from blackbox_mpc_tpu.policies.mpc_policy import MPCPolicy
@@ -42,6 +44,9 @@ def learn_dynamics_iteratively_w_mpc(
     checkpoint_dir: Optional[str] = None,
     resume: bool = False,
     overlap: bool = False,
+    behavior_cloning: bool = False,
+    bc_epochs: int = 20,
+    bc_hidden: tuple = (64, 64),
     **solver_kwargs,
 ):
     """Full MBRL loop. ``solver_kwargs`` forward into the solver config (population, ...).
@@ -50,6 +55,12 @@ def learn_dynamics_iteratively_w_mpc(
     the loop counter are checkpointed after every refinement; ``resume=True`` restores them and
     continues from the next refinement — full loop resume, which the reference cannot do (it
     only saves the dynamics model, SURVEY §5.4).
+
+    ``behavior_cloning=True`` (POPLIN-style, no reference analogue): a
+    :class:`~blackbox_mpc_tpu.learning.proposer.PolicyProposer` policy net is behavior-cloned
+    on the replay's (state, action) pairs after every refinement and seeds the solver's plan
+    mean each solve (see ``MPCPolicy(proposer=...)``). The trained proposer is returned via
+    ``policy.proposer``.
     """
     import json
     import os
@@ -98,6 +109,21 @@ def learn_dynamics_iteratively_w_mpc(
     elif handler is None:
         raise ValueError("need number_of_initial_rollouts > 0 or a pre-trained handler")
 
+    proposer = None
+    if behavior_cloning:
+        from blackbox_mpc_tpu.core.types import Bounds
+        from blackbox_mpc_tpu.learning.proposer import PolicyProposer, ProposerConfig
+
+        cfg = handler.config if handler is not None else dynamics_config
+        dim_s = cfg.dim_s if cfg is not None else int(np.asarray(env.reset()).shape[-1])
+        dim_u = int(np.asarray(env.action_space.low).shape[-1])
+        proposer = PolicyProposer(
+            ProposerConfig(dim_s=dim_s, dim_u=dim_u, hidden=tuple(bc_hidden)),
+            Bounds.from_space(env.action_space), seed=seed,
+        )
+        bc = proposer.train(handler.replay, epochs=bc_epochs)
+        logger.info("behavior cloning: %s", bc)
+
     policy = MPCPolicy(
         action_space=env.action_space,
         reward_function=reward_function,
@@ -107,6 +133,7 @@ def learn_dynamics_iteratively_w_mpc(
         planning_horizon=planning_horizon,
         seed=seed,
         metrics_writer=metrics_writer,
+        proposer=proposer,
         **solver_kwargs,
     )
     if start_refinement == 0:
@@ -129,5 +156,9 @@ def learn_dynamics_iteratively_w_mpc(
             "refinement %d: episode reward %.2f, val loss %.5f",
             i + 1, result["reward_sum"][-1], metrics["val_loss"],
         )
+        if proposer is not None:
+            bc = proposer.train(handler.replay, epochs=bc_epochs)
+            if metrics_writer is not None:
+                metrics_writer.scalar("proposer/bc_loss", bc["bc_loss"], i + 1)
         _checkpoint(i + 1)
     return handler, policy
