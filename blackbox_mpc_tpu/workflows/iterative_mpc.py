@@ -88,6 +88,9 @@ def learn_dynamics_iteratively_w_mpc(
             return
         os.makedirs(checkpoint_dir, exist_ok=True)
         handler.save(os.path.join(checkpoint_dir, "handler"))
+        if proposer is not None:
+            np.save(os.path.join(checkpoint_dir, "proposer.npy"),
+                    np.asarray([proposer.state_dict()], dtype=object), allow_pickle=True)
         with open(os.path.join(checkpoint_dir, "loop_state.json"), "w") as f:
             json.dump({"completed_refinements": completed}, f)
 
@@ -121,8 +124,17 @@ def learn_dynamics_iteratively_w_mpc(
             ProposerConfig(dim_s=dim_s, dim_u=dim_u, hidden=tuple(bc_hidden)),
             Bounds.from_space(env.action_space), seed=seed,
         )
-        bc = proposer.train(handler.replay, epochs=bc_epochs)
-        logger.info("behavior cloning: %s", bc)
+        proposer_ckpt = (
+            os.path.join(checkpoint_dir, "proposer.npy") if checkpoint_dir else None
+        )
+        if resume and proposer_ckpt and os.path.exists(proposer_ckpt):
+            proposer.load_state_dict(
+                np.load(proposer_ckpt, allow_pickle=True)[0]
+            )
+            logger.info("resumed proposer from %s", proposer_ckpt)
+        else:
+            bc = proposer.train(handler.replay, epochs=bc_epochs)
+            logger.info("behavior cloning: %s", bc)
 
     policy = MPCPolicy(
         action_space=env.action_space,
