@@ -37,6 +37,8 @@ def main():
                    help="ts_inf: PETS particles per candidate (returns averaged)")
     p.add_argument("--warm-start", type=int, default=None, choices=[0, 1],
                    help="override solver warm_start (Gradient/CEM-GD only)")
+    p.add_argument("--behavior-cloning", action="store_true",
+                   help="POPLIN-style proposer seeding (bc_epochs=20)")
     p.add_argument("--num-envs", type=int, default=2)
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--cpu", action="store_true")
@@ -62,7 +64,8 @@ def main():
 
     with open(args.out, "a") as f:  # run-header row precedes the scalar stream
         f.write(json.dumps({
-        "run": f"{args.solver} {args.propagation} {args.members}-member ensemble HalfCheetah MBRL",
+        "run": f"{args.solver}{' +BC' if args.behavior_cloning else ''} {args.propagation} "
+               f"{args.members}-member ensemble HalfCheetah MBRL",
         "config": f"pop={args.population} H={args.planning_horizon} iters=5 "
                   f"hidden={'x'.join(map(str, args.hidden))} NLL lr=3e-3 "
                   f"propagation={args.propagation} particles={args.particles}",
@@ -107,6 +110,7 @@ def main():
         batch_size=256,
         learning_rate=3e-3,
         metrics_writer=writer,
+        behavior_cloning=args.behavior_cloning,
         **solver_kwargs,
         seed=args.seed,
     )
@@ -114,7 +118,8 @@ def main():
     ep = writer.history.get("rewards/actual_episode_reward", [])
     best = max((v for _, v in ep), default=float("nan"))
     print(json.dumps({
-        "metric": f"HalfCheetah MBRL peak episode reward ({args.solver}, {args.propagation})",
+        "metric": f"HalfCheetah MBRL peak episode reward "
+                  f"({args.solver}{' +BC' if args.behavior_cloning else ''}, {args.propagation})",
         "value": round(best, 1),
         "unit": "episode_reward",
         "episodes": len(ep),
