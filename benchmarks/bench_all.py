@@ -71,6 +71,14 @@ def main():
              "--overlap", "--spec-tol", "0.01"],
             None,
         ),
+        "gradient_vs_cem": (
+            [py, "benchmarks/gradient_solver_bench.py"],
+            None,
+        ),
+        "device_episode": (
+            [py, "benchmarks/device_episode_bench.py"],
+            None,
+        ),
         "sep_cma_flagship": (
             [py, "benchmarks/scaling.py", "--config", "multi_agent", "--agents", "1",
              "--population", "1000", "--hidden", "500", "500", "500", "--ensemble", "5",
