@@ -62,16 +62,7 @@ def main():
 
     from blackbox_mpc_tpu.utils.metrics import MetricsWriter
 
-    with open(args.out, "a") as f:  # run-header row precedes the scalar stream
-        f.write(json.dumps({
-        "run": f"{args.solver}{' +BC' if args.behavior_cloning else ''} {args.propagation} "
-               f"{args.members}-member ensemble HalfCheetah MBRL",
-        "config": f"pop={args.population} H={args.planning_horizon} iters=5 "
-                  f"hidden={'x'.join(map(str, args.hidden))} NLL lr=3e-3 "
-                  f"propagation={args.propagation} particles={args.particles}",
-        "start": time.strftime("%Y-%m-%dT%H:%M:%S"),
-        }) + "\n")
-    writer = MetricsWriter(jsonl_path=args.out, tensorboard=False)
+    writer = None  # created after solver_kwargs so the header records real provenance
 
     def cheetah_reward(state, action, next_state):
         return (next_state[:, 0] - state[:, 0]) / 0.05 - 0.1 * jnp.sum(
@@ -96,6 +87,17 @@ def main():
         solver_kwargs = dict(population=args.population, num_elite=50, max_iterations=5)
     if args.warm_start is not None and args.solver in ("Gradient", "CEM-GD"):
         solver_kwargs["warm_start"] = bool(args.warm_start)
+    with open(args.out, "a") as f:  # run-header row precedes the scalar stream
+        f.write(json.dumps({
+        "run": f"{args.solver}{' +BC' if args.behavior_cloning else ''} {args.propagation} "
+               f"{args.members}-member ensemble HalfCheetah MBRL",
+        "config": f"solver_kwargs={solver_kwargs} H={args.planning_horizon} "
+                  f"hidden={'x'.join(map(str, args.hidden))} NLL lr=3e-3 "
+                  f"propagation={args.propagation} particles={args.particles}",
+        "start": time.strftime("%Y-%m-%dT%H:%M:%S"),
+        }) + "\n")
+    writer = MetricsWriter(jsonl_path=args.out, tensorboard=False)
+
     handler, policy = learn_dynamics_iteratively_w_mpc(
         env,
         cheetah_reward,

@@ -73,9 +73,9 @@ class MPCPolicy(ModelBasedPolicy):
 
         ``proposer``: optional :class:`~blackbox_mpc_tpu.learning.proposer.PolicyProposer`
         (POPLIN-style amortization) — its policy net is unrolled through the posterior-mean
-        dynamics each solve and the resulting plan replaces the solver's carried mean, so
+        dynamics each solve and the resulting plan replaces the solver's carried plan, so
         refinement starts from a learned proposal instead of the midpoint. Requires a
-        mean-carrying solver (CEM, CEM-GD, PI2, SPSA, Gradient)."""
+        plan-carrying solver (CEM, CEM-GD, CMA-ES, Gradient, PI2, SPSA)."""
         self._space = as_box_space(action_space)
         self._bounds = Bounds.from_space(self._space)
         self._reward_fn = reward_function
@@ -222,10 +222,13 @@ class MPCPolicy(ModelBasedPolicy):
                  add_noise: bool):
             solve_key, noise_key, rollout_key = jax.random.split(key, 3)
             if proposer is not None:
-                # POPLIN-style seeding: the policy-net unroll replaces the carried mean.
+                # POPLIN-style seeding: the policy-net unroll replaces the carried plan.
+                # Reshape covers CMA-ES's flattened [A, H*U] mean; SPSA names it `solution`.
                 proposed = propose(proposer_params, dynamics_params, obs)
+                field = self._proposer_field
+                current = getattr(solver_state, field)
                 solver_state = solver_state.replace(
-                    mean=proposed.astype(solver_state.mean.dtype)
+                    **{field: proposed.reshape(current.shape).astype(current.dtype)}
                 )
             if fused_cem_factory is not None:
                 # Generate-in-kernel CEM: the candidate tensor never exists in HBM
@@ -280,11 +283,19 @@ class MPCPolicy(ModelBasedPolicy):
         self._solver_init = jax.jit(solver.init)
         self._solver_reset = jax.jit(solver.reset)
         self._solver_state = self._solver_init(init_key)
-        if self._proposer is not None and not hasattr(self._solver_state, "mean"):
-            raise ValueError(
-                f"proposer= requires a mean-carrying solver (CEM, CEM-GD, PI2, SPSA, "
-                f"Gradient); {solver_name} state has no plan mean"
-            )
+        if self._proposer is not None:
+            st = self._solver_state
+            if hasattr(st, "mean") and st.mean.size == \
+                    self._num_agents * self._planning_horizon * self._bounds.dim:
+                self._proposer_field = "mean"  # CEM/CEM-GD/PI2/Gradient ([A,H,U]) and
+                # CMA-ES (flattened [A, H*U] — reshaped at seed time)
+            elif hasattr(st, "solution"):
+                self._proposer_field = "solution"  # SPSA
+            else:
+                raise ValueError(
+                    f"proposer= requires a plan-carrying solver (CEM, CEM-GD, CMA-ES, "
+                    f"Gradient, PI2, SPSA); {solver_name} state carries no plan"
+                )
 
     def _proposer_params_arg(self):
         # Threaded as a jit ARGUMENT (device-array closures are pathological on remote

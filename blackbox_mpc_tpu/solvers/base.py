@@ -18,6 +18,7 @@ from blackbox_mpc_tpu.core.types import Bounds, Solver, truncated_normal
 
 __all__ = [
     "SolverConfig",
+    "adam_polish",
     "with_state_dtype",
     "init_solution_mean",
     "init_solution_variance",
@@ -164,3 +165,28 @@ def exploration_noise(
     var = bounds.default_variance * scale
     noise = truncated_normal(key, bounds.midpoint, jnp.sqrt(var), action.shape)
     return bounds.clip(action + noise)
+
+
+def adam_polish(evaluate, bounds: Bounds, optimizer, plans: jax.Array, iterations: int) -> jax.Array:
+    """Projected Adam ascent of ``evaluate`` over a batch of plans [P, A, H, U].
+
+    Shared by the first-order solvers (``gradient.py``, ``cem_gd.py``). Each plan's reward
+    depends only on its own actions, so the gradient of the batch mean decomposes per plan
+    (no cross terms); bounds are enforced by clipping after every step.
+    """
+    import optax
+
+    def objective(p):
+        return -jnp.mean(evaluate(p))
+
+    def iteration(carry, _):
+        plans, opt_state = carry
+        grads = jax.grad(objective)(plans)
+        updates, opt_state = optimizer.update(grads, opt_state, plans)
+        plans = bounds.clip(optax.apply_updates(plans, updates))
+        return (plans, opt_state), None
+
+    (plans, _), _ = jax.lax.scan(
+        iteration, (plans, optimizer.init(plans)), None, length=iterations
+    )
+    return plans

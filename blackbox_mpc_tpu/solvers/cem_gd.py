@@ -107,27 +107,19 @@ def make_cem_gd(config: CEMGDConfig, bounds: Bounds, evaluate: TrajectoryEvaluat
 
         # --- Phase 2: Adam polish of {blended mean} U {top elites} ---
         plans = jnp.swapaxes(top_elites, 0, 1)  # [m, A, H, U]
-        plans = bounds.clip(plans.at[0].set(mean))
-
-        def objective(p):
-            # Each plan's reward depends only on its own actions: the gradient of the mean
-            # decomposes per candidate (no cross terms), as in gradient.py.
-            return -jnp.mean(evaluate(obs, p))
-
-        def gd_iter(carry, _):
-            plans, opt_state = carry
-            grads = jax.grad(objective)(plans)
-            updates, opt_state = opt.update(grads, opt_state, plans)
-            plans = bounds.clip(optax.apply_updates(plans, updates))
-            return (plans, opt_state), None
-
-        (plans, _), _ = jax.lax.scan(
-            gd_iter, (plans, opt.init(plans)), None, length=config.gd_iterations
+        incumbent = bounds.clip(mean)
+        plans = bounds.clip(plans.at[0].set(incumbent))
+        plans = base.adam_polish(
+            lambda p: evaluate(obs, p), bounds, opt, plans, config.gd_iterations
         )
+        # The UNPOLISHED blended mean re-enters the final argmax, so CEM-GD can never
+        # return a worse plan than plain CEM at the same sampled budget — even when every
+        # Adam trajectory overshoots on a ragged landscape.
+        plans = jnp.concatenate([plans, incumbent[None]], axis=0)  # [m+1, A, H, U]
 
-        rewards = evaluate(obs, plans)  # [m, A]
+        rewards = evaluate(obs, plans)  # [m+1, A]
         best_idx = jnp.argmax(rewards, axis=0)  # [A]
-        per_agent = jnp.swapaxes(plans, 0, 1)  # [A, m, H, U]
+        per_agent = jnp.swapaxes(plans, 0, 1)  # [A, m+1, H, U]
         best = jnp.take_along_axis(per_agent, best_idx[:, None, None, None], axis=1)[:, 0]
         best_reward = jnp.max(rewards, axis=0)
         action = best[:, 0]

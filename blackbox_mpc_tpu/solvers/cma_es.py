@@ -113,9 +113,13 @@ def make_cma_es(config: CMAESConfig, bounds: Bounds, evaluate: TrajectoryEvaluat
     expectation_of_normal = float(np.sqrt(nf) * (1.0 - 1.0 / (4.0 * nf) + 1.0 / (21.0 * nf**2)))
     # Initial per-coordinate sigma as a numpy closure constant (bakes to an HLO literal),
     # used for the relative sigma floor/ceiling.
+    # Computed with numpy from the numpy bound fields — NOT via the jnp-backed
+    # ``bounds.default_variance`` property, which becomes a tracer when this factory runs
+    # inside a jitted step (MPCPolicy builds the solver per solve) and cannot np.asarray.
     sigma0 = np.tile(
-        np.sqrt(np.asarray(bounds.default_variance, np.float32)).reshape(-1), horizon
-    )  # [n]
+        (np.asarray(bounds.upper, np.float32) - np.asarray(bounds.lower, np.float32))
+        .reshape(-1) / 4.0, horizon
+    )  # [n] — sqrt((range/4)^2) = range/4, the reference init sigma
 
     def init(key: jax.Array) -> CMAESState:
         del key

@@ -67,20 +67,8 @@ def make_gradient(config: GradientConfig, bounds: Bounds, evaluate: TrajectoryEv
         restarts = restarts.at[0].set(state.mean)  # incumbent survives verbatim
         plans = bounds.clip(restarts)
 
-        def objective(p):
-            # Mean over restarts+agents: each plan's reward depends only on its own
-            # actions, so the gradient decomposes per restart (no cross terms).
-            return -jnp.mean(evaluate(obs, p))
-
-        def iteration(carry, _):
-            plans, opt_state = carry
-            grads = jax.grad(objective)(plans)
-            updates, opt_state = opt.update(grads, opt_state, plans)
-            plans = bounds.clip(optax.apply_updates(plans, updates))
-            return (plans, opt_state), None
-
-        (plans, _), _ = jax.lax.scan(
-            iteration, (plans, opt.init(plans)), None, length=config.max_iterations
+        plans = base.adam_polish(
+            lambda p: evaluate(obs, p), bounds, opt, plans, config.max_iterations
         )
         rewards = evaluate(obs, plans)  # [P, A]
         best_idx = jnp.argmax(rewards, axis=0)  # [A]

@@ -47,6 +47,7 @@ def learn_dynamics_iteratively_w_mpc(
     behavior_cloning: bool = False,
     bc_epochs: int = 20,
     bc_hidden: tuple = (64, 64),
+    solver_learning_rate: Optional[float] = None,
     **solver_kwargs,
 ):
     """Full MBRL loop. ``solver_kwargs`` forward into the solver config (population, ...).
@@ -61,10 +62,15 @@ def learn_dynamics_iteratively_w_mpc(
     on the replay's (state, action) pairs after every refinement and seeds the solver's plan
     mean each solve (see ``MPCPolicy(proposer=...)``). The trained proposer is returned via
     ``policy.proposer``.
+    ``solver_learning_rate``: forwarded as the solver config's ``learning_rate`` (the
+    Gradient planner's Adam step size) — namespaced because the workflow's own
+    ``learning_rate`` kwarg is the model-training LR and shadows the passthrough.
     """
     import json
     import os
 
+    if solver_learning_rate is not None:
+        solver_kwargs["learning_rate"] = solver_learning_rate
     num_agents = env.num_envs
     start_refinement = 0
     if resume:
@@ -117,8 +123,12 @@ def learn_dynamics_iteratively_w_mpc(
         from blackbox_mpc_tpu.core.types import Bounds
         from blackbox_mpc_tpu.learning.proposer import PolicyProposer, ProposerConfig
 
-        cfg = handler.config if handler is not None else dynamics_config
-        dim_s = cfg.dim_s if cfg is not None else int(np.asarray(env.reset()).shape[-1])
+        if handler.replay is None:
+            raise ValueError(
+                "behavior_cloning=True requires a learned-dynamics handler (a replay "
+                "buffer to clone from); true-model handlers have none"
+            )
+        dim_s = handler.config.dim_s
         dim_u = int(np.asarray(env.action_space.low).shape[-1])
         proposer = PolicyProposer(
             ProposerConfig(dim_s=dim_s, dim_u=dim_u, hidden=tuple(bc_hidden)),

@@ -109,23 +109,53 @@ def test_proposer_seeded_policy_acts_and_beats_midpoint_seed(solver_name):
     assert expected_reward(proposer) > expected_reward(None) + 0.01
 
 
-def test_proposer_rejects_meanless_solver():
-    bounds_env = __import__("blackbox_mpc_tpu.envs.native_pendulum",
-                            fromlist=["NativePendulumVecEnv"]).NativePendulumVecEnv()
+@pytest.mark.parametrize("solver_name", ["RandomSearch", "PSO"])
+def test_proposer_rejects_planless_solver(solver_name):
+    from blackbox_mpc_tpu.envs.native_pendulum import NativePendulumVecEnv
+
+    env = NativePendulumVecEnv()
     proposer = PolicyProposer(
-        ProposerConfig(dim_s=3, dim_u=1), Bounds.from_space(bounds_env.action_space)
+        ProposerConfig(dim_s=3, dim_u=1), Bounds.from_space(env.action_space)
     )
-    with pytest.raises(ValueError, match="mean-carrying"):
+    with pytest.raises(ValueError, match="plan-carrying"):
         MPCPolicy(
-            action_space=bounds_env.action_space,
+            action_space=env.action_space,
             reward_function=pendulum_reward,
             dynamics_handler=DynamicsHandler(true_model=pendulum_dynamics),
-            solver_name="RandomSearch",
+            solver_name=solver_name,
             num_agents=1,
             planning_horizon=8,
             population=32,
             proposer=proposer,
         )
+
+
+@pytest.mark.parametrize("solver_name", ["SPSA", "CMA-ES"])
+def test_proposer_seeds_spsa_and_cma_es(solver_name):
+    """SPSA carries its plan as `solution`; CMA-ES as a flattened [A, H*U] mean — both must
+    accept a proposer (review fix: the old hasattr-mean guard rejected SPSA and crashed
+    CMA-ES at solve time)."""
+    from blackbox_mpc_tpu.envs.native_pendulum import NativePendulumVecEnv
+
+    env = NativePendulumVecEnv()
+    proposer = PolicyProposer(
+        ProposerConfig(dim_s=3, dim_u=1, hidden=(16,)), Bounds.from_space(env.action_space)
+    )
+    kw = dict(population=32, max_iterations=2)
+    if solver_name == "CMA-ES":
+        kw["num_elite"] = 8
+    policy = MPCPolicy(
+        action_space=env.action_space,
+        reward_function=pendulum_reward,
+        dynamics_handler=DynamicsHandler(true_model=pendulum_dynamics),
+        solver_name=solver_name,
+        num_agents=2,
+        planning_horizon=8,
+        proposer=proposer,
+        **kw,
+    )
+    a, _, _ = policy.act(np.asarray([[-1.0, 0.0, 0.0], [0.5, 0.5, 0.5]], np.float32), 0)
+    assert a.shape == (2, 1) and np.isfinite(a).all()
 
 
 def test_proposer_state_roundtrip():

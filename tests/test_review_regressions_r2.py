@@ -169,3 +169,25 @@ def test_pipeline_batch_mismatch_raises():
     pipe.reset()
     with pytest.raises(ValueError, match="num_agents"):
         pipe.act(np.zeros((3, 3), np.float32), 0)
+
+
+@pytest.mark.parametrize("name", ["CMA-ES", "SPSA", "PSO"])
+def test_every_stateful_solver_works_through_mpc_policy(name):
+    """Regression: CMA-ES's factory called np.asarray on the jnp-backed
+    bounds.default_variance, which is a tracer when MPCPolicy builds the solver inside its
+    jitted step — making CMA-ES unusable through the policy facade (solver-level tests
+    built it outside jit and never caught it)."""
+    from blackbox_mpc_tpu.envs.native_pendulum import NativePendulumVecEnv
+    from blackbox_mpc_tpu.learning.handler import DynamicsHandler
+    from blackbox_mpc_tpu.policies.mpc_policy import MPCPolicy
+
+    env = NativePendulumVecEnv()
+    kw = {"num_elite": 8} if name == "CMA-ES" else {}
+    policy = MPCPolicy(
+        action_space=env.action_space, reward_function=pendulum_reward,
+        dynamics_handler=DynamicsHandler(true_model=pendulum_dynamics),
+        solver_name=name, num_agents=1, planning_horizon=8,
+        population=32, max_iterations=2, **kw,
+    )
+    a, _, _ = policy.act(np.asarray([[-1.0, 0.0, 0.0]], np.float32), 0)
+    assert a.shape == (1, 1) and np.isfinite(a).all()

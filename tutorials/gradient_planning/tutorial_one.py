@@ -9,8 +9,8 @@ extra solver families come for free:
 2. ``CEM-GD``    — CEM finds the basin, Adam polishes the blended mean + top elites.
 
 Both work with analytic models AND learned (probabilistic-ensemble) dynamics; on HalfCheetah
-MBRL the Gradient planner more than doubled CEM's peak episode reward (930.6 vs 409.6,
-``benchmarks/cheetah_gradient_run.jsonl``). Here: pendulum swing-up with the true model, all
+MBRL the Gradient planner more than doubled CEM's peak episode reward (930.6 vs 449 on the
+identical pipeline, ``benchmarks/cheetah_gradient_run.jsonl``). Here: pendulum swing-up with the true model, all
 three planners on the same budget clock.
 """
 import sys, pathlib, time
