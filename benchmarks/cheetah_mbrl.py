@@ -30,7 +30,11 @@ def main():
     p.add_argument("--initial-rollouts", type=int, default=5)
     p.add_argument("--steps", type=int, default=200, help="env rollout horizon")
     p.add_argument("--planning-horizon", type=int, default=15)
-    p.add_argument("--population", type=int, default=510, help="divisible by members*envs")
+    p.add_argument("--population", type=int, default=None,
+                   help="CEM/CEM-GD samples (default 510, divisible by members*envs); "
+                        "Gradient restarts (default 32)")
+    p.add_argument("--solver-lr", type=float, default=None,
+                   help="solver learning_rate (Gradient/CEM-GD Adam step; default 0.1/0.02)")
     p.add_argument("--hidden", type=int, nargs="+", default=[256, 256, 256])
     p.add_argument("--epochs", type=int, default=12)
     p.add_argument("--particles", type=int, default=1,
@@ -62,8 +66,6 @@ def main():
 
     from blackbox_mpc_tpu.utils.metrics import MetricsWriter
 
-    writer = None  # created after solver_kwargs so the header records real provenance
-
     def cheetah_reward(state, action, next_state):
         return (next_state[:, 0] - state[:, 0]) / 0.05 - 0.1 * jnp.sum(
             jnp.square(action), axis=-1
@@ -78,13 +80,16 @@ def main():
         probabilistic=True, propagation=args.propagation, num_particles=args.particles,
     )
     if args.solver == "Gradient":
-        # population = random restarts; Adam steps replace sampled iterations.
-        # GradientConfig's default learning_rate=0.1 applies (the workflow's learning_rate
-        # kwarg is the model-training LR, so the solver LR can't be forwarded here).
-        solver_kwargs = dict(population=32, max_iterations=20)
+        # population = random restarts; Adam steps replace sampled iterations. The solver's
+        # Adam step size is forwarded via solver_learning_rate= (the workflow's learning_rate
+        # kwarg is the model-training LR).
+        solver_kwargs = dict(population=args.population or 32, max_iterations=20)
     else:
-        # CEM and CEM-GD share the sampled budget; CEM-GD adds the default 8x10 Adam polish
-        solver_kwargs = dict(population=args.population, num_elite=50, max_iterations=5)
+        # CEM and CEM-GD share the sampled budget; CEM-GD adds the default 9x10 Adam polish
+        solver_kwargs = dict(population=args.population or 510, num_elite=50,
+                             max_iterations=5)
+    if args.solver_lr is not None:
+        solver_kwargs["solver_learning_rate"] = args.solver_lr
     if args.warm_start is not None and args.solver in ("Gradient", "CEM-GD"):
         solver_kwargs["warm_start"] = bool(args.warm_start)
     with open(args.out, "a") as f:  # run-header row precedes the scalar stream

@@ -64,8 +64,10 @@ def build(solver_name, solver_kw, n_episodes):
                 solver, pendulum_dynamics, pendulum_reward, obs, EPISODE_STEPS, k
             )
             # chain episodes through the final obs (keeps a data dependency; each episode
-            # still starts "hard" — rotate the final upright state back to hanging)
-            chained = jnp.concatenate([-final_obs[:, :1], final_obs[:, 1:2] * 0.0,
+            # still starts "hard"). Rotate the final angle by pi — negate BOTH cos and sin
+            # so the chained state stays exactly on the cos^2+sin^2=1 manifold whatever
+            # angle the episode ended at — and damp the velocity.
+            chained = jnp.concatenate([-final_obs[:, :1], -final_obs[:, 1:2],
                                        final_obs[:, 2:] * 0.01], axis=1)
             return (chained, final_obs), jnp.sum(rewards)
 

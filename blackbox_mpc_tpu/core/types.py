@@ -112,6 +112,11 @@ class Solver(NamedTuple):
     solve: Callable[[Any, jax.Array, jax.Array, jax.Array], tuple]
     reset: Callable[[Any, jax.Array], Any]
     name: str = "solver"
+    # Name of the state field holding the incumbent plan (total size A*H*U), or None if
+    # the solver carries no externally-seedable plan. Consumed by MPCPolicy's POPLIN-style
+    # proposer seeding; declared here so new solvers opt in explicitly instead of being
+    # duck-typed by field name.
+    plan_field: Any = None
 
 
 def truncated_normal(key: jax.Array, mean: jax.Array, stddev: jax.Array, shape) -> jax.Array:

@@ -318,4 +318,4 @@ def make_fused_cem(
         del state
         return init(key)
 
-    return Solver(init=init, solve=solve, reset=reset, name="CEM-Fused")
+    return Solver(init=init, solve=solve, reset=reset, name="CEM-Fused", plan_field="mean")

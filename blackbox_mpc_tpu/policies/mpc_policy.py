@@ -284,18 +284,23 @@ class MPCPolicy(ModelBasedPolicy):
         self._solver_reset = jax.jit(solver.reset)
         self._solver_state = self._solver_init(init_key)
         if self._proposer is not None:
-            st = self._solver_state
-            if hasattr(st, "mean") and st.mean.size == \
-                    self._num_agents * self._planning_horizon * self._bounds.dim:
-                self._proposer_field = "mean"  # CEM/CEM-GD/PI2/Gradient ([A,H,U]) and
-                # CMA-ES (flattened [A, H*U] — reshaped at seed time)
-            elif hasattr(st, "solution"):
-                self._proposer_field = "solution"  # SPSA
-            else:
+            # Solvers declare their seedable plan field (Solver.plan_field) — no duck
+            # typing on state-field names, so a future solver with a coincidental `mean`
+            # cannot be silently corrupted by proposer seeding.
+            field = solver.plan_field
+            if field is None:
                 raise ValueError(
-                    f"proposer= requires a plan-carrying solver (CEM, CEM-GD, CMA-ES, "
-                    f"Gradient, PI2, SPSA); {solver_name} state carries no plan"
+                    f"proposer= requires a plan-carrying solver (one declaring "
+                    f"Solver.plan_field: CEM, CEM-GD, CMA-ES, Gradient, PI2, SPSA); "
+                    f"{solver_name} declares none"
                 )
+            plan_size = self._num_agents * self._planning_horizon * self._bounds.dim
+            if getattr(self._solver_state, field).size != plan_size:
+                raise ValueError(
+                    f"{solver_name} plan field '{field}' has size "
+                    f"{getattr(self._solver_state, field).size}, expected A*H*U={plan_size}"
+                )
+            self._proposer_field = field
 
     def _proposer_params_arg(self):
         # Threaded as a jit ARGUMENT (device-array closures are pathological on remote

@@ -76,7 +76,10 @@ def with_state_dtype(solver: Solver, dtype) -> Solver:
     def reset(state, key):
         return _cast(solver.reset(_cast(state, jnp.float32), key), dtype)
 
-    return Solver(init=init, solve=solve, reset=reset, name=solver.name)
+    return Solver(
+        init=init, solve=solve, reset=reset, name=solver.name,
+        plan_field=solver.plan_field,
+    )
 
 
 def init_solution_mean(

@@ -25,7 +25,7 @@ from flax import struct
 from blackbox_mpc_tpu.core.types import Bounds, Solver, SolverAux, TrajectoryEvaluator, truncated_normal
 from blackbox_mpc_tpu.solvers import base
 
-__all__ = ["CEMConfig", "CEMState", "make_cem"]
+__all__ = ["CEMConfig", "CEMState", "make_cem", "cem_iteration", "init_carried"]
 
 
 @dataclasses.dataclass(frozen=True)
@@ -50,10 +50,70 @@ class CEMState:
     variance: jax.Array  # [A, H, U]
 
 
+def cem_iteration(config, bounds, evaluate, obs, mean, var, key, carried):
+    """One CEM update, shared by ``make_cem`` and ``make_cem_gd`` (cem_gd.py).
+
+    Samples ``population - keep_elites`` fresh candidates around ``mean`` (colored noise when
+    ``config.colored_noise_beta > 0``, else truncated normal), re-injects the ``carried``
+    elites, evaluates, and blends per-agent top-k elite moments with momentum ``alpha``
+    (reference cem.py:81-125). Returns ``(mean, var, key, carried, elites, elite_vals)``;
+    ``elites`` is ``[A, k, H, U]`` ranked best-first (``lax.top_k`` orders descending).
+    """
+    horizon, agents, pop = config.planning_horizon, config.num_agents, config.population
+    k, alpha, keep = config.num_elite, config.alpha, config.keep_elites
+    key, sample_key = jax.random.split(key)
+    constrained = base.constrain_variance(mean, var, bounds)
+    n_fresh = pop - keep
+    if config.colored_noise_beta > 0.0:
+        z = base.colored_noise(
+            sample_key, config.colored_noise_beta,
+            (n_fresh, agents, horizon, bounds.dim),
+        )
+        samples = bounds.clip(mean + jnp.sqrt(constrained) * z)
+    else:
+        samples = truncated_normal(
+            sample_key, mean, jnp.sqrt(constrained),
+            (n_fresh, agents, horizon, bounds.dim),
+        )
+    if keep:
+        # iCEM elite persistence: previous iteration's top candidates rejoin the
+        # population (skipped on the first iteration — `carried` is init-sampled
+        # placeholder data then, which is harmless but uninformative).
+        samples = jnp.concatenate([samples, jnp.swapaxes(carried, 0, 1)], axis=0)
+    rewards = evaluate(obs, samples)  # [P, A]
+    elite_vals, elite_idx = jax.lax.top_k(rewards.T, k)  # [A, k]
+    per_agent = jnp.swapaxes(samples, 0, 1)  # [A, P, H, U]
+    elites = jnp.take_along_axis(per_agent, elite_idx[:, :, None, None], axis=1)
+    new_mean = jnp.mean(elites, axis=1)
+    new_var = jnp.mean(jnp.square(elites - new_mean[:, None]), axis=1)
+    mean = alpha * mean + (1.0 - alpha) * new_mean
+    var = alpha * var + (1.0 - alpha) * new_var
+    carried = elites[:, :keep] if keep else carried
+    return mean, var, key, carried, elites, elite_vals
+
+
+def init_carried(config, bounds, state, key):
+    """Initial carried-elite buffer for ``cem_iteration``; returns ``(key, carried0)``.
+
+    keep_elites==0 performs NO key split — the RNG stream must match the reference path
+    exactly (golden tests replicate it).
+    """
+    keep = config.keep_elites
+    if keep:
+        key, seed_key = jax.random.split(key)
+        carried0 = truncated_normal(
+            seed_key, state.mean, jnp.sqrt(state.variance),
+            (keep, config.num_agents, config.planning_horizon, bounds.dim),
+        )
+        return key, jnp.swapaxes(carried0, 0, 1)
+    return key, jnp.zeros(
+        (config.num_agents, 0, config.planning_horizon, bounds.dim), state.mean.dtype
+    )
+
+
 def make_cem(config: CEMConfig, bounds: Bounds, evaluate: TrajectoryEvaluator) -> Solver:
     horizon, agents, pop = config.planning_horizon, config.num_agents, config.population
     k = config.num_elite
-    alpha = config.alpha
 
     def init(key: jax.Array) -> CEMState:
         del key
@@ -70,48 +130,13 @@ def make_cem(config: CEMConfig, bounds: Bounds, evaluate: TrajectoryEvaluator) -
 
         def iteration(i, carry):
             mean, var, key, _, carried = carry
-            key, sample_key = jax.random.split(key)
-            constrained = base.constrain_variance(mean, var, bounds)
-            n_fresh = pop - keep
-            if config.colored_noise_beta > 0.0:
-                z = base.colored_noise(
-                    sample_key, config.colored_noise_beta,
-                    (n_fresh, agents, horizon, bounds.dim),
-                )
-                samples = bounds.clip(mean + jnp.sqrt(constrained) * z)
-            else:
-                samples = truncated_normal(
-                    sample_key, mean, jnp.sqrt(constrained),
-                    (n_fresh, agents, horizon, bounds.dim),
-                )
-            if keep:
-                # iCEM elite persistence: previous iteration's top candidates rejoin the
-                # population (skipped on the first iteration — `carried` is init-sampled
-                # placeholder data then, which is harmless but uninformative).
-                samples = jnp.concatenate([samples, jnp.swapaxes(carried, 0, 1)], axis=0)
-            rewards = evaluate(obs, samples)  # [P, A]
-            elite_vals, elite_idx = jax.lax.top_k(rewards.T, k)  # [A, k]
-            per_agent = jnp.swapaxes(samples, 0, 1)  # [A, P, H, U]
-            elites = jnp.take_along_axis(per_agent, elite_idx[:, :, None, None], axis=1)
-            new_mean = jnp.mean(elites, axis=1)
-            new_var = jnp.mean(jnp.square(elites - new_mean[:, None]), axis=1)
-            mean = alpha * mean + (1.0 - alpha) * new_mean
-            var = alpha * var + (1.0 - alpha) * new_var
-            carried = elites[:, :keep] if keep else carried
+            mean, var, key, carried, _, elite_vals = cem_iteration(
+                config, bounds, evaluate, obs, mean, var, key, carried
+            )
             return mean, var, key, jnp.mean(elite_vals, axis=1), carried
 
         best0 = jnp.full((agents,), -jnp.inf, dtype=state.mean.dtype)
-        if keep:
-            key, seed_key = jax.random.split(key)
-            carried0 = truncated_normal(
-                seed_key, state.mean, jnp.sqrt(state.variance),
-                (keep, agents, horizon, bounds.dim),
-            )
-            carried0 = jnp.swapaxes(carried0, 0, 1)
-        else:
-            # keep==0: zero-size placeholder, and crucially NO extra key split — the RNG
-            # stream must match the reference path exactly (golden tests replicate it).
-            carried0 = jnp.zeros((agents, 0, horizon, bounds.dim), state.mean.dtype)
+        key, carried0 = init_carried(config, bounds, state, key)
         mean, var, _, elite_reward, _ = jax.lax.fori_loop(
             0, config.max_iterations, iteration,
             (state.mean, state.variance, key, best0, carried0),
@@ -130,5 +155,5 @@ def make_cem(config: CEMConfig, bounds: Bounds, evaluate: TrajectoryEvaluator) -
         return init(key)
 
     return base.with_state_dtype(
-        Solver(init=init, solve=solve, reset=reset, name="CEM"), config.dtype
+        Solver(init=init, solve=solve, reset=reset, name="CEM", plan_field="mean"), config.dtype
     )

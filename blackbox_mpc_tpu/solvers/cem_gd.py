@@ -10,9 +10,13 @@ on the top-k CEM candidates dominates either method alone at equal budget becaus
 pays for exploration and the gradient pays for precision.
 
 Budget accounting: ``max_iterations`` CEM iterations of ``population`` rollouts, then
-``gd_iterations`` fused forward+backward evaluations of ``gd_candidates`` plans — e.g. the
-flagship pop=1000 x 5 iters adds only 8 x 10 polished rollouts (~2% FLOPs) for the precision
-gain. Requires a differentiable evaluator (the XLA scan path; not the Pallas backends).
+``gd_iterations`` fused forward+backward evaluations of ``gd_candidates + 1`` plans (the
+blended mean plus the top elites) — e.g. the flagship pop=1000 x 5 iters adds only 9 x 10
+polished rollouts (~2% FLOPs) for the precision gain. Requires a differentiable evaluator
+(the XLA scan path; not the Pallas backends).
+
+The CEM phase reuses ``cem.cem_iteration`` verbatim — the update rule, colored-noise
+sampling, and iCEM elite persistence cannot drift from ``make_cem``'s.
 """
 from __future__ import annotations
 
@@ -23,26 +27,19 @@ import jax.numpy as jnp
 import optax
 from flax import struct
 
-from blackbox_mpc_tpu.core.types import (
-    Bounds,
-    Solver,
-    SolverAux,
-    TrajectoryEvaluator,
-    truncated_normal,
-)
-from blackbox_mpc_tpu.solvers import base
+from blackbox_mpc_tpu.core.types import Bounds, Solver, SolverAux, TrajectoryEvaluator
+from blackbox_mpc_tpu.solvers import base, cem
 
 __all__ = ["CEMGDConfig", "CEMGDState", "make_cem_gd"]
 
 
 @dataclasses.dataclass(frozen=True)
-class CEMGDConfig(base.SolverConfig):
-    """CEM phase defaults mirror ``CEMConfig``; GD phase defaults follow ``GradientConfig``."""
+class CEMGDConfig(cem.CEMConfig):
+    """CEM phase inherits ``CEMConfig`` (incl. ``colored_noise_beta``/``keep_elites``);
+    GD phase defaults follow ``GradientConfig``."""
 
-    num_elite: int = 50
-    alpha: float = 0.25  # weight of the previous mean/var (reference cem.py:112-125)
-    # Plans polished by Adam: slot 0 is the blended CEM mean, the rest are the final
-    # iteration's top elites. Must be <= num_elite.
+    # Top elites of the final CEM iteration polished by Adam alongside the blended CEM
+    # mean (gd_candidates + 1 plans total, best elite always included). Must be <= num_elite.
     gd_candidates: int = 8
     gd_iterations: int = 10
     gd_learning_rate: float = 0.02
@@ -63,7 +60,7 @@ class CEMGDState:
 
 def make_cem_gd(config: CEMGDConfig, bounds: Bounds, evaluate: TrajectoryEvaluator) -> Solver:
     horizon, agents, pop = config.planning_horizon, config.num_agents, config.population
-    k, alpha, m = config.num_elite, config.alpha, config.gd_candidates
+    k, m = config.num_elite, config.gd_candidates
     if not 1 <= m <= k:
         raise ValueError(f"gd_candidates ({m}) must be in [1, num_elite={k}]")
     if k > pop:
@@ -80,46 +77,39 @@ def make_cem_gd(config: CEMGDConfig, bounds: Bounds, evaluate: TrajectoryEvaluat
     def solve(state: CEMGDState, obs: jax.Array, t: jax.Array, key: jax.Array):
         del t
 
-        # --- Phase 1: CEM (same update rule as cem.py; scan so the last elites come out) ---
+        # --- Phase 1: CEM (shared iteration body, cem.py; scan so the last elites come out) ---
         def cem_iter(carry, _):
-            mean, var, key = carry
-            key, sample_key = jax.random.split(key)
-            constrained = base.constrain_variance(mean, var, bounds)
-            samples = truncated_normal(
-                sample_key, mean, jnp.sqrt(constrained),
-                (pop, agents, horizon, bounds.dim),
+            mean, var, key, carried = carry
+            mean, var, key, carried, elites, _ = cem.cem_iteration(
+                config, bounds, evaluate, obs, mean, var, key, carried
             )
-            rewards = evaluate(obs, samples)  # [P, A]
-            _, elite_idx = jax.lax.top_k(rewards.T, k)  # [A, k]
-            per_agent = jnp.swapaxes(samples, 0, 1)  # [A, P, H, U]
-            elites = jnp.take_along_axis(per_agent, elite_idx[:, :, None, None], axis=1)
-            new_mean = jnp.mean(elites, axis=1)
-            new_var = jnp.mean(jnp.square(elites - new_mean[:, None]), axis=1)
-            mean = alpha * mean + (1.0 - alpha) * new_mean
-            var = alpha * var + (1.0 - alpha) * new_var
-            return (mean, var, key), elites[:, :m]
+            return (mean, var, key, carried), elites[:, :m]
 
-        (mean, var, _), elites_per_iter = jax.lax.scan(
-            cem_iter, (state.mean, state.variance, key), None,
+        key, carried0 = cem.init_carried(config, bounds, state, key)
+        (mean, var, _, _), elites_per_iter = jax.lax.scan(
+            cem_iter, (state.mean, state.variance, key, carried0), None,
             length=config.max_iterations,
         )
-        top_elites = elites_per_iter[-1]  # [A, m, H, U]
+        top_elites = elites_per_iter[-1]  # [A, m, H, U], best-first
 
-        # --- Phase 2: Adam polish of {blended mean} U {top elites} ---
-        plans = jnp.swapaxes(top_elites, 0, 1)  # [m, A, H, U]
+        # --- Phase 2: Adam polish of {blended mean} U {top m elites} ---
+        # The incumbent is a separate slot, NOT written over elite rank 0 — the best plan
+        # CEM actually found is always polished too.
         incumbent = bounds.clip(mean)
-        plans = bounds.clip(plans.at[0].set(incumbent))
+        plans = jnp.concatenate(
+            [incumbent[None], jnp.swapaxes(top_elites, 0, 1)], axis=0
+        )  # [m+1, A, H, U]
         plans = base.adam_polish(
             lambda p: evaluate(obs, p), bounds, opt, plans, config.gd_iterations
         )
         # The UNPOLISHED blended mean re-enters the final argmax, so CEM-GD can never
         # return a worse plan than plain CEM at the same sampled budget — even when every
         # Adam trajectory overshoots on a ragged landscape.
-        plans = jnp.concatenate([plans, incumbent[None]], axis=0)  # [m+1, A, H, U]
+        plans = jnp.concatenate([plans, incumbent[None]], axis=0)  # [m+2, A, H, U]
 
-        rewards = evaluate(obs, plans)  # [m+1, A]
+        rewards = evaluate(obs, plans)  # [m+2, A]
         best_idx = jnp.argmax(rewards, axis=0)  # [A]
-        per_agent = jnp.swapaxes(plans, 0, 1)  # [A, m+1, H, U]
+        per_agent = jnp.swapaxes(plans, 0, 1)  # [A, m+2, H, U]
         best = jnp.take_along_axis(per_agent, best_idx[:, None, None, None], axis=1)[:, 0]
         best_reward = jnp.max(rewards, axis=0)
         action = best[:, 0]
@@ -134,5 +124,5 @@ def make_cem_gd(config: CEMGDConfig, bounds: Bounds, evaluate: TrajectoryEvaluat
         return init(key)
 
     return base.with_state_dtype(
-        Solver(init=init, solve=solve, reset=reset, name="CEM-GD"), config.dtype
+        Solver(init=init, solve=solve, reset=reset, name="CEM-GD", plan_field="mean"), config.dtype
     )

@@ -249,5 +249,5 @@ def make_cma_es(config: CMAESConfig, bounds: Bounds, evaluate: TrajectoryEvaluat
         return init(key)
 
     return base.with_state_dtype(
-        Solver(init=init, solve=solve, reset=reset, name="CMA-ES"), config.dtype
+        Solver(init=init, solve=solve, reset=reset, name="CMA-ES", plan_field="mean"), config.dtype
     )

@@ -86,5 +86,5 @@ def make_gradient(config: GradientConfig, bounds: Bounds, evaluate: TrajectoryEv
         return init(key)
 
     return base.with_state_dtype(
-        Solver(init=init, solve=solve, reset=reset, name="Gradient"), config.dtype
+        Solver(init=init, solve=solve, reset=reset, name="Gradient", plan_field="mean"), config.dtype
     )

@@ -95,5 +95,5 @@ def make_pi2(config: PI2Config, bounds: Bounds, evaluate: TrajectoryEvaluator) -
         return init(key)
 
     return base.with_state_dtype(
-        Solver(init=init, solve=solve, reset=reset, name="PI2"), config.dtype
+        Solver(init=init, solve=solve, reset=reset, name="PI2", plan_field="mean"), config.dtype
     )

@@ -140,5 +140,8 @@ def make_pso(config: PSOConfig, bounds: Bounds, evaluate: TrajectoryEvaluator) -
         return init(key)
 
     return base.with_state_dtype(
+        # plan_field stays None: PSOState.global_best_position IS an [A, H, U] plan, but the
+        # swarm is only resampled around it at warm-start time, so seeding it externally
+        # would not steer the in-solve search the way seeding a sampling mean does.
         Solver(init=init, solve=solve, reset=reset, name="PSO"), config.dtype
     )

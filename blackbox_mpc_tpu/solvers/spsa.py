@@ -81,5 +81,5 @@ def make_spsa(config: SPSAConfig, bounds: Bounds, evaluate: TrajectoryEvaluator)
         return init(key)
 
     return base.with_state_dtype(
-        Solver(init=init, solve=solve, reset=reset, name="SPSA"), config.dtype
+        Solver(init=init, solve=solve, reset=reset, name="SPSA", plan_field="solution"), config.dtype
     )
