@@ -31,8 +31,7 @@ def main():
     p.add_argument("--steps", type=int, default=200, help="env rollout horizon")
     p.add_argument("--planning-horizon", type=int, default=15)
     p.add_argument("--population", type=int, default=None,
-                   help="CEM/CEM-GD samples (default 510, divisible by members*envs); "
-                        "Gradient restarts (default 32)")
+                   help="CEM/CEM-GD samples (default 510); Gradient restarts (default 32)")
     p.add_argument("--solver-lr", type=float, default=None,
                    help="solver learning_rate (Gradient/CEM-GD Adam step; default 0.1/0.02)")
     p.add_argument("--hidden", type=int, nargs="+", default=[256, 256, 256])

@@ -13,8 +13,8 @@ params axis with three propagation modes:
 
 * ``"mean"``   — average the member predictions each step (probabilistic smoothing);
 * ``"ts1"``    — trajectory sampling over members: population rows are statically partitioned
-  across members (row ``i`` uses member ``i % E`` for the whole horizon) at no extra FLOPs.
-  Deterministic: uses the head means;
+  across members (row ``i`` uses member ``i % E`` for the whole horizon) at no extra FLOPs
+  (batches not divisible by E are edge-padded by < E rows). Deterministic: uses the head means;
 * ``"ts_inf"`` — PETS TS-∞: the same fixed per-particle member assignment, **plus** a Gaussian
   sample from the probabilistic head at every step (``s' ~ N(mean, exp(logvar))``), so planning
   sees the model's aleatoric + ensemble uncertainty instead of the mean. Requires
@@ -167,18 +167,21 @@ def make_learned_dynamics(
         return mu + jnp.sqrt(var) * eps
 
     def _member_partitioned(params, x: jax.Array) -> jax.Array:
-        """Row i of x through member i % E, fixed over the whole horizon (TS member scheme)."""
+        """Row i of x through member i % E, fixed over the whole horizon (TS member scheme).
+
+        Batches not divisible by E are edge-padded to the next multiple (static shapes, so
+        the pad is a compile-time constant of < E duplicated rows) and the padding is sliced
+        off the output — any population/restart count works with ts1/ts_inf.
+        """
         batch = x.shape[0]
-        if batch % ensemble != 0:
-            raise ValueError(
-                f"{config.propagation} propagation needs batch ({batch}) divisible by "
-                f"ensemble ({ensemble})"
-            )
+        pad = (-batch) % ensemble
+        if pad:
+            x = jnp.pad(x, ((0, pad), (0, 0)), mode="edge")
         # Reshape [B, D] -> [E, B/E, D] with member-major interleaving, vmap members,
         # restore order.
-        x_groups = x.reshape(batch // ensemble, ensemble, -1).swapaxes(0, 1)
+        x_groups = x.reshape((batch + pad) // ensemble, ensemble, -1).swapaxes(0, 1)
         raw_groups = jax.vmap(lambda p, xe: mlp_apply(p, xe, config=mlp_cfg))(params, x_groups)
-        return raw_groups.swapaxes(0, 1).reshape(batch, -1)
+        return raw_groups.swapaxes(0, 1).reshape(batch + pad, -1)[:batch]
 
     def dynamics_fn(
         dp: DynamicsParams, state: jax.Array, action: jax.Array, key: jax.Array | None = None

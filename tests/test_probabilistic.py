@@ -102,14 +102,27 @@ def test_ts_inf_rollout_keyed_and_reproducible():
     assert np.isfinite(np.asarray(r_a1)).all()
 
 
-def test_ts_inf_batch_divisibility_error():
+def test_member_partitioned_pads_indivisible_batches():
+    """Batches not divisible by E are edge-padded and sliced back: the first rows of an
+    indivisible batch get the exact same member-partitioned predictions as a divisible one."""
     cfg = LearnedDynamicsConfig(
-        dim_s=3, dim_u=1, ensemble_size=2, propagation="ts_inf", probabilistic=True
+        dim_s=3, dim_u=1, ensemble_size=2, propagation="ts1", probabilistic=True
     )
     init, dyn = make_learned_dynamics(cfg)
     dp = init(jax.random.PRNGKey(0))
-    with pytest.raises(ValueError, match="divisible"):
-        dyn(dp, jnp.zeros((3, 3)), jnp.zeros((3, 1)), jax.random.PRNGKey(0))
+    s = jax.random.normal(jax.random.PRNGKey(1), (6, 3))
+    a = jax.random.normal(jax.random.PRNGKey(2), (6, 1))
+    full = dyn(dp, s, a)  # divisible baseline
+    part = dyn(dp, s[:5], a[:5])  # indivisible: rows 0-4 keep member i % E
+    np.testing.assert_allclose(np.asarray(part), np.asarray(full[:5]), rtol=1e-6)
+
+    # ts_inf with an indivisible batch (the former hard error) now works and samples.
+    cfg_inf = LearnedDynamicsConfig(
+        dim_s=3, dim_u=1, ensemble_size=2, propagation="ts_inf", probabilistic=True
+    )
+    _, dyn_inf = make_learned_dynamics(cfg_inf)
+    out = dyn_inf(dp, s[:3], a[:3], jax.random.PRNGKey(3))
+    assert out.shape == (3, 3) and np.isfinite(np.asarray(out)).all()
 
 
 def test_mpc_policy_ts_inf_acts():
