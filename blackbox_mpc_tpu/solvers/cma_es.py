@@ -66,6 +66,12 @@ class CMAESConfig(base.SolverConfig):
     # long horizons / high-dim actions, where the full solver's per-iteration O(n^3) eigh is
     # the dominant cost (n = H*U; e.g. 300 for cheetah H=50 U=6). No reference counterpart.
     diagonal: bool = False
+    # Lazy factor refresh (full mode only): recompute the Cholesky/C^(-1/2) factors every
+    # this many iterations instead of every one — Hansen's standard lazy update; C changes
+    # by O(c1+c_mu) per iteration, so sampling through a factor a few iterations stale is
+    # within the method's own noise. 1 = refresh every iteration (reference-equivalent,
+    # default); 0 = auto, the Hansen gap max(1, 0.5/(n*(c1+c_mu))).
+    eigen_update_every: int = 1
 
 
 @struct.dataclass
@@ -111,6 +117,13 @@ def make_cma_es(config: CMAESConfig, bounds: Bounds, evaluate: TrajectoryEvaluat
         c1 = min(1.0, c1 * scale)
         c_mu = min(1.0 - c1, c_mu * scale)
     expectation_of_normal = float(np.sqrt(nf) * (1.0 - 1.0 / (4.0 * nf) + 1.0 / (21.0 * nf**2)))
+    if config.eigen_update_every < 0:
+        raise ValueError(f"eigen_update_every must be >= 0, got {config.eigen_update_every}")
+    # 0 = auto: Hansen's lazy gap (pycma lazy_gap_evals in iteration units) — C moves
+    # O(c1+c_mu) per iteration, so ~0.5/(n*(c1+c_mu)) iterations pass before the
+    # factorization error reaches the adaptation noise floor (~3 for the flagship
+    # n=300, pop=1000 shape).
+    eigen_gap = config.eigen_update_every or max(1, int(0.5 / (nf * (c1 + c_mu))))
     # Initial per-coordinate sigma as a numpy closure constant (bakes to an HLO literal),
     # used for the relative sigma floor/ceiling.
     # Computed with numpy from the numpy bound fields — NOT via the jnp-backed
@@ -149,7 +162,7 @@ def make_cma_es(config: CMAESConfig, bounds: Bounds, evaluate: TrajectoryEvaluat
             fresh = init(jax.random.PRNGKey(0))
             state = fresh.replace(mean=state.mean)
 
-        def iteration(_, carry):
+        def iteration(i, carry):
             s, key, _ = carry
             key, z_key = jax.random.split(key)
             z = jax.random.normal(z_key, (agents, pop, n), s.mean.dtype)
@@ -212,16 +225,32 @@ def make_cma_es(config: CMAESConfig, bounds: Bounds, evaluate: TrajectoryEvaluat
                     + c_mu * rank_mu
                 )
                 cov = (cov + jnp.swapaxes(cov, -1, -2)) / 2.0
-                # C^(-1/2) as a matrix function of C — invariant to the eigenbasis
-                # ambiguities (sign flips / degenerate rotations cancel in B f(D) B^T).
-                eigvals, eigvecs = jnp.linalg.eigh(cov)
-                inv_sqrt = jnp.einsum(
-                    "aij,aj,akj->aik",
-                    eigvecs, 1.0 / jnp.sqrt(jnp.maximum(eigvals, 1e-20)), eigvecs,
-                )
-                # PD is preserved by construction (nonnegative recombination weights); the
-                # tiny jitter guards fp round-off at the PSD boundary so cholesky never NaNs.
-                chol = jnp.linalg.cholesky(cov + 1e-10 * jnp.eye(n, dtype=cov.dtype))
+
+                def compute_factors(c):
+                    # C^(-1/2) as a matrix function of C — invariant to the eigenbasis
+                    # ambiguities (sign flips / degenerate rotations cancel in B f(D) B^T).
+                    eigvals, eigvecs = jnp.linalg.eigh(c)
+                    inv_sqrt = jnp.einsum(
+                        "aij,aj,akj->aik",
+                        eigvecs, 1.0 / jnp.sqrt(jnp.maximum(eigvals, 1e-20)), eigvecs,
+                    )
+                    # PD is preserved by construction (nonnegative recombination weights);
+                    # the tiny jitter guards fp round-off at the PSD boundary so cholesky
+                    # never NaNs.
+                    return jnp.linalg.cholesky(c + 1e-10 * jnp.eye(n, dtype=c.dtype)), inv_sqrt
+
+                if eigen_gap == 1:
+                    chol, inv_sqrt = compute_factors(cov)
+                else:
+                    # Lazy refresh: the O(n^3) eigh/cholesky run only every eigen_gap
+                    # iterations; in between, sampling/whitening use the previous factors
+                    # (stale by O((c1+c_mu)*gap) relative change in C).
+                    chol, inv_sqrt = jax.lax.cond(
+                        i % eigen_gap == 0,
+                        compute_factors,
+                        lambda _: (s.chol, s.inv_sqrt),
+                        cov,
+                    )
             new_s = CMAESState(
                 mean=new_mean,
                 sigma=sigma,

@@ -261,3 +261,29 @@ def test_cem_gd_polish_beats_plain_cem_on_quadratic():
     assert reward_gd >= reward_cem - 1e-6, (reward_gd, reward_cem)
     # the polish should actually close most of the remaining gap to the optimum (reward 0)
     assert reward_gd > 0.5 * reward_cem, (reward_gd, reward_cem)
+
+
+# --- CMA-ES lazy eigendecomposition --------------------------------------------------------
+
+
+def test_cma_es_lazy_eigen_quality_and_gap_semantics():
+    """eigen_update_every=k refreshes the sampling factors every k iterations; the lazy
+    solver must still drive the quadratic to the optimum (stale-by-O(c1+c_mu) factors are
+    within CMA's own adaptation noise), and k=1 must reproduce the default exactly."""
+    horizon, agents = 8, 2
+    bounds = Bounds.of(-2.0, 2.0, dim=1)
+    evaluate = quadratic_evaluate(0.7)
+    kw = dict(planning_horizon=horizon, num_agents=agents, population=200,
+              num_elite=20, max_iterations=8)
+    obs = jnp.zeros((agents, 3))
+    key, solve_key = jax.random.PRNGKey(0), jax.random.PRNGKey(1)
+
+    def run(**extra):
+        s = make_solver("CMA-ES", bounds, evaluate, **kw, **extra)
+        action, _, _ = jax.jit(s.solve)(s.init(key), obs, jnp.asarray(0), solve_key)
+        return np.asarray(action)
+
+    default = run()
+    np.testing.assert_array_equal(run(eigen_update_every=1), default)  # identical program
+    for lazy in (run(eigen_update_every=3), run(eigen_update_every=0)):  # 0 = auto gap
+        assert np.all(np.abs(lazy - 0.7) < 0.2), lazy
