@@ -97,3 +97,38 @@ def test_profiler_trace_writes(tmp_path):
     for root, _dirs, files in os.walk(str(tmp_path)):
         found += files
     assert found, "profiler trace produced no files"
+
+
+def test_mbrl_loop_seed_determinism():
+    """Two identical-seed MBRL loops produce bit-identical episode rewards end to end
+    (replay split, minibatch order, solver RNG, env seeding all key off the one seed) —
+    the property that let episodes 1-35 of the full HalfCheetah BC run bit-replicate the
+    truncated run (docs/api.md)."""
+    from blackbox_mpc_tpu.utils.metrics import MetricsWriter
+
+    def run():
+        env = NativePendulumVecEnv(num_envs=2, seed=0, max_episode_steps=15)
+        writer = MetricsWriter(tensorboard=False)
+        learn_dynamics_iteratively_w_mpc(
+            env,
+            pendulum_reward,
+            solver_name="CEM",
+            planning_horizon=6,
+            number_of_initial_rollouts=2,
+            number_of_rollouts_per_refinement=1,
+            number_of_refinement_steps=2,
+            rollout_horizon=15,
+            dynamics_config=LearnedDynamicsConfig(dim_s=3, dim_u=1, hidden=(16,)),
+            epochs=2,
+            batch_size=64,
+            population=64,
+            num_elite=8,
+            max_iterations=2,
+            metrics_writer=writer,
+            seed=123,
+        )
+        return [v for _, v in writer.history["rewards/actual_episode_reward"]]
+
+    first, second = run(), run()
+    assert len(first) >= 4
+    np.testing.assert_array_equal(np.asarray(first), np.asarray(second))

@@ -287,3 +287,35 @@ def test_cma_es_lazy_eigen_quality_and_gap_semantics():
     np.testing.assert_array_equal(run(eigen_update_every=1), default)  # identical program
     for lazy in (run(eigen_update_every=3), run(eigen_update_every=0)):  # 0 = auto gap
         assert np.all(np.abs(lazy - 0.7) < 0.2), lazy
+
+
+# --- bounds feasibility (asymmetric spaces) -------------------------------------------------
+
+
+@pytest.mark.parametrize("name", ALL_SOLVERS)
+def test_solver_actions_respect_asymmetric_bounds(name):
+    """Every solver's returned action AND full plan must lie inside asymmetric bounds.
+
+    Asymmetric spaces are where the reference's midpoint-biased exploration noise and
+    swapped RandomPolicy bounds go wrong (SURVEY.md quirks); the solvers themselves must
+    be feasible-by-construction regardless.
+    """
+    lo, hi = -0.5, 2.0
+    bounds = Bounds.of(lo, hi, dim=2)
+    # Objective pulls toward a point OUTSIDE the bounds, so any missing clip shows up.
+    evaluate = quadratic_evaluate(3.0)
+    kwargs = dict(planning_horizon=6, num_agents=2, population=64, max_iterations=4)
+    if name in ("CEM", "CEM-GD", "CMA-ES"):
+        kwargs["num_elite"] = 8
+    if name == "RandomSearch":
+        kwargs = dict(planning_horizon=6, num_agents=2, population=512)
+    s = make_solver(name, bounds, evaluate, **kwargs)
+    state = s.init(jax.random.PRNGKey(0))
+    solve = jax.jit(s.solve)
+    obs = jnp.zeros((2, 3))
+    eps = 1e-5
+    for t in range(3):
+        action, state, aux = solve(state, obs, jnp.asarray(t), jax.random.PRNGKey(t))
+        a, plan = np.asarray(action), np.asarray(aux.plan)
+        assert (a >= lo - eps).all() and (a <= hi + eps).all(), f"{name} action {a}"
+        assert (plan >= lo - eps).all() and (plan <= hi + eps).all(), f"{name} plan out of bounds"
