@@ -8,7 +8,7 @@ tiny, framework-neutral ``BoxSpace`` so the compute core never imports gymnasium
 from __future__ import annotations
 
 import dataclasses
-from typing import Sequence, Tuple
+from typing import Tuple
 
 import numpy as np
 

@@ -20,7 +20,7 @@ import os
 import pickle
 import subprocess
 from multiprocessing import shared_memory
-from typing import Callable, List, Optional, Sequence, Tuple
+from typing import Callable, Optional, Sequence
 
 import numpy as np
 

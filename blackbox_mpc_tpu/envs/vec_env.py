@@ -21,7 +21,7 @@ from typing import Callable, List, Optional, Sequence, Tuple
 
 import numpy as np
 
-from blackbox_mpc_tpu.core.spaces import BoxSpace, as_box_space
+from blackbox_mpc_tpu.core.spaces import as_box_space
 
 __all__ = ["GymVecEnv", "make_gym_vec_env", "make_custom_vec_env"]
 

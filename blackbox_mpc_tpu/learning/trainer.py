@@ -8,7 +8,7 @@ jit-compiled ``train_step``; ensembles train all members in parallel inside the 
 """
 from __future__ import annotations
 
-from typing import Any, Callable, Optional, Tuple
+from typing import Any, Optional, Tuple
 
 import jax
 import jax.numpy as jnp

@@ -13,7 +13,7 @@ ListWrapper quirk (``deterministic_mlp.py:49``). Here the model is a pure
 from __future__ import annotations
 
 import dataclasses
-from typing import Callable, Sequence
+from typing import Sequence
 
 import jax
 import jax.numpy as jnp

@@ -14,8 +14,7 @@ This is the TPU-native replacement for the reference's single-device reductions 
 """
 from __future__ import annotations
 
-from functools import partial
-from typing import Callable, Optional
+from typing import Optional
 
 import jax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec

@@ -13,7 +13,7 @@ No reference analogue: the reference must surface to numpy every step
 """
 from __future__ import annotations
 
-from typing import Callable, Optional
+from typing import Callable
 
 import jax
 import jax.numpy as jnp
