@@ -32,7 +32,7 @@ jax.config.update("jax_compilation_cache_dir", os.path.expanduser("~/.jax_cache"
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 
-def build_chain(N: int, backend: str):
+def build_chain(N: int, backend: str, solver: str = "CEM", solver_kw: dict | None = None):
     from blackbox_mpc_tpu.core.types import Bounds
     from blackbox_mpc_tpu.models.dynamics import LearnedDynamicsConfig, make_learned_dynamics
     from blackbox_mpc_tpu.rollout.evaluator import make_trajectory_evaluator
@@ -40,7 +40,7 @@ def build_chain(N: int, backend: str):
 
     reward_fn = lambda s, a, ns: ns[:, 0] - 0.1 * jnp.sum(jnp.square(a), axis=-1)
     bounds = Bounds.of(-1.0, 1.0, dim=6)
-    solver_kw = dict(
+    solver_kw = solver_kw or dict(
         planning_horizon=50, population=1000, num_agents=1, num_elite=50, max_iterations=5
     )
     cfg = LearnedDynamicsConfig(
@@ -58,7 +58,7 @@ def build_chain(N: int, backend: str):
         make_ev = lambda dp: make_trajectory_evaluator(partial(dyn, dp), reward_fn)
 
     def chained(state, dp, obs, key):
-        s = make_solver("CEM", bounds, make_ev(dp), **solver_kw)
+        s = make_solver(solver, bounds, make_ev(dp), **solver_kw)
 
         def body(carry, k):
             st, ob = carry
@@ -69,16 +69,17 @@ def build_chain(N: int, backend: str):
         (_, _), rs = jax.lax.scan(body, (state, obs), jax.random.split(key, N))
         return rs[-1]
 
-    s0 = make_solver("CEM", bounds, lambda a, b: jnp.zeros(()), **solver_kw)
+    s0 = make_solver(solver, bounds, lambda a, b: jnp.zeros(()), **solver_kw)
     state = jax.jit(s0.init)(jax.random.PRNGKey(1))
     obs = jnp.zeros((1, 17))
     return jax.jit(chained), (state, dp, obs)
 
 
-def measure(backend: str, n_chain: int, repeats: int):
+def measure(backend: str, n_chain: int, repeats: int, solver: str = "CEM",
+            solver_kw: dict | None = None):
     totals = {}
     for N in (1, n_chain):
-        jfn, (state, dp, obs) = build_chain(N, backend)
+        jfn, (state, dp, obs) = build_chain(N, backend, solver, solver_kw)
         float(jfn(state, dp, obs, jax.random.PRNGKey(9)))  # compile + warm
         lat = []
         for k in jax.random.split(jax.random.PRNGKey(5), repeats):
@@ -136,6 +137,19 @@ def main():
     repeats = int(os.environ.get("BENCH_REPEATS", "4"))
     per_solve, single_rtt = measure(backend, n_chain, repeats)
     solves_per_s = 1.0 / per_solve
+    # Secondary headline: the first-order Gradient planner on the same ensemble workload
+    # (restarts x Adam steps of fused forward+backward rollouts) — the build's fastest
+    # full-quality planner (docs/performance.md; MBRL quality: 1113.7 vs CEM's 449).
+    gradient_per_solve = None
+    if os.environ.get("BENCH_GRADIENT", "1") != "0" and backend == "xla":
+        try:
+            gradient_per_solve, _ = measure(
+                backend, n_chain, repeats, "Gradient",
+                dict(planning_horizon=50, population=16, num_agents=1,
+                     max_iterations=20, learning_rate=0.1),
+            )
+        except Exception:  # noqa: BLE001 — secondary metric must not kill the headline
+            pass
 
     flops = analytic_flops_per_solve()
     achieved_tflops = flops / per_solve / 1e12
@@ -166,6 +180,12 @@ def main():
                 "achieved_tflops_per_s": round(achieved_tflops, 1),
                 "mfu_pct_of_peak": mfu_pct,
                 "single_dispatch_roundtrip_ms": round(single_rtt * 1e3, 1),
+                "gradient_planner_per_solve_ms": (
+                    round(gradient_per_solve * 1e3, 3) if gradient_per_solve else None
+                ),
+                "gradient_planner_solves_per_s": (
+                    round(1.0 / gradient_per_solve, 1) if gradient_per_solve else None
+                ),
                 "pallas_numerics": pallas_numerics_check(),
                 "backend": backend,
                 "device": str(jax.devices()[0]),
