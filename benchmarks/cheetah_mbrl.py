@@ -42,6 +42,9 @@ def main():
                    help="override solver warm_start (Gradient/CEM-GD only)")
     p.add_argument("--behavior-cloning", action="store_true",
                    help="POPLIN-style proposer seeding (bc_epochs=20)")
+    p.add_argument("--ckpt", default=None,
+                   help="checkpoint dir: loop state + handler saved every refinement; "
+                        "rerunning with the same --ckpt auto-resumes (tunnel-crash-proof)")
     p.add_argument("--num-envs", type=int, default=2)
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--cpu", action="store_true")
@@ -117,6 +120,8 @@ def main():
         learning_rate=3e-3,
         metrics_writer=writer,
         behavior_cloning=args.behavior_cloning,
+        checkpoint_dir=args.ckpt,
+        resume=bool(args.ckpt),  # missing state file -> fresh start, so always safe
         **solver_kwargs,
         seed=args.seed,
     )
