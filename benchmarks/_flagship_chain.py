@@ -1,0 +1,65 @@
+"""Shared harness for flagship-workload solver benchmarks (differential chained timing).
+
+One chain = N data-chained MPC solves over the 5-member MLP(3x500) HalfCheetah-dims ensemble
+inside one jit (action -> predicted next obs -> next solve), timed by scalar readback; the
+marginal per-solve cost is (time(N) - time(1)) / (N - 1), cancelling the host<->device RTT
+(see bench.py methodology notes). Used by gradient_solver_bench.py and cma_lazy_bench.py;
+bench.py keeps its own self-contained copy so the driver-run headline has no intra-repo
+imports to break.
+"""
+import time
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from blackbox_mpc_tpu.core.types import Bounds
+from blackbox_mpc_tpu.models.dynamics import LearnedDynamicsConfig, make_learned_dynamics
+from blackbox_mpc_tpu.rollout.evaluator import make_trajectory_evaluator
+from blackbox_mpc_tpu.solvers import make_solver
+
+N_CHAIN = 11
+REPEATS = 5
+
+
+def build_chain(n, solver_name, solver_kw):
+    reward_fn = lambda s, a, ns: ns[:, 0] - 0.1 * jnp.sum(jnp.square(a), axis=-1)  # noqa: E731
+    bounds = Bounds.of(-1.0, 1.0, dim=6)
+    cfg = LearnedDynamicsConfig(
+        dim_s=17, dim_u=6, hidden=(500, 500, 500), ensemble_size=5, propagation="mean"
+    )
+    init_model, dyn = make_learned_dynamics(cfg)
+    dp = init_model(jax.random.PRNGKey(0))
+    evaluate = lambda d: make_trajectory_evaluator(partial(dyn, d), reward_fn)  # noqa: E731
+
+    def chained(state, dp, obs, key):
+        s = make_solver(solver_name, bounds, evaluate(dp), **solver_kw)
+
+        def body(carry, k):
+            st, ob = carry
+            action, st, aux = s.solve(st, ob, jnp.asarray(0), k)
+            ob = dyn(dp, ob, action)
+            return (st, ob), aux.expected_reward[0]
+
+        (_, _), rs = jax.lax.scan(body, (state, obs), jax.random.split(key, n))
+        return rs[-1]
+
+    s0 = make_solver(solver_name, bounds, lambda a, b: jnp.zeros(()), **solver_kw)
+    state = jax.jit(s0.init)(jax.random.PRNGKey(1))
+    return jax.jit(chained), (state, dp, jnp.zeros((1, 17)))
+
+
+def measure(solver_name, solver_kw, n_chain=N_CHAIN, repeats=REPEATS):
+    """Marginal seconds per solve for the given solver on the flagship workload."""
+    totals = {}
+    for n in (1, n_chain):
+        jfn, args = build_chain(n, solver_name, solver_kw)
+        float(jfn(*args, jax.random.PRNGKey(9)))  # compile + warm
+        lat = []
+        for k in jax.random.split(jax.random.PRNGKey(5), repeats):
+            t0 = time.perf_counter()
+            float(jfn(*args, k))
+            lat.append(time.perf_counter() - t0)
+        totals[n] = float(np.min(lat))
+    return (totals[n_chain] - totals[1]) / (n_chain - 1)

@@ -295,10 +295,11 @@ class MPCPolicy(ModelBasedPolicy):
                     f"{solver_name} declares none"
                 )
             plan_size = self._num_agents * self._planning_horizon * self._bounds.dim
-            if getattr(self._solver_state, field).size != plan_size:
+            plan = getattr(self._solver_state, field)
+            if plan.size != plan_size:
                 raise ValueError(
-                    f"{solver_name} plan field '{field}' has size "
-                    f"{getattr(self._solver_state, field).size}, expected A*H*U={plan_size}"
+                    f"{solver_name} plan field '{field}' has size {plan.size}, "
+                    f"expected A*H*U={plan_size}"
                 )
             self._proposer_field = field
 
