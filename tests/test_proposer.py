@@ -225,3 +225,33 @@ def test_mbrl_loop_resume_restores_proposer(tmp_path):
     # refinement 1 already completed -> resumed run does no new work; the restored
     # proposer must reproduce the checkpointed network exactly
     np.testing.assert_array_equal(policy2.proposer.act(probe), before)
+
+
+def test_switch_solver_rederives_proposer_plan_field():
+    """switch_solver must re-derive Solver.plan_field for the new solver (CEM 'mean' ->
+    SPSA 'solution') and reject a switch to a plan-less solver (PSO) instead of silently
+    corrupting its state."""
+    from blackbox_mpc_tpu.envs.native_pendulum import NativePendulumVecEnv
+
+    env = NativePendulumVecEnv()
+    proposer = PolicyProposer(
+        ProposerConfig(dim_s=3, dim_u=1, hidden=(16,)), Bounds.from_space(env.action_space)
+    )
+    policy = MPCPolicy(
+        action_space=env.action_space,
+        reward_function=pendulum_reward,
+        dynamics_handler=DynamicsHandler(true_model=pendulum_dynamics),
+        solver_name="CEM",
+        planning_horizon=8,
+        population=32,
+        num_elite=8,
+        max_iterations=2,
+        proposer=proposer,
+    )
+    assert policy._proposer_field == "mean"
+    policy.switch_solver("SPSA")
+    assert policy._proposer_field == "solution"
+    a, _, _ = policy.act(np.asarray([-1.0, 0.0, 0.0], np.float32), 0)
+    assert np.isfinite(a).all()
+    with pytest.raises(ValueError, match="plan-carrying"):
+        policy.switch_solver("PSO")
