@@ -266,6 +266,11 @@ def make_fused_cem(
             "fused CEM samples white clipped normals in-kernel; colored_noise_beta is not "
             "supported — use the standard CEM solver for iCEM colored noise"
         )
+    if getattr(config, "keep_elites", 0) > 0:
+        raise ValueError(
+            "fused CEM regenerates candidates in-kernel each iteration; keep_elites "
+            "persistence is not supported — use the standard CEM solver"
+        )
     alpha = config.alpha
     rollout_rewards, elite_moments = make_fused_cem_kernels(
         dyn_config, reward_fn,
