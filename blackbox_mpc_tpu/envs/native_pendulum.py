@@ -34,6 +34,7 @@ class NativePendulumVecEnv:
         self._th = np.zeros(num_envs)
         self._thdot = np.zeros(num_envs)
         self._t = 0
+        self._pending = None
         self.action_space = BoxSpace.of(-_MAX_TORQUE, _MAX_TORQUE, dim=1)
         self.observation_space = BoxSpace(
             low=np.array([-1.0, -1.0, -_MAX_SPEED]), high=np.array([1.0, 1.0, _MAX_SPEED])
@@ -79,6 +80,8 @@ class NativePendulumVecEnv:
         self._pending = self.step(actions)
 
     def step_wait(self) -> Tuple[np.ndarray, np.ndarray, np.ndarray, list]:
+        if self._pending is None:
+            raise RuntimeError("step_wait called without step_async")
         result, self._pending = self._pending, None
         return result
 

@@ -277,9 +277,18 @@ class ShmVecEnv:
         if self._closed:
             return
         self._closed = True
+        self._pending = False
         for rank in range(self.num_envs):
+            ptr = self._status_ptr(rank)
+            if self._lib.shm_load(ptr) == _STEP:
+                # Posting the close sentinel while the worker is mid-step would be
+                # clobbered by its late DONE, leaving the worker blocked in shm_wait
+                # until the join timeout hard-terminates it mid-env.step. Covers both a
+                # pending step_async and a step_wait that timed out: grant one grace
+                # period for the in-flight step to finish before posting the sentinel.
+                self._lib.shm_wait(ptr, _DONE, _ERROR, self._timeout_ns)
             self._seeds[rank][0] = -1
-            self._lib.shm_store(self._status_ptr(rank), _RESET)
+            self._lib.shm_store(ptr, _RESET)
         for p in self._procs:
             p.join(timeout=5)
             if p.is_alive():

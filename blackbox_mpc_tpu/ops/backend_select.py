@@ -43,6 +43,7 @@ def choose_backend(
     horizon: int = 0,
     dim_u: int = 0,
     solver_name: str = "",
+    solver_config: Optional[object] = None,
 ) -> str:
     """Returns "pallas", "fused_cem", or "xla" for the given solve configuration.
 
@@ -75,6 +76,11 @@ def choose_backend(
         and candidate_bytes >= FUSED_CEM_MIN_BYTES
         and config.propagation == "mean"
         and rows * horizon * dim_u < 2**32  # in-kernel RNG counter range
+        # iCEM features make_fused_cem rejects: the kernel samples white noise and
+        # regenerates candidates in-kernel, so colored noise / elite persistence must
+        # stay on the XLA path rather than crash the auto route at first act().
+        and getattr(solver_config, "colored_noise_beta", 0.0) == 0.0
+        and getattr(solver_config, "keep_elites", 0) == 0
     ):
         return "fused_cem"
     return "xla"

@@ -28,6 +28,7 @@ from blackbox_mpc_tpu.policies.base import ModelBasedPolicy
 from blackbox_mpc_tpu.rollout.evaluator import make_trajectory_evaluator
 from blackbox_mpc_tpu.solvers import SOLVER_REGISTRY
 from blackbox_mpc_tpu.solvers.base import exploration_noise as _exploration_noise
+from blackbox_mpc_tpu.solvers.base import with_state_dtype as _with_state_dtype
 
 logger = logging.getLogger(__name__)
 
@@ -165,6 +166,7 @@ class MPCPolicy(ModelBasedPolicy):
                 horizon=self._planning_horizon,
                 dim_u=self._bounds.dim,
                 solver_name=solver_name,
+                solver_config=config,
             ) if not self._stochastic else "xla"
             if resolved != self._rollout_backend:
                 logger.info("rollout_backend auto -> %s", resolved)
@@ -232,8 +234,10 @@ class MPCPolicy(ModelBasedPolicy):
                 )
             if fused_cem_factory is not None:
                 # Generate-in-kernel CEM: the candidate tensor never exists in HBM
-                # (beyond-HBM populations, ops/pallas_cem.py).
-                solver = fused_cem_factory(dynamics_params)
+                # (beyond-HBM populations, ops/pallas_cem.py). with_state_dtype keeps the
+                # update math f32 when the stored state is bf16 — the registry-built init
+                # stores bf16, so the fused solver must honor the same upcast contract.
+                solver = _with_state_dtype(fused_cem_factory(dynamics_params), config.dtype)
                 action, new_state, aux = solver.solve(solver_state, obs, t, solve_key)
                 if add_noise:
                     action = _exploration_noise(noise_key, action, bounds, noise_scale)
@@ -366,9 +370,11 @@ class MPCPolicy(ModelBasedPolicy):
         obs = np.asarray(observations, dtype=np.float32)
         if obs.ndim == 1:
             obs = np.tile(obs[None], (self._num_agents, 1))
-        self._key, step_key = jax.random.split(self._key)
-        # Read-only query: the updated solver state is discarded so inspecting the plan
-        # does not warm-start-shift or otherwise advance the controller.
+        # Read-only query: the updated solver state is discarded and the policy PRNG
+        # stream is NOT advanced (fold_in derives an out-of-band key), so inspecting the
+        # plan neither warm-start-shifts the controller nor perturbs the action sequence
+        # of a seeded run.
+        step_key = jax.random.fold_in(self._key, 0x504C4E)  # "PLN"
         _, _discarded_state, aux, _, _ = self._step(
             self._solver_state,
             self._handler.dynamics_params,

@@ -65,6 +65,12 @@ def make_cem_gd(config: CEMGDConfig, bounds: Bounds, evaluate: TrajectoryEvaluat
         raise ValueError(f"gd_candidates ({m}) must be in [1, num_elite={k}]")
     if k > pop:
         raise ValueError(f"num_elite ({k}) must be <= population ({pop})")
+    # Same guard as make_cem: an out-of-range keep_elites would otherwise surface as an
+    # opaque lax.scan carry-shape mismatch inside the shared cem_iteration.
+    if not 0 <= config.keep_elites <= min(k, pop - 1):
+        raise ValueError(
+            f"keep_elites ({config.keep_elites}) must be in [0, min(num_elite, pop-1)]"
+        )
     opt = optax.adam(config.gd_learning_rate)
 
     def init(key: jax.Array) -> CEMGDState:

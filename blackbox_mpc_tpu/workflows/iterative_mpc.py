@@ -62,15 +62,17 @@ def learn_dynamics_iteratively_w_mpc(
     on the replay's (state, action) pairs after every refinement and seeds the solver's plan
     mean each solve (see ``MPCPolicy(proposer=...)``). The trained proposer is returned via
     ``policy.proposer``.
-    ``solver_learning_rate``: forwarded as the solver config's ``learning_rate`` (the
-    Gradient planner's Adam step size) — namespaced because the workflow's own
-    ``learning_rate`` kwarg is the model-training LR and shadows the passthrough.
+    ``solver_learning_rate``: forwarded as the solver config's Adam step size —
+    ``learning_rate`` for Gradient, ``gd_learning_rate`` for CEM-GD's polish phase —
+    namespaced because the workflow's own ``learning_rate`` kwarg is the model-training
+    LR and shadows the passthrough.
     """
     import json
     import os
 
     if solver_learning_rate is not None:
-        solver_kwargs["learning_rate"] = solver_learning_rate
+        lr_field = "gd_learning_rate" if solver_name == "CEM-GD" else "learning_rate"
+        solver_kwargs[lr_field] = solver_learning_rate
     num_agents = env.num_envs
     start_refinement = 0
     if resume:
