@@ -13,8 +13,9 @@ params axis with three propagation modes:
 
 * ``"mean"``   — average the member predictions each step (probabilistic smoothing);
 * ``"ts1"``    — trajectory sampling over members: population rows are statically partitioned
-  across members (row ``i`` uses member ``i % E`` for the whole horizon) at no extra FLOPs
-  (batches not divisible by E are edge-padded by < E rows). Deterministic: uses the head means;
+  across members (row ``i`` uses member ``ts_member_ids(B, E)[i]`` — a balanced, seeded
+  shuffle — for the whole horizon) at no extra FLOPs (batches not divisible by E are
+  edge-padded by < E rows). Deterministic: uses the head means;
 * ``"ts_inf"`` — PETS TS-∞: the same fixed per-particle member assignment, **plus** a Gaussian
   sample from the probabilistic head at every step (``s' ~ N(mean, exp(logvar))``), so planning
   sees the model's aleatoric + ensemble uncertainty instead of the mean. Requires
@@ -35,13 +36,37 @@ from typing import Any, Callable, Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from flax import struct
 
 from blackbox_mpc_tpu.models import transforms
 from blackbox_mpc_tpu.models.mlp import MLPConfig, ensemble_init, mlp_apply, mlp_init
 from blackbox_mpc_tpu.models.normalizer import NormalizerStats, identity_stats
 
-__all__ = ["DynamicsParams", "LearnedDynamicsConfig", "make_learned_dynamics", "true_model_dynamics"]
+__all__ = [
+    "DynamicsParams", "LearnedDynamicsConfig", "make_learned_dynamics",
+    "true_model_dynamics", "ts_member_ids",
+]
+
+
+def ts_member_ids(n: int, ensemble: int) -> np.ndarray:
+    """Balanced member assignment for TS propagation: row ``i`` runs member ``ids[i]``.
+
+    A seeded static shuffle of ``[0..E)`` tiled to ``n`` rows (exactly ``n/E`` rows per
+    member, ``n`` must be a multiple of ``E``) rather than ``i % E``: evaluators flatten
+    the batch agent-minor (row = trajectory*num_agents + agent), so ANY modular scheme
+    aliases with the agent stride — with ``num_agents % E == 0``, ``i % E`` collapses to
+    the agent index and every candidate/particle of an agent runs the same single member,
+    silently degenerating TS to per-agent single-model planning. A fixed random balanced
+    assignment is also what PETS prescribes (bootstrap chosen uniformly per particle,
+    Chua et al. 2018 §4.1). Static per (n, E): the same batch shape always gets the same
+    assignment, keeping solves reproducible and the XLA/Pallas paths consistent.
+    """
+    if n % ensemble:
+        raise ValueError(f"n ({n}) must be a multiple of ensemble ({ensemble})")
+    ids = np.tile(np.arange(ensemble, dtype=np.int32), n // ensemble)
+    np.random.default_rng(0x75B007).shuffle(ids)
+    return ids
 
 
 @struct.dataclass
@@ -167,21 +192,25 @@ def make_learned_dynamics(
         return mu + jnp.sqrt(var) * eps
 
     def _member_partitioned(params, x: jax.Array) -> jax.Array:
-        """Row i of x through member i % E, fixed over the whole horizon (TS member scheme).
+        """Row i of x through member ts_member_ids(B, E)[i], fixed over the whole horizon.
 
         Batches not divisible by E are edge-padded to the next multiple (static shapes, so
         the pad is a compile-time constant of < E duplicated rows) and the padding is sliced
-        off the output — any population/restart count works with ts1/ts_inf.
+        off the output — any population/restart count works with ts1/ts_inf. The member
+        assignment is a static balanced shuffle (see :func:`ts_member_ids` for why ``i % E``
+        is wrong), so the grouping permutation is a compile-time constant gather.
         """
         batch = x.shape[0]
         pad = (-batch) % ensemble
         if pad:
             x = jnp.pad(x, ((0, pad), (0, 0)), mode="edge")
-        # Reshape [B, D] -> [E, B/E, D] with member-major interleaving, vmap members,
-        # restore order.
-        x_groups = x.reshape((batch + pad) // ensemble, ensemble, -1).swapaxes(0, 1)
+        n = batch + pad
+        # Stable argsort of the member ids groups rows member-major in equal blocks.
+        perm = np.argsort(ts_member_ids(n, ensemble), kind="stable")
+        inv = np.argsort(perm)
+        x_groups = x[perm].reshape(ensemble, n // ensemble, -1)
         raw_groups = jax.vmap(lambda p, xe: mlp_apply(p, xe, config=mlp_cfg))(params, x_groups)
-        return raw_groups.swapaxes(0, 1).reshape(batch + pad, -1)[:batch]
+        return raw_groups.reshape(n, -1)[inv][:batch]
 
     def dynamics_fn(
         dp: DynamicsParams, state: jax.Array, action: jax.Array, key: jax.Array | None = None

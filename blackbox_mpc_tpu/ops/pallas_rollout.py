@@ -25,7 +25,11 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from blackbox_mpc_tpu.models.dynamics import DynamicsParams, LearnedDynamicsConfig
+from blackbox_mpc_tpu.models.dynamics import (
+    DynamicsParams,
+    LearnedDynamicsConfig,
+    ts_member_ids,
+)
 from blackbox_mpc_tpu.ops import _kernel_common as kc
 
 __all__ = ["make_pallas_rollout_evaluator"]
@@ -85,16 +89,18 @@ def make_pallas_rollout_evaluator(
         s0 = jnp.tile(initial_states, (pop, 1)).astype(jnp.float32)  # [rows, S]
 
         if ts1:
-            # TS-1: row i uses member i % E (matching make_learned_dynamics). Rows are
-            # permuted member-major so every tile is single-member, each member block padded
-            # to a tile multiple; a scalar-prefetch vector tells the kernel each tile's
-            # member, and rewards are scattered back to the original order.
+            # TS-1: row i uses member ts_member_ids(rows, E)[i] (the same balanced static
+            # shuffle as make_learned_dynamics — see ts_member_ids for why i % E aliases
+            # with the agent stride). Rows are permuted member-major so every tile is
+            # single-member, each member block padded to a tile multiple; a scalar-prefetch
+            # vector tells the kernel each tile's member, and rewards are scattered back to
+            # the original order.
             if rows % ensemble != 0:
                 raise ValueError(
                     f"ts1 needs pop*agents ({rows}) divisible by ensemble ({ensemble})"
                 )
             per_member = rows // ensemble
-            perm = jnp.arange(rows).reshape(per_member, ensemble).T.reshape(-1)
+            perm = jnp.asarray(np.argsort(ts_member_ids(rows, ensemble), kind="stable"))
             block = _round_up(per_member, tile)
             padded_rows = block * ensemble
             n_tiles = padded_rows // tile

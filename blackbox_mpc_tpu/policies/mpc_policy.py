@@ -152,6 +152,30 @@ class MPCPolicy(ModelBasedPolicy):
             raise ValueError(
                 f"num_elite ({config.num_elite}) must be <= population ({config.population})"
             )
+        if self._proposer is not None:
+            # Validate BEFORE any self-mutation: a failed switch_solver must leave the
+            # previous (working) solver fully in place, not a hybrid broken state.
+            # Solvers declare their seedable plan field (Solver.plan_field) — no duck
+            # typing on state-field names, so a future solver with a coincidental `mean`
+            # cannot be silently corrupted by proposer seeding.
+            probe = factory(config, self._bounds, lambda s, a: jnp.zeros(()))
+            field = probe.plan_field
+            if field is None:
+                raise ValueError(
+                    f"proposer= requires a plan-carrying solver (one declaring "
+                    f"Solver.plan_field: CEM, CEM-GD, CMA-ES, Gradient, PI2, SPSA); "
+                    f"{solver_name} declares none"
+                )
+            plan_size = self._num_agents * self._planning_horizon * self._bounds.dim
+            plan_shape = getattr(
+                jax.eval_shape(probe.init, jax.random.PRNGKey(0)), field
+            )
+            if int(np.prod(plan_shape.shape)) != plan_size:
+                raise ValueError(
+                    f"{solver_name} plan field '{field}' has size "
+                    f"{int(np.prod(plan_shape.shape))}, expected A*H*U={plan_size}"
+                )
+            self._proposer_field = field
         self._solver_name = solver_name
         self._config = config
         if self._requested_backend == "auto":
@@ -287,25 +311,6 @@ class MPCPolicy(ModelBasedPolicy):
         self._solver_init = jax.jit(solver.init)
         self._solver_reset = jax.jit(solver.reset)
         self._solver_state = self._solver_init(init_key)
-        if self._proposer is not None:
-            # Solvers declare their seedable plan field (Solver.plan_field) — no duck
-            # typing on state-field names, so a future solver with a coincidental `mean`
-            # cannot be silently corrupted by proposer seeding.
-            field = solver.plan_field
-            if field is None:
-                raise ValueError(
-                    f"proposer= requires a plan-carrying solver (one declaring "
-                    f"Solver.plan_field: CEM, CEM-GD, CMA-ES, Gradient, PI2, SPSA); "
-                    f"{solver_name} declares none"
-                )
-            plan_size = self._num_agents * self._planning_horizon * self._bounds.dim
-            plan = getattr(self._solver_state, field)
-            if plan.size != plan_size:
-                raise ValueError(
-                    f"{solver_name} plan field '{field}' has size {plan.size}, "
-                    f"expected A*H*U={plan_size}"
-                )
-            self._proposer_field = field
 
     def _proposer_params_arg(self):
         # Threaded as a jit ARGUMENT (device-array closures are pathological on remote
@@ -370,6 +375,10 @@ class MPCPolicy(ModelBasedPolicy):
         obs = np.asarray(observations, dtype=np.float32)
         if obs.ndim == 1:
             obs = np.tile(obs[None], (self._num_agents, 1))
+        if obs.shape[0] != self._num_agents:
+            raise ValueError(
+                f"observations batch {obs.shape[0]} != num_agents {self._num_agents}"
+            )
         # Read-only query: the updated solver state is discarded and the policy PRNG
         # stream is NOT advanced (fold_in derives an out-of-band key), so inspecting the
         # plan neither warm-start-shifts the controller nor perturbs the action sequence

@@ -119,7 +119,8 @@ class SpeculativePipeline:
             )
 
         hit = False
-        if self._spec is not None and self._spec[0] == t and self._spec_tol is not None:
+        had_spec = self._spec is not None and self._spec[0] == t and self._spec_tol is not None
+        if had_spec:
             s_action, s_state, s_next, s_pred_r, s_obs_pred = self._spec[1:]
             # The prediction the speculation was based on was already copied to host
             # during the env step; this sync is (close to) free.
@@ -131,8 +132,11 @@ class SpeculativePipeline:
             obs_dev = jnp.asarray(obs)
             action, new_state, next_obs, pred_reward = self._dispatch(obs_dev, t)
         self._spec = None
-        self.hits += hit
-        self.misses += not hit
+        if had_spec:
+            # Steps with no speculation in flight (the first act of every episode) can
+            # neither hit nor miss — counting them as misses would bias hit_rate down.
+            self.hits += hit
+            self.misses += not hit
 
         # Commit solver state, then speculate on step t+1 from the (device-resident)
         # predicted next observation and start the async device->host copies — these

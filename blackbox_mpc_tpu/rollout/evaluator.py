@@ -104,8 +104,10 @@ def make_trajectory_evaluator(
         pop, agents, horizon, dim_u = action_sequences.shape
         k = num_particles if key is not None else 1
         if k > 1:
-            # [P, A, H, U] -> [P*K, A, H, U]: particle j of candidate i is row i*K + j, so
-            # the member-partitioned dynamics (row % E) spreads members across particles.
+            # [P, A, H, U] -> [P*K, A, H, U]: particle j of candidate i is row i*K + j; the
+            # member-partitioned dynamics assigns each flattened row a member via the
+            # balanced static shuffle ts_member_ids (models/dynamics.py), which cannot
+            # alias with this layout's agent stride.
             action_sequences = jnp.repeat(action_sequences, k, axis=0)
         flat_actions = action_sequences.reshape(pop * k * agents, horizon, dim_u)
         # Tile [A, S] -> [P*A, S] with agent minor, matching tf.tile(current_states, [pop, 1]).

@@ -114,6 +114,12 @@ def init_carried(config, bounds, state, key):
 def make_cem(config: CEMConfig, bounds: Bounds, evaluate: TrajectoryEvaluator) -> Solver:
     horizon, agents, pop = config.planning_horizon, config.num_agents, config.population
     k = config.num_elite
+    # Factory-time (not first-trace-time) so a bad config fails at construction, before
+    # the user pays policy build/compile setup (same placement as make_cem_gd).
+    if not 0 <= config.keep_elites <= min(k, pop - 1):
+        raise ValueError(
+            f"keep_elites ({config.keep_elites}) must be in [0, min(num_elite, pop-1)]"
+        )
 
     def init(key: jax.Array) -> CEMState:
         del key
@@ -124,9 +130,6 @@ def make_cem(config: CEMConfig, bounds: Bounds, evaluate: TrajectoryEvaluator) -
 
     def solve(state: CEMState, obs: jax.Array, t: jax.Array, key: jax.Array):
         del t
-        keep = config.keep_elites
-        if not 0 <= keep <= min(k, pop - 1):
-            raise ValueError(f"keep_elites ({keep}) must be in [0, min(num_elite, pop-1)]")
 
         def iteration(i, carry):
             mean, var, key, _, carried = carry

@@ -83,20 +83,24 @@ def make_cem_gd(config: CEMGDConfig, bounds: Bounds, evaluate: TrajectoryEvaluat
     def solve(state: CEMGDState, obs: jax.Array, t: jax.Array, key: jax.Array):
         del t
 
-        # --- Phase 1: CEM (shared iteration body, cem.py; scan so the last elites come out) ---
-        def cem_iter(carry, _):
-            mean, var, key, carried = carry
+        # --- Phase 1: CEM (shared iteration body, cem.py). The top-m elites of the LAST
+        # iteration ride the loop carry — scanning them out would stack a
+        # [T, A, m, H, U] buffer of which only the final slice is read.
+        def cem_iter(i, carry):
+            mean, var, key, carried, _ = carry
             mean, var, key, carried, elites, _ = cem.cem_iteration(
                 config, bounds, evaluate, obs, mean, var, key, carried
             )
-            return (mean, var, key, carried), elites[:, :m]
+            return (mean, var, key, carried, elites[:, :m])
 
         key, carried0 = cem.init_carried(config, bounds, state, key)
-        (mean, var, _, _), elites_per_iter = jax.lax.scan(
-            cem_iter, (state.mean, state.variance, key, carried0), None,
-            length=config.max_iterations,
+        elites0 = jnp.zeros(
+            (agents, m, horizon, bounds.dim), state.mean.dtype
         )
-        top_elites = elites_per_iter[-1]  # [A, m, H, U], best-first
+        mean, var, _, _, top_elites = jax.lax.fori_loop(
+            0, config.max_iterations, cem_iter,
+            (state.mean, state.variance, key, carried0, elites0),
+        )  # top_elites: [A, m, H, U], best-first
 
         # --- Phase 2: Adam polish of {blended mean} U {top m elites} ---
         # The incumbent is a separate slot, NOT written over elite rank 0 — the best plan

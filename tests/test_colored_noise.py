@@ -64,11 +64,9 @@ def test_cem_elite_persistence_monotone_best():
     action, _, aux = jax.jit(s.solve)(state, jnp.zeros((1, 3)), jnp.asarray(0),
                                       jax.random.PRNGKey(1))
     assert abs(float(action[0, 0]) - 0.4) < 0.1
-    # invalid keep_elites rejected
+    # invalid keep_elites rejected at construction (factory-time, not first-trace-time)
     import pytest as _pytest
 
-    bad = make_solver("CEM", bounds, evaluate, planning_horizon=6, num_agents=1,
-                      population=8, num_elite=8, max_iterations=2, keep_elites=20)
     with _pytest.raises(ValueError, match="keep_elites"):
-        bad.solve(bad.init(jax.random.PRNGKey(0)), jnp.zeros((1, 3)), jnp.asarray(0),
-                  jax.random.PRNGKey(1))
+        make_solver("CEM", bounds, evaluate, planning_horizon=6, num_agents=1,
+                    population=8, num_elite=8, max_iterations=2, keep_elites=20)

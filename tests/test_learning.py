@@ -100,10 +100,17 @@ def test_ts1_propagation_partitions_batch():
     s = jnp.tile(jnp.asarray([[1.0, 0.0, 0.0]]), (4, 1))
     a = jnp.zeros((4, 1))
     out = np.asarray(dyn(dp, s, a))
-    # rows 0,2 share member 0 and rows 1,3 share member 1; members differ
-    np.testing.assert_allclose(out[0], out[2], rtol=1e-5)
-    np.testing.assert_allclose(out[1], out[3], rtol=1e-5)
-    assert not np.allclose(out[0], out[1])
+    # Rows assigned the same member (balanced static shuffle, ts_member_ids) agree;
+    # rows assigned different members differ.
+    from blackbox_mpc_tpu.models.dynamics import ts_member_ids
+
+    ids = ts_member_ids(4, 2)
+    (m0,) = np.nonzero(ids == 0)
+    (m1,) = np.nonzero(ids == 1)
+    assert len(m0) == len(m1) == 2  # balanced
+    np.testing.assert_allclose(out[m0[0]], out[m0[1]], rtol=1e-5)
+    np.testing.assert_allclose(out[m1[0]], out[m1[1]], rtol=1e-5)
+    assert not np.allclose(out[m0[0]], out[m1[0]])
 
 
 def test_handler_checkpoint_roundtrip(tmp_path):

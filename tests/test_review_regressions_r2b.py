@@ -171,3 +171,124 @@ def test_native_pendulum_step_wait_misuse_raises():
     assert obs.shape == (2, 3)
     with pytest.raises(RuntimeError, match="step_async"):
         env.step_wait()  # buffer already drained
+
+
+def test_ts_member_assignment_not_aliased_with_agent_stride():
+    """TS member assignment must not collapse to the agent index when num_agents shares a
+    factor with ensemble_size (row % E did: with A == E every candidate/particle of agent
+    a ran member a — single-model planning per agent)."""
+    cfg = LearnedDynamicsConfig(
+        dim_s=3, dim_u=1, ensemble_size=3, propagation="ts1", probabilistic=True
+    )
+    from blackbox_mpc_tpu.models import make_learned_dynamics
+
+    init, dyn = make_learned_dynamics(cfg)
+    dp = init(jax.random.PRNGKey(0))
+    # Reward = sum of the PREDICTED next state, so it fingerprints the member used.
+    next_state_reward = lambda s, a, ns: jnp.sum(ns, axis=-1)  # noqa: E731
+    evaluate = make_trajectory_evaluator(lambda s, a: dyn(dp, s, a), next_state_reward)
+    agents, pop = 3, 12
+    initial = jnp.tile(jnp.asarray([[1.0, 0.0, 0.0]]), (agents, 1))
+    actions = jnp.zeros((pop, agents, 1, 1))  # H=1, identical per candidate
+    rewards = np.asarray(evaluate(initial, actions))  # [P, A]
+    # Identical states+actions: the reward varies across candidates ONLY through the
+    # member assignment. Every agent must see more than one ensemble member.
+    for a in range(agents):
+        assert len(np.unique(rewards[:, a])) >= 2, (
+            f"agent {a} planned with a single ensemble member: {rewards[:, a]}"
+        )
+
+
+def test_ts_member_ids_balanced_and_static():
+    from blackbox_mpc_tpu.models.dynamics import ts_member_ids
+
+    ids = ts_member_ids(30, 5)
+    assert sorted(np.bincount(ids)) == [6] * 5  # balanced
+    np.testing.assert_array_equal(ids, ts_member_ids(30, 5))  # static per (n, E)
+    with pytest.raises(ValueError, match="multiple"):
+        ts_member_ids(31, 5)
+
+
+def test_pallas_ts1_matches_xla_member_assignment():
+    """The Mosaic ts1 rollout must use the same member assignment as the XLA path."""
+    from blackbox_mpc_tpu.ops.pallas_rollout import make_pallas_rollout_evaluator
+
+    cfg = LearnedDynamicsConfig(
+        dim_s=3, dim_u=1, ensemble_size=3, propagation="ts1", hidden=(16,)
+    )
+    from blackbox_mpc_tpu.models import make_learned_dynamics
+
+    init, dyn = make_learned_dynamics(cfg)
+    dp = init(jax.random.PRNGKey(0))
+    xla_eval = make_trajectory_evaluator(lambda s, a: dyn(dp, s, a), pendulum_reward)
+    pallas_eval = make_pallas_rollout_evaluator(cfg, pendulum_reward, tile=8, interpret=True)
+    agents, pop, horizon = 3, 8, 4
+    initial = jax.random.normal(jax.random.PRNGKey(1), (agents, 3))
+    actions = jax.random.uniform(jax.random.PRNGKey(2), (pop, agents, horizon, 1), minval=-1)
+    r_xla = np.asarray(xla_eval(initial, actions))
+    r_pallas = np.asarray(pallas_eval(dp, initial, actions))
+    np.testing.assert_allclose(r_pallas, r_xla, rtol=2e-4, atol=2e-4)
+
+
+def test_failed_switch_solver_leaves_policy_usable():
+    """switch_solver to a plan-less solver with a proposer set must validate before any
+    mutation: after the ValueError the previous solver still acts."""
+    from blackbox_mpc_tpu.learning.proposer import PolicyProposer, ProposerConfig
+
+    handler = DynamicsHandler(true_model=pendulum_dynamics)
+    proposer = PolicyProposer(
+        ProposerConfig(dim_s=3, dim_u=1, hidden=(8,)), Bounds.of(-2.0, 2.0, dim=1), seed=0
+    )
+    policy = MPCPolicy(
+        action_space=BoxSpace(low=np.asarray([-2.0]), high=np.asarray([2.0])),
+        reward_function=pendulum_reward,
+        dynamics_handler=handler,
+        solver_name="CEM",
+        planning_horizon=6,
+        population=32,
+        num_elite=4,
+        max_iterations=2,
+        proposer=proposer,
+        seed=0,
+    )
+    obs = np.asarray([-1.0, 0.0, 0.0], np.float32)
+    a_before, _, _ = policy.act(obs, 0)
+    with pytest.raises(ValueError, match="plan-carrying"):
+        policy.switch_solver("PSO")
+    assert policy.solver_name == "CEM"
+    a_after, _, _ = policy.act(obs, 1)
+    assert np.isfinite(a_after).all()
+
+
+def test_cem_keep_elites_validated_at_construction():
+    """Invalid keep_elites fails at make_solver/policy construction, not first act()."""
+    bounds = Bounds.of(-2.0, 2.0, dim=1)
+    evaluate = make_trajectory_evaluator(pendulum_dynamics, pendulum_reward)
+    with pytest.raises(ValueError, match="keep_elites"):
+        make_solver(
+            "CEM", bounds, evaluate,
+            planning_horizon=4, population=32, num_elite=8, keep_elites=20,
+        )
+
+
+def test_plan_validates_batch_size():
+    policy = _seeded_policy()  # num_agents=1
+    with pytest.raises(ValueError, match="num_agents"):
+        policy.plan(np.zeros((3, 3), np.float32))
+
+
+def test_pipeline_hit_rate_ignores_unspeculated_steps():
+    """The first act of an episode has no speculation in flight — it must not count as a
+    miss (with a perfect model, hit_rate should be exactly 1.0)."""
+    from blackbox_mpc_tpu.policies.pipeline import SpeculativePipeline
+
+    policy = _seeded_policy()
+    pipe = SpeculativePipeline(policy, spec_tol=1e9)  # accept everything
+    pipe.reset()
+    obs = np.asarray([[-1.0, 0.0, 0.0]], np.float32)
+    for t in range(4):
+        action, pred_next, pred_reward, hit = pipe.act(obs, t)
+        obs = pred_next  # follow the model so speculation always matches
+    assert pipe.misses == 0
+    assert pipe.hits == 3  # t=0 neither hits nor misses
+    assert pipe.hit_rate == 1.0
