@@ -52,7 +52,9 @@ def build_chain(N: int, backend: str, solver: str = "CEM", solver_kw: dict | Non
     if backend.startswith("pallas"):
         from blackbox_mpc_tpu.ops.pallas_rollout import make_pallas_rollout_evaluator
 
-        pal = make_pallas_rollout_evaluator(cfg, reward_fn, tile=512)
+        # tile=256 is the measured VMEM ceiling at H=50 (tile 512 exceeds the 16M
+        # scoped-vmem limit for any width — benchmarks/backend_regimes.py).
+        pal = make_pallas_rollout_evaluator(cfg, reward_fn, tile=256)
         make_ev = lambda dp: partial(pal, dp)
     else:
         make_ev = lambda dp: make_trajectory_evaluator(partial(dyn, dp), reward_fn)
@@ -77,6 +79,9 @@ def build_chain(N: int, backend: str, solver: str = "CEM", solver_kw: dict | Non
 
 def measure(backend: str, n_chain: int, repeats: int, solver: str = "CEM",
             solver_kw: dict | None = None):
+    if n_chain < 2:
+        raise SystemExit("BENCH_CHAIN must be >= 2: differential timing needs a chained "
+                         "run to subtract the N=1 dispatch/readback overhead from")
     totals = {}
     for N in (1, n_chain):
         jfn, (state, dp, obs) = build_chain(N, backend, solver, solver_kw)

@@ -7,6 +7,7 @@ marginal per-solve cost is (time(N) - time(1)) / (N - 1), cancelling the host<->
 bench.py keeps its own self-contained copy so the driver-run headline has no intra-repo
 imports to break.
 """
+import os
 import time
 from functools import partial
 
@@ -18,6 +19,12 @@ from blackbox_mpc_tpu.core.types import Bounds
 from blackbox_mpc_tpu.models.dynamics import LearnedDynamicsConfig, make_learned_dynamics
 from blackbox_mpc_tpu.rollout.evaluator import make_trajectory_evaluator
 from blackbox_mpc_tpu.solvers import make_solver
+
+# Persistent compile cache for every harness user: flagship-shape compiles take 90-400 s
+# over a tunneled frontend but cache-hit in seconds (same setup as bench.py).
+os.makedirs(os.path.expanduser("~/.jax_cache"), exist_ok=True)
+jax.config.update("jax_compilation_cache_dir", os.path.expanduser("~/.jax_cache"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 N_CHAIN = 11
 REPEATS = 5
@@ -52,6 +59,8 @@ def build_chain(n, solver_name, solver_kw):
 
 def measure(solver_name, solver_kw, n_chain=N_CHAIN, repeats=REPEATS):
     """Marginal seconds per solve for the given solver on the flagship workload."""
+    if n_chain < 2:
+        raise SystemExit("chain length must be >= 2 (differential timing)")
     totals = {}
     for n in (1, n_chain):
         jfn, args = build_chain(n, solver_name, solver_kw)

@@ -19,18 +19,28 @@ ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
 def run_json(cmd, timeout=1800, env=None):
-    """Runs a command, returns the last JSON line of its stdout."""
+    """Runs a command, returns its JSON stdout rows: a dict for single-row benches, a
+    list for multi-row comparison benches (gradient_vs_cem, device_episode print one
+    row per config — keeping only the last would drop the comparison)."""
     full_env = dict(os.environ)
     if env:
         full_env.update(env)
     proc = subprocess.run(
         cmd, capture_output=True, text=True, timeout=timeout, cwd=ROOT, env=full_env
     )
-    for line in reversed(proc.stdout.strip().splitlines()):
+    rows = []
+    for line in proc.stdout.strip().splitlines():
         line = line.strip()
         if line.startswith("{"):
-            return json.loads(line)
-    raise RuntimeError(f"no JSON output from {cmd}: {proc.stdout[-500:]} {proc.stderr[-500:]}")
+            try:
+                rows.append(json.loads(line))
+            except json.JSONDecodeError:
+                continue
+    if not rows:
+        raise RuntimeError(
+            f"no JSON output from {cmd}: {proc.stdout[-500:]} {proc.stderr[-500:]}"
+        )
+    return rows[0] if len(rows) == 1 else rows
 
 
 def main():
@@ -89,9 +99,12 @@ def main():
     for name, (cmd, env) in sections.items():
         t0 = time.time()
         try:
-            report["sections"][name] = run_json(cmd, env=env)
+            result = run_json(cmd, env=env)
         except Exception as e:  # noqa: BLE001
-            report["sections"][name] = {"error": str(e)[:400]}
+            result = {"error": str(e)[:400]}
+        if isinstance(result, list):
+            result = {"rows": result}
+        report["sections"][name] = result
         report["sections"][name]["wall_s"] = round(time.time() - t0, 1)
         print(f"[{name}] {json.dumps(report['sections'][name])[:200]}", flush=True)
 

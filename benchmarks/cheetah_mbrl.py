@@ -94,15 +94,33 @@ def main():
         solver_kwargs["solver_learning_rate"] = args.solver_lr
     if args.warm_start is not None and args.solver in ("Gradient", "CEM-GD"):
         solver_kwargs["warm_start"] = bool(args.warm_start)
-    with open(args.out, "a") as f:  # run-header row precedes the scalar stream
-        f.write(json.dumps({
+    # On --ckpt auto-resume into an existing JSONL: seed the peak from the rows already
+    # on disk (MetricsWriter.history is per-process, so post-crash reruns would otherwise
+    # report a peak over post-resume episodes only) and append a resume marker instead of
+    # a second full header mid-stream.
+    prior_ep, prior_best = 0, None
+    resuming = bool(args.ckpt) and os.path.exists(args.out) and os.path.getsize(args.out)
+    if resuming:
+        with open(args.out) as f:
+            for line in f:
+                try:
+                    row = json.loads(line)
+                except json.JSONDecodeError:
+                    continue
+                if row.get("tag") == "rewards/actual_episode_reward":
+                    prior_ep += 1
+                    v = float(row["value"])
+                    prior_best = v if prior_best is None else max(prior_best, v)
+    header = {"resumed": time.strftime("%Y-%m-%dT%H:%M:%S")} if resuming else {
         "run": f"{args.solver}{' +BC' if args.behavior_cloning else ''} {args.propagation} "
                f"{args.members}-member ensemble HalfCheetah MBRL",
         "config": f"solver_kwargs={solver_kwargs} H={args.planning_horizon} "
                   f"hidden={'x'.join(map(str, args.hidden))} NLL lr=3e-3 "
                   f"propagation={args.propagation} particles={args.particles}",
         "start": time.strftime("%Y-%m-%dT%H:%M:%S"),
-        }) + "\n")
+    }
+    with open(args.out, "a") as f:  # run-header row precedes the scalar stream
+        f.write(json.dumps(header) + "\n")
     writer = MetricsWriter(jsonl_path=args.out, tensorboard=False)
 
     handler, policy = learn_dynamics_iteratively_w_mpc(
@@ -127,13 +145,14 @@ def main():
     )
     env.close()
     ep = writer.history.get("rewards/actual_episode_reward", [])
-    best = max((v for _, v in ep), default=float("nan"))
+    candidates = [v for _, v in ep] + ([prior_best] if prior_best is not None else [])
+    best = max(candidates) if candidates else None  # None -> JSON null, never NaN
     print(json.dumps({
         "metric": f"HalfCheetah MBRL peak episode reward "
                   f"({args.solver}{' +BC' if args.behavior_cloning else ''}, {args.propagation})",
-        "value": round(best, 1),
+        "value": round(best, 1) if best is not None else None,
         "unit": "episode_reward",
-        "episodes": len(ep),
+        "episodes": len(ep) + prior_ep,
         "propagation": args.propagation,
     }))
 

@@ -91,7 +91,9 @@ def main():
     cfg = LearnedDynamicsConfig(dim_s=dim_s, dim_u=dim_u, hidden=tuple(args.hidden),
                             ensemble_size=args.ensemble)
     init_model, dynamics_fn = make_learned_dynamics(cfg)
-    dp = init_model(jax.random.PRNGKey(0))
+    # NOTE: the model params are created INSIDE the traced chain (make_chain) so the
+    # zero-array-input design holds; no eager init here (it would be dead device work,
+    # once per process on multihost runs).
     bounds = Bounds.of(-1.0, 1.0, dim=dim_u)
 
     def reward_fn(s, a, ns):
@@ -158,6 +160,8 @@ def main():
         def run(jfn, seed):
             return float(jfn(jax.random.PRNGKey(seed)))
 
+    if args.chain < 2:
+        raise SystemExit("--chain must be >= 2 (differential timing)")
     totals = {}
     for N in (1, args.chain):
         jfn = make_chain(N)

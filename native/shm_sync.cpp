@@ -21,6 +21,7 @@
 // Build: make -C native   (produces libshm_sync.so, loaded via ctypes)
 
 #include <atomic>
+#include <chrono>
 #include <cstdint>
 #include <ctime>
 
@@ -83,11 +84,22 @@ int32_t shm_wait(void* status_word, int32_t expected, int32_t alt, int64_t timeo
 
 // Waits until the status of every slot (stride bytes apart) equals `expected`.
 // Returns 0 on success, -1 on timeout, or 1000+i if slot i reported ERROR(101).
+// timeout_ns is a TOTAL budget across all slots (a shared deadline) — not per slot —
+// so the caller's single step timeout holds regardless of worker count, and one dead
+// worker cannot hide behind (n-1) slow-but-alive ones.
 int32_t shm_wait_all(void* base, int32_t n, int64_t stride, int32_t expected,
                      int64_t timeout_ns) {
   char* p = reinterpret_cast<char*>(base);
+  const auto deadline = std::chrono::steady_clock::now() + std::chrono::nanoseconds(timeout_ns);
   for (int32_t i = 0; i < n; ++i) {
-    int32_t v = shm_wait(p + i * stride, expected, 101, timeout_ns);
+    int64_t remaining = timeout_ns;
+    if (timeout_ns > 0) {
+      remaining = std::chrono::duration_cast<std::chrono::nanoseconds>(
+                      deadline - std::chrono::steady_clock::now())
+                      .count();
+      if (remaining <= 0) remaining = 1;  // budget spent: poll once, then time out
+    }
+    int32_t v = shm_wait(p + i * stride, expected, 101, remaining);
     if (v == -1) return -1;
     if (v == 101) return 1000 + i;
   }

@@ -3,7 +3,7 @@
 Counterpart of the reference's ``tutorials/mujoco/env_modified.py``
 (``/root/reference/tutorials/mujoco/env_modified.py``): a user-defined env subclass whose
 observation is ``[qpos[1:], qvel, torso-COM]`` (joint angles, velocities, and the torso
-centre of mass — 18 + 3 dims for cheetah) and whose reward is forward progress minus control
+centre of mass — 8 + 9 + 3 = 20 dims for cheetah) and whose reward is forward progress minus control
 cost. Built on gymnasium's HalfCheetahEnv (the reference used the old ``mujoco_py`` base).
 
 Used by ``tutorial_three.py`` together with the planning cost in ``cost_func.py`` — the
