@@ -58,6 +58,10 @@ def cmd_solve(args):
             from blackbox_mpc_tpu.envs import NativePendulumVecEnv
 
             env = NativePendulumVecEnv(num_envs=args.num_envs, seed=args.seed)
+        elif args.env == "cartpole":
+            from blackbox_mpc_tpu.envs import NativeCartpoleVecEnv
+
+            env = NativeCartpoleVecEnv(num_envs=args.num_envs, seed=args.seed)
         else:
             print(f"no built-in environment for analytic model {args.env!r}", file=sys.stderr)
             return 2
