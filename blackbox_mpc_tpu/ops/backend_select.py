@@ -77,10 +77,14 @@ def choose_backend(
         and config.propagation == "mean"
         and rows * horizon * dim_u < 2**32  # in-kernel RNG counter range
         # iCEM features make_fused_cem rejects: the kernel samples white noise and
-        # regenerates candidates in-kernel, so colored noise / elite persistence must
+        # regenerates a fixed-size candidate tile set in-kernel, so colored noise,
+        # elite persistence, population decay, and the mean/best-candidate tricks must
         # stay on the XLA path rather than crash the auto route at first act().
         and getattr(solver_config, "colored_noise_beta", 0.0) == 0.0
         and getattr(solver_config, "keep_elites", 0) == 0
+        and getattr(solver_config, "population_decay", 1.0) >= 1.0
+        and not getattr(solver_config, "mean_as_candidate", False)
+        and not getattr(solver_config, "execute_best", False)
     ):
         return "fused_cem"
     return "xla"

@@ -271,6 +271,16 @@ def make_fused_cem(
             "fused CEM regenerates candidates in-kernel each iteration; keep_elites "
             "persistence is not supported — use the standard CEM solver"
         )
+    if getattr(config, "population_decay", 1.0) < 1.0:
+        raise ValueError(
+            "fused CEM compiles one fixed-population kernel; population_decay is not "
+            "supported — use the standard CEM solver"
+        )
+    if getattr(config, "mean_as_candidate", False) or getattr(config, "execute_best", False):
+        raise ValueError(
+            "fused CEM does not support mean_as_candidate/execute_best — use the "
+            "standard CEM solver"
+        )
     alpha = config.alpha
     rollout_rewards, elite_moments = make_fused_cem_kernels(
         dyn_config, reward_fn,

@@ -25,7 +25,10 @@ from flax import struct
 from blackbox_mpc_tpu.core.types import Bounds, Solver, SolverAux, TrajectoryEvaluator, truncated_normal
 from blackbox_mpc_tpu.solvers import base
 
-__all__ = ["CEMConfig", "CEMState", "make_cem", "cem_iteration", "init_carried"]
+__all__ = [
+    "CEMConfig", "CEMState", "make_cem", "cem_iteration", "init_carried",
+    "iteration_populations",
+]
 
 
 @dataclasses.dataclass(frozen=True)
@@ -42,6 +45,18 @@ class CEMConfig(base.SolverConfig):
     # iteration into the next iteration's population (guarantees the best-seen candidate
     # survives refinement). 0 = reference behavior (fresh population every iteration).
     keep_elites: int = 0
+    # iCEM population decay (Pinneri et al. 2020 §4.2): iteration i samples
+    # max(population * decay^i, 2*num_elite) candidates — later iterations refine a
+    # narrowed distribution and need fewer samples, cutting the total rollout budget.
+    # 1.0 = reference behavior (constant population; the iteration loop stays a fori_loop).
+    population_decay: float = 1.0
+    # iCEM: inject the current (clipped) mean as one candidate each iteration, so the
+    # incumbent distribution center is always scored against the fresh samples.
+    mean_as_candidate: bool = False
+    # iCEM "execute best action": act with the first action of the best candidate seen
+    # across all iterations instead of the blended mean (better on ragged landscapes;
+    # the mean remains the carried plan / warm-start source).
+    execute_best: bool = False
 
 
 @struct.dataclass
@@ -50,7 +65,7 @@ class CEMState:
     variance: jax.Array  # [A, H, U]
 
 
-def cem_iteration(config, bounds, evaluate, obs, mean, var, key, carried):
+def cem_iteration(config, bounds, evaluate, obs, mean, var, key, carried, population=None):
     """One CEM update, shared by ``make_cem`` and ``make_cem_gd`` (cem_gd.py).
 
     Samples ``population - keep_elites`` fresh candidates around ``mean`` (colored noise when
@@ -58,12 +73,16 @@ def cem_iteration(config, bounds, evaluate, obs, mean, var, key, carried):
     elites, evaluates, and blends per-agent top-k elite moments with momentum ``alpha``
     (reference cem.py:81-125). Returns ``(mean, var, key, carried, elites, elite_vals)``;
     ``elites`` is ``[A, k, H, U]`` ranked best-first (``lax.top_k`` orders descending).
+
+    ``population`` overrides ``config.population`` for this iteration (iCEM decay; the
+    value must be a static int so shapes stay compile-time constants).
     """
-    horizon, agents, pop = config.planning_horizon, config.num_agents, config.population
+    horizon, agents = config.planning_horizon, config.num_agents
+    pop = config.population if population is None else population
     k, alpha, keep = config.num_elite, config.alpha, config.keep_elites
     key, sample_key = jax.random.split(key)
     constrained = base.constrain_variance(mean, var, bounds)
-    n_fresh = pop - keep
+    n_fresh = pop - keep - (1 if config.mean_as_candidate else 0)
     if config.colored_noise_beta > 0.0:
         z = base.colored_noise(
             sample_key, config.colored_noise_beta,
@@ -75,6 +94,9 @@ def cem_iteration(config, bounds, evaluate, obs, mean, var, key, carried):
             sample_key, mean, jnp.sqrt(constrained),
             (n_fresh, agents, horizon, bounds.dim),
         )
+    if config.mean_as_candidate:
+        # iCEM: the incumbent distribution center competes with the fresh samples.
+        samples = jnp.concatenate([samples, bounds.clip(mean)[None]], axis=0)
     if keep:
         # iCEM elite persistence: previous iteration's top candidates rejoin the
         # population (skipped on the first iteration — `carried` is init-sampled
@@ -90,6 +112,27 @@ def cem_iteration(config, bounds, evaluate, obs, mean, var, key, carried):
     var = alpha * var + (1.0 - alpha) * new_var
     carried = elites[:, :keep] if keep else carried
     return mean, var, key, carried, elites, elite_vals
+
+
+def iteration_populations(config):
+    """Per-iteration population sizes under iCEM decay; ``None`` when constant.
+
+    iCEM (Pinneri et al. 2020 §4.2): iteration ``i`` uses
+    ``max(population * decay^i, 2 * num_elite)`` samples. The floor also covers
+    ``keep_elites``/``mean_as_candidate`` slots (``2k >= k + keep + 1`` given the
+    ``keep <= min(k, pop-1)`` invariant), so every iteration still draws fresh samples
+    and ``top_k`` always has at least ``num_elite`` candidates to rank.
+    """
+    g = config.population_decay
+    if g >= 1.0:
+        return None
+    floor = max(
+        2 * config.num_elite,
+        config.keep_elites + (2 if config.mean_as_candidate else 1),
+    )
+    return [
+        max(int(config.population * g**i), floor) for i in range(config.max_iterations)
+    ]
 
 
 def init_carried(config, bounds, state, key):
@@ -120,6 +163,11 @@ def make_cem(config: CEMConfig, bounds: Bounds, evaluate: TrajectoryEvaluator) -
         raise ValueError(
             f"keep_elites ({config.keep_elites}) must be in [0, min(num_elite, pop-1)]"
         )
+    if not 0.0 < config.population_decay <= 1.0:
+        raise ValueError(
+            f"population_decay ({config.population_decay}) must be in (0, 1]"
+        )
+    pops = iteration_populations(config)
 
     def init(key: jax.Array) -> CEMState:
         del key
@@ -131,27 +179,57 @@ def make_cem(config: CEMConfig, bounds: Bounds, evaluate: TrajectoryEvaluator) -
     def solve(state: CEMState, obs: jax.Array, t: jax.Array, key: jax.Array):
         del t
 
-        def iteration(i, carry):
-            mean, var, key, _, carried = carry
-            mean, var, key, carried, _, elite_vals = cem_iteration(
-                config, bounds, evaluate, obs, mean, var, key, carried
-            )
-            return mean, var, key, jnp.mean(elite_vals, axis=1), carried
+        def track_best(elites, elite_vals, best_val, best_plan):
+            # Running per-agent best candidate across iterations (iCEM execute_best).
+            top_val = elite_vals[:, 0]
+            improve = top_val > best_val
+            best_val = jnp.where(improve, top_val, best_val)
+            best_plan = jnp.where(improve[:, None, None], elites[:, 0], best_plan)
+            return best_val, best_plan
 
         best0 = jnp.full((agents,), -jnp.inf, dtype=state.mean.dtype)
         key, carried0 = init_carried(config, bounds, state, key)
-        mean, var, _, elite_reward, _ = jax.lax.fori_loop(
-            0, config.max_iterations, iteration,
-            (state.mean, state.variance, key, best0, carried0),
-        )
-        action = mean[:, 0]
+        if pops is None:
+            # Constant population: one fori_loop body, compiled once.
+            def iteration(i, carry):
+                mean, var, key, _, best_val, best_plan, carried = carry
+                mean, var, key, carried, elites, elite_vals = cem_iteration(
+                    config, bounds, evaluate, obs, mean, var, key, carried
+                )
+                best_val, best_plan = track_best(elites, elite_vals, best_val, best_plan)
+                return (mean, var, key, jnp.mean(elite_vals, axis=1), best_val,
+                        best_plan, carried)
+
+            mean, var, _, elite_reward, best_val, best_plan, _ = jax.lax.fori_loop(
+                0, config.max_iterations, iteration,
+                (state.mean, state.variance, key, best0, best0, state.mean, carried0),
+            )
+        else:
+            # iCEM population decay: per-iteration sample counts are distinct static
+            # shapes, so the loop unrolls at trace time (max_iterations is small).
+            mean, var = state.mean, state.variance
+            carried, best_val, best_plan = carried0, best0, state.mean
+            elite_reward = best0
+            for pop_i in pops:
+                mean, var, key, carried, elites, elite_vals = cem_iteration(
+                    config, bounds, evaluate, obs, mean, var, key, carried,
+                    population=pop_i,
+                )
+                best_val, best_plan = track_best(elites, elite_vals, best_val, best_plan)
+                elite_reward = jnp.mean(elite_vals, axis=1)
+        if config.execute_best:
+            action = best_plan[:, 0]
+            aux = SolverAux(expected_reward=best_val, plan=best_plan)
+        else:
+            action = mean[:, 0]
+            aux = SolverAux(expected_reward=elite_reward, plan=mean)
         if config.warm_start:
             next_state = CEMState(mean=base.shift_time(mean), variance=state.variance)
         else:
             # Reference semantics: the persistent mean/variance are never updated
             # (assign commented out, cem.py:133-134) — every solve restarts from init.
             next_state = state
-        return action, next_state, SolverAux(expected_reward=elite_reward, plan=mean)
+        return action, next_state, aux
 
     def reset(state: CEMState, key: jax.Array) -> CEMState:
         del state

@@ -71,6 +71,16 @@ def make_cem_gd(config: CEMGDConfig, bounds: Bounds, evaluate: TrajectoryEvaluat
         raise ValueError(
             f"keep_elites ({config.keep_elites}) must be in [0, min(num_elite, pop-1)]"
         )
+    if not 0.0 < config.population_decay <= 1.0:
+        raise ValueError(
+            f"population_decay ({config.population_decay}) must be in (0, 1]"
+        )
+    if config.execute_best:
+        raise ValueError(
+            "CEM-GD does not take execute_best: its final argmax already selects over "
+            "the polished elites AND the unpolished incumbent, which subsumes it"
+        )
+    cem_pops = cem.iteration_populations(config)
     opt = optax.adam(config.gd_learning_rate)
 
     def init(key: jax.Array) -> CEMGDState:
@@ -97,10 +107,21 @@ def make_cem_gd(config: CEMGDConfig, bounds: Bounds, evaluate: TrajectoryEvaluat
         elites0 = jnp.zeros(
             (agents, m, horizon, bounds.dim), state.mean.dtype
         )
-        mean, var, _, _, top_elites = jax.lax.fori_loop(
-            0, config.max_iterations, cem_iter,
-            (state.mean, state.variance, key, carried0, elites0),
-        )  # top_elites: [A, m, H, U], best-first
+        if cem_pops is None:
+            mean, var, _, _, top_elites = jax.lax.fori_loop(
+                0, config.max_iterations, cem_iter,
+                (state.mean, state.variance, key, carried0, elites0),
+            )  # top_elites: [A, m, H, U], best-first
+        else:
+            # iCEM population decay: distinct static shapes per iteration -> unrolled.
+            mean, var, carried = state.mean, state.variance, carried0
+            top_elites = elites0
+            for pop_i in cem_pops:
+                mean, var, key, carried, elites, _ = cem.cem_iteration(
+                    config, bounds, evaluate, obs, mean, var, key, carried,
+                    population=pop_i,
+                )
+                top_elites = elites[:, :m]
 
         # --- Phase 2: Adam polish of {blended mean} U {top m elites} ---
         # The incumbent is a separate slot, NOT written over elite rank 0 — the best plan
