@@ -38,6 +38,12 @@ def main():
     p.add_argument("--epochs", type=int, default=12)
     p.add_argument("--particles", type=int, default=1,
                    help="ts_inf: PETS particles per candidate (returns averaged)")
+    p.add_argument("--icem", action="store_true",
+                   help="iCEM preset for the CEM-family solver: colored_noise_beta=2, "
+                        "keep_elites=5, mean_as_candidate, population_decay=0.7, and "
+                        "(plain CEM only) execute_best")
+    p.add_argument("--population-decay", type=float, default=None,
+                   help="override the iCEM per-iteration sample decay (1.0 = constant)")
     p.add_argument("--warm-start", type=int, default=None, choices=[0, 1],
                    help="override solver warm_start (Gradient/CEM-GD only)")
     p.add_argument("--behavior-cloning", action="store_true",
@@ -94,6 +100,15 @@ def main():
         solver_kwargs["solver_learning_rate"] = args.solver_lr
     if args.warm_start is not None and args.solver in ("Gradient", "CEM-GD"):
         solver_kwargs["warm_start"] = bool(args.warm_start)
+    if args.icem:
+        if args.solver == "Gradient":
+            raise SystemExit("--icem applies to the CEM-family solvers, not Gradient")
+        solver_kwargs.update(colored_noise_beta=2.0, keep_elites=5,
+                             mean_as_candidate=True, population_decay=0.7)
+        if args.solver == "CEM":  # CEM-GD's final argmax subsumes execute_best
+            solver_kwargs["execute_best"] = True
+    if args.population_decay is not None:
+        solver_kwargs["population_decay"] = args.population_decay
     # On --ckpt auto-resume into an existing JSONL: seed the peak from the rows already
     # on disk (MetricsWriter.history is per-process, so post-crash reruns would otherwise
     # report a peak over post-resume episodes only) and append a resume marker instead of
