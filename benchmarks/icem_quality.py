@@ -1,0 +1,99 @@
+"""iCEM vs plain CEM: control quality at matched iteration counts, smaller sample budgets.
+
+Swing-up episode reward on the two built-in analytic tasks (true-model planning, so the
+difference is purely the solver). Plain CEM samples ``population`` candidates every
+iteration; the iCEM configuration (colored noise beta=2, keep_elites=5, mean-as-candidate,
+execute-best, population_decay) samples ``max(population * decay^i, 2*num_elite)`` at
+iteration ``i`` — the headline claim is equal-or-better reward at roughly half the rollouts.
+
+Runs anywhere (CPU or the real chip — quality numbers are device-independent; the row
+records the device). Output: one JSON row per (task, solver config) appended to
+``benchmarks/results_r2.jsonl`` and printed.
+
+Run: python benchmarks/icem_quality.py [--steps 250] [--seeds 3]
+"""
+import argparse
+import json
+import os
+import sys
+import time
+
+_HERE = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, os.path.dirname(_HERE))
+
+import jax
+import numpy as np
+
+from blackbox_mpc_tpu import DynamicsHandler, MPCPolicy
+from blackbox_mpc_tpu.envs import NativeCartpoleVecEnv, NativePendulumVecEnv
+from blackbox_mpc_tpu.models import (cartpole_dynamics, cartpole_reward,
+                                     pendulum_dynamics, pendulum_reward)
+
+TASKS = {
+    "pendulum": (NativePendulumVecEnv, pendulum_dynamics, pendulum_reward, 25),
+    "cartpole": (NativeCartpoleVecEnv, cartpole_dynamics, cartpole_reward, 40),
+}
+
+# beta=1.0: measured sweet spot across both tasks. beta=2 (the iCEM paper's locomotion
+# value) over-smooths the force sequence and collapses cartpole swing-up (22 vs 72 episode
+# reward) — colored-noise smoothness is task-specific; tune beta per env.
+ICEM_KW = dict(colored_noise_beta=1.0, keep_elites=5, population_decay=0.7,
+               mean_as_candidate=True, execute_best=True)
+
+
+def budget(population, num_elite, iters, decay):
+    return sum(max(int(population * decay**i), 2 * num_elite) for i in range(iters))
+
+
+def episode_reward(task, solver_kw, steps, seed):
+    env_cls, dynamics, reward, horizon = TASKS[task]
+    env = env_cls(num_envs=1, seed=seed, max_episode_steps=steps)
+    policy = MPCPolicy(
+        action_space=env.action_space, reward_function=reward,
+        dynamics_handler=DynamicsHandler(true_model=dynamics),
+        solver_name="CEM", planning_horizon=horizon, num_agents=1,
+        population=512, num_elite=50, max_iterations=5, seed=seed, **solver_kw,
+    )
+    obs = env.reset_down()
+    total = 0.0
+    for t in range(steps):
+        action, _, _ = policy.act(obs, t)
+        obs, rew, done, _ = env.step(action)
+        total += float(rew[0])
+    env.close()
+    return total
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--steps", type=int, default=250)
+    p.add_argument("--seeds", type=int, default=3)
+    p.add_argument("--out", default=os.path.join(_HERE, "results_r2.jsonl"))
+    args = p.parse_args()
+    device = jax.devices()[0].device_kind
+    configs = [
+        ("CEM", {}, 512 * 5),
+        ("iCEM", ICEM_KW, budget(512, 50, 5, 0.7)),
+    ]
+    with open(args.out, "a") as f:
+        for task in TASKS:
+            for name, kw, samples in configs:
+                rewards = [episode_reward(task, kw, args.steps, s)
+                           for s in range(args.seeds)]
+                row = {
+                    "bench": "icem_quality",
+                    "task": f"{task} swing-up ({args.steps} steps, true model)",
+                    "solver": name,
+                    "samples_per_solve": samples,
+                    "episode_reward_mean": round(float(np.mean(rewards)), 1),
+                    "episode_reward_per_seed": [round(r, 1) for r in rewards],
+                    "seeds": args.seeds,
+                    "device": device,
+                    "ts": time.strftime("%Y-%m-%dT%H:%M:%S"),
+                }
+                f.write(json.dumps(row) + "\n")
+                print(json.dumps(row), flush=True)
+
+
+if __name__ == "__main__":
+    main()

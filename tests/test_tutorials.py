@@ -15,6 +15,7 @@ TUTORIALS = {
     "tutorials/true_model_mpc/tutorial_one.py": ["--steps", "40"],
     "tutorials/true_model_mpc/tutorial_two.py": ["--steps", "40"],
     "tutorials/true_model_mpc/tutorial_three.py": [],
+    "tutorials/true_model_mpc/tutorial_four.py": ["--steps", "60"],
     "tutorials/low_level_api/tutorial_one.py": [],
     "tutorials/distributed/tutorial_one.py": [],
     "tutorials/learn_dynamics/tutorial_one.py": ["--steps", "30"],
