@@ -36,6 +36,9 @@ def main():
                    help="solver learning_rate (Gradient/CEM-GD Adam step; default 0.1/0.02)")
     p.add_argument("--hidden", type=int, nargs="+", default=[256, 256, 256])
     p.add_argument("--epochs", type=int, default=12)
+    p.add_argument("--patience", type=int, default=None,
+                   help="PETS-style per-member early stopping on validation loss "
+                        "(epochs becomes a cap; planning params = per-member bests)")
     p.add_argument("--particles", type=int, default=1,
                    help="ts_inf: PETS particles per candidate (returns averaged)")
     p.add_argument("--icem", action="store_true",
@@ -149,6 +152,7 @@ def main():
         rollout_horizon=args.steps,
         dynamics_config=cfg,
         epochs=args.epochs,
+        patience=args.patience,
         batch_size=256,
         learning_rate=3e-3,
         metrics_writer=writer,

@@ -174,12 +174,21 @@ class DynamicsHandler:
         *,
         epochs: int = 30,
         batch_size: int = 128,
+        patience: Optional[int] = None,
     ) -> dict:
         """Appends rollouts to replay (if given) and runs ``epochs`` of minibatch Adam.
 
         ``observations``: sequence of [T+1, S] episode arrays (or [N, T+1, S]);
         ``actions``: matching [T, U] arrays. Returns a metrics dict (final train/val loss).
         Mirrors ``SystemDynamicsHandler.train`` (system_dynamics_handler.py:163-243).
+
+        ``patience``: PETS-style per-member early stopping (Chua et al. 2018, absent in the
+        reference). After each epoch the per-member validation loss is evaluated; each
+        member's best weights are snapshotted independently, and training stops once
+        ``patience`` consecutive epochs improve NO member. The PLANNING params
+        (``dynamics_params``) are restored to the per-member bests; the optimizer state
+        keeps training from the latest weights on the next ``train()`` call. ``None``
+        (default) trains exactly ``epochs`` epochs (reference behavior).
         """
         if self._is_true_model:
             raise RuntimeError("cannot train a true-model handler")
@@ -198,6 +207,22 @@ class DynamicsHandler:
         ensemble = self._config.ensemble_size
         stats = self._params.stats
         last_train = np.nan
+
+        def val_member_losses(params):
+            # Size-weighted mean over the deterministic full validation split ([E]).
+            total, count = None, 0
+            for s, a, ns in self._replay.minibatches(batch_size, ensemble, validation=True):
+                v = np.atleast_1d(np.asarray(self._eval_step(params, stats, s, a, ns)))
+                b = s.shape[1]
+                total = v * b if total is None else total + v * b
+                count += b
+            return total / count if count else None
+
+        track = patience is not None
+        best_val = np.full(ensemble, np.inf)
+        best_params = self._train_state.params
+        stall = 0
+        epochs_ran = 0
         for _ in range(epochs):
             losses = []
             for s, a, ns in self._replay.minibatches(batch_size, ensemble):
@@ -207,13 +232,44 @@ class DynamicsHandler:
                 losses.append(np.asarray(member_losses))
             if losses:
                 last_train = float(np.mean(losses))
+            epochs_ran += 1
+            if track:
+                member_val = val_member_losses(self._train_state.params)
+                if member_val is None:
+                    track = False  # no validation split — fall back to fixed epochs
+                    continue
+                # Relative improvement threshold (PETS uses 1%): magnitude-based so it
+                # also behaves for negative NLL losses. First epoch (best == inf) always
+                # counts for finite losses.
+                # Two masks: ANY decrease snapshots that member's weights (the planning
+                # params must be the true per-member bests); only a >=1% relative
+                # decrease (PETS threshold; magnitude-based so negative NLL works)
+                # resets the stall counter.
+                better = member_val < best_val
+                improved = np.where(
+                    np.isinf(best_val),
+                    np.isfinite(member_val),
+                    (best_val - member_val) > 0.01 * np.maximum(np.abs(best_val), 1e-3),
+                )
+                if ensemble > 1:
+                    sel = jnp.asarray(better)
+                    best_params = jax.tree.map(
+                        lambda b, p: jnp.where(
+                            sel.reshape((ensemble,) + (1,) * (p.ndim - 1)), p, b
+                        ),
+                        best_params, self._train_state.params,
+                    )
+                elif better[0]:
+                    best_params = self._train_state.params
+                best_val = np.minimum(best_val, member_val)
+                stall = 0 if improved.any() else stall + 1
+                if stall >= patience:
+                    break
 
-        self._params = self._params.replace(params=self._train_state.params)
-        val_losses = [
-            np.asarray(self._eval_step(self._params.params, stats, s, a, ns))
-            for s, a, ns in self._replay.minibatches(batch_size, ensemble, validation=True)
-        ]
-        val_loss = float(np.mean(val_losses)) if val_losses else float("nan")
+        planning_params = best_params if track else self._train_state.params
+        self._params = self._params.replace(params=planning_params)
+        final_val = val_member_losses(self._params.params)
+        val_loss = float(np.mean(final_val)) if final_val is not None else float("nan")
         self._train_calls += 1
         if self._writer is not None:
             self._writer.scalar("system_model/train_loss", last_train, self._train_calls)
@@ -229,6 +285,7 @@ class DynamicsHandler:
             "val_loss": val_loss,
             "replay_size": len(self._replay),
             "train_calls": self._train_calls,
+            "epochs_ran": epochs_ran,
         }
 
     # ------------------------------------------------------------------ checkpointing

@@ -104,12 +104,22 @@ class ReplayBuffer:
         if n == 0:
             return
         batch_size = min(batch_size, n)
-        if bootstrap and ensemble_size > 1:
+        if validation:
+            # Deterministic, full-coverage evaluation: natural order, tail included, and
+            # NO RNG consumption — a mid-training validation pass (early stopping) must
+            # not perturb the subsequent training minibatch stream.
+            orders = np.tile(np.arange(n), (ensemble_size, 1))
+        elif bootstrap and ensemble_size > 1:
             orders = np.stack([self._rng.permutation(n) for _ in range(ensemble_size)])
         else:
             orders = np.tile(self._rng.permutation(n), (ensemble_size, 1))
-        for start in range(0, n - batch_size + 1, batch_size):
-            idx = orders[:, start : start + batch_size]  # [E, B]
+        stops = list(range(batch_size, n + 1, batch_size))
+        if validation and (not stops or stops[-1] != n):
+            stops.append(n)  # remainder batch (one extra compiled shape, cached)
+        start = 0
+        for stop in stops:
+            idx = orders[:, start:stop]  # [E, B]
+            start = stop
             yield s[idx], a[idx], ns[idx]
 
     _U64 = (1 << 64) - 1

@@ -45,6 +45,7 @@ def learn_dynamics_from_policy(
     rollout_horizon: int = 200,
     epochs: int = 30,
     batch_size: int = 128,
+    patience: Optional[int] = None,
     exploration_noise: bool = False,
     metrics_writer=None,
     learning_rate: float = 1e-3,
@@ -76,5 +77,7 @@ def learn_dynamics_from_policy(
         overlap=overlap,
     )
     observations, actions = rollouts_to_episodes(result)
-    metrics = handler.train(observations, actions, epochs=epochs, batch_size=batch_size)
+    metrics = handler.train(
+        observations, actions, epochs=epochs, batch_size=batch_size, patience=patience
+    )
     return handler, result, metrics

@@ -37,6 +37,7 @@ def learn_dynamics_iteratively_w_mpc(
     handler: Optional[DynamicsHandler] = None,
     epochs: int = 30,
     batch_size: int = 128,
+    patience: Optional[int] = None,
     learning_rate: float = 1e-3,
     exploration_noise: bool = False,
     metrics_writer=None,
@@ -114,6 +115,7 @@ def learn_dynamics_iteratively_w_mpc(
             rollout_horizon=rollout_horizon,
             epochs=epochs,
             batch_size=batch_size,
+            patience=patience,
             learning_rate=learning_rate,
             metrics_writer=metrics_writer,
         )
@@ -172,6 +174,7 @@ def learn_dynamics_iteratively_w_mpc(
             rollout_horizon=rollout_horizon,
             epochs=epochs,
             batch_size=batch_size,
+            patience=patience,
             exploration_noise=exploration_noise,
             metrics_writer=metrics_writer,
             overlap=overlap,

@@ -129,3 +129,39 @@ def test_handler_checkpoint_roundtrip(tmp_path):
     # restored handler can keep training
     m = restored.train(epochs=1, batch_size=64)
     assert np.isfinite(m["train_loss"])
+
+
+def test_early_stopping_patience():
+    """PETS-style per-member early stopping: training stops once no member's validation
+    loss improves for `patience` epochs, and the planning params are the per-member
+    bests (never worse on validation than the final weights)."""
+    cfg = LearnedDynamicsConfig(dim_s=3, dim_u=1, hidden=(32,), ensemble_size=3)
+    rng = np.random.default_rng(0)
+    s = rng.normal(size=(600, 3)).astype(np.float32)
+    a = rng.uniform(-1, 1, (600, 1)).astype(np.float32)
+    ns = s + 0.1 * np.tanh(s) + 0.05 * a  # learnable map
+
+    handler = DynamicsHandler(config=cfg, seed=0)
+    handler.replay.add_transitions(s, a, ns)
+    m = handler.train(epochs=200, batch_size=64, patience=3)
+    assert m["epochs_ran"] < 200, m  # stopped early on this easy problem
+    assert np.isfinite(m["val_loss"])
+
+    # The snapshotted planning params predict at least as well as a plain fixed-epoch
+    # run of the same length would at its final (possibly overfit/noisy) weights.
+    handler2 = DynamicsHandler(config=cfg, seed=0)
+    handler2.replay.add_transitions(s, a, ns)
+    m2 = handler2.train(epochs=m["epochs_ran"], batch_size=64)
+    assert m["val_loss"] <= m2["val_loss"] + 1e-3, (m["val_loss"], m2["val_loss"])
+
+
+def test_early_stopping_single_member():
+    cfg = LearnedDynamicsConfig(dim_s=3, dim_u=1, hidden=(16,), ensemble_size=1)
+    rng = np.random.default_rng(1)
+    s = rng.normal(size=(400, 3)).astype(np.float32)
+    a = rng.uniform(-1, 1, (400, 1)).astype(np.float32)
+    ns = s + 0.05 * a
+    handler = DynamicsHandler(config=cfg, seed=0)
+    handler.replay.add_transitions(s, a, ns)
+    m = handler.train(epochs=150, batch_size=64, patience=2)
+    assert m["epochs_ran"] <= 150 and np.isfinite(m["val_loss"])
