@@ -89,6 +89,11 @@ def main():
             [py, "benchmarks/device_episode_bench.py"],
             None,
         ),
+        "icem_quality": (
+            [py, "benchmarks/icem_quality.py", "--steps", "120" if args.quick else "250",
+             "--seeds", "1" if args.quick else "3"],
+            None,
+        ),
         "sep_cma_flagship": (
             [py, "benchmarks/scaling.py", "--config", "multi_agent", "--agents", "1",
              "--population", "1000", "--hidden", "500", "500", "500", "--ensemble", "5",

@@ -117,7 +117,14 @@ def main():
     # report a peak over post-resume episodes only) and append a resume marker instead of
     # a second full header mid-stream.
     prior_ep, prior_best = 0, None
-    resuming = bool(args.ckpt) and os.path.exists(args.out) and os.path.getsize(args.out)
+    # Authoritative resume signal: the loop checkpoint's state file (the same one
+    # learn_dynamics_iteratively_w_mpc keys on) — a pre-existing --out alone may be a
+    # foreign/aborted run whose rows must not seed this run's peak.
+    resuming = (
+        bool(args.ckpt)
+        and os.path.exists(os.path.join(args.ckpt, "loop_state.json"))
+        and os.path.exists(args.out) and os.path.getsize(args.out)
+    )
     if resuming:
         with open(args.out) as f:
             for line in f:

@@ -38,8 +38,9 @@ def main():
                           max_iterations=5, learning_rate=0.2), "restarts=16 adam=5"),
         ("CEM-GD", dict(planning_horizon=50, population=1000, num_agents=1, num_elite=50,
                         max_iterations=5), "pop=1000 iters=5 + polish 9x10"),
-        # iCEM decay: same pop=1000 start, iteration i samples max(1000*0.6^i, 100) —
-        # 2104 total rollouts vs CEM's 5000 at the same iteration count.
+        # iCEM decay: same pop=1000 start, iteration i samples max(int(1000*0.6^i), 100)
+        # = 1000+600+360+215+129 = 2304 total rollouts vs CEM's 5000 at the same
+        # iteration count.
         ("CEM", dict(planning_horizon=50, population=1000, num_agents=1, num_elite=50,
                      max_iterations=5, population_decay=0.6, execute_best=True),
          "pop=1000 iters=5 decay=0.6 (iCEM)"),

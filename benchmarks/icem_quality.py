@@ -28,6 +28,7 @@ from blackbox_mpc_tpu import DynamicsHandler, MPCPolicy
 from blackbox_mpc_tpu.envs import NativeCartpoleVecEnv, NativePendulumVecEnv
 from blackbox_mpc_tpu.models import (cartpole_dynamics, cartpole_reward,
                                      pendulum_dynamics, pendulum_reward)
+from blackbox_mpc_tpu.solvers.cem import CEMConfig, iteration_populations
 
 TASKS = {
     "pendulum": (NativePendulumVecEnv, pendulum_dynamics, pendulum_reward, 25),
@@ -41,8 +42,13 @@ ICEM_KW = dict(colored_noise_beta=1.0, keep_elites=5, population_decay=0.7,
                mean_as_candidate=True, execute_best=True)
 
 
-def budget(population, num_elite, iters, decay):
-    return sum(max(int(population * decay**i), 2 * num_elite) for i in range(iters))
+def budget(population, num_elite, iters, solver_kw):
+    """Total rollouts/solve, from the solver's own schedule (no re-derived formula)."""
+    cfg = CEMConfig(population=population, num_elite=num_elite, max_iterations=iters,
+                    **{k: v for k, v in solver_kw.items()
+                       if k in CEMConfig.__dataclass_fields__})
+    pops = iteration_populations(cfg)
+    return sum(pops) if pops is not None else population * iters
 
 
 def episode_reward(task, solver_kw, steps, seed):
@@ -72,8 +78,8 @@ def main():
     args = p.parse_args()
     device = jax.devices()[0].device_kind
     configs = [
-        ("CEM", {}, 512 * 5),
-        ("iCEM", ICEM_KW, budget(512, 50, 5, 0.7)),
+        ("CEM", {}, budget(512, 50, 5, {})),
+        ("iCEM", ICEM_KW, budget(512, 50, 5, ICEM_KW)),
     ]
     with open(args.out, "a") as f:
         for task in TASKS:

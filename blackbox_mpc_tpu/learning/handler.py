@@ -218,6 +218,11 @@ class DynamicsHandler:
                 count += b
             return total / count if count else None
 
+        if patience is not None and patience < 1:
+            raise ValueError(
+                f"patience must be >= 1 (got {patience}); pass None to disable "
+                "early stopping"
+            )
         track = patience is not None
         best_val = np.full(ensemble, np.inf)
         best_params = self._train_state.params
@@ -268,7 +273,12 @@ class DynamicsHandler:
 
         planning_params = best_params if track else self._train_state.params
         self._params = self._params.replace(params=planning_params)
-        final_val = val_member_losses(self._params.params)
+        if track and np.isfinite(best_val).all():
+            # The planning params ARE the per-member bests, so their validation loss is
+            # exactly best_val — no extra sweep needed.
+            final_val = best_val
+        else:
+            final_val = val_member_losses(self._params.params)
         val_loss = float(np.mean(final_val)) if final_val is not None else float("nan")
         self._train_calls += 1
         if self._writer is not None:

@@ -82,7 +82,7 @@ def choose_backend(
         # stay on the XLA path rather than crash the auto route at first act().
         and getattr(solver_config, "colored_noise_beta", 0.0) == 0.0
         and getattr(solver_config, "keep_elites", 0) == 0
-        and getattr(solver_config, "population_decay", 1.0) >= 1.0
+        and getattr(solver_config, "population_decay", 1.0) == 1.0
         and not getattr(solver_config, "mean_as_candidate", False)
         and not getattr(solver_config, "execute_best", False)
     ):

@@ -271,7 +271,7 @@ def make_fused_cem(
             "fused CEM regenerates candidates in-kernel each iteration; keep_elites "
             "persistence is not supported — use the standard CEM solver"
         )
-    if getattr(config, "population_decay", 1.0) < 1.0:
+    if getattr(config, "population_decay", 1.0) != 1.0:
         raise ValueError(
             "fused CEM compiles one fixed-population kernel; population_decay is not "
             "supported — use the standard CEM solver"

@@ -159,9 +159,13 @@ def make_cem(config: CEMConfig, bounds: Bounds, evaluate: TrajectoryEvaluator) -
     k = config.num_elite
     # Factory-time (not first-trace-time) so a bad config fails at construction, before
     # the user pays policy build/compile setup (same placement as make_cem_gd).
-    if not 0 <= config.keep_elites <= min(k, pop - 1):
+    # The mean_as_candidate slot also comes out of the fresh-sample budget: at least one
+    # fresh sample must remain or the solver silently never explores.
+    reserved = 1 + (1 if config.mean_as_candidate else 0)
+    if not 0 <= config.keep_elites <= min(k, pop - reserved):
         raise ValueError(
-            f"keep_elites ({config.keep_elites}) must be in [0, min(num_elite, pop-1)]"
+            f"keep_elites ({config.keep_elites}) must be in "
+            f"[0, min(num_elite, population - {reserved})]"
         )
     if not 0.0 < config.population_decay <= 1.0:
         raise ValueError(

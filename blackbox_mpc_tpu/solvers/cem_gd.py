@@ -67,9 +67,11 @@ def make_cem_gd(config: CEMGDConfig, bounds: Bounds, evaluate: TrajectoryEvaluat
         raise ValueError(f"num_elite ({k}) must be <= population ({pop})")
     # Same guard as make_cem: an out-of-range keep_elites would otherwise surface as an
     # opaque lax.scan carry-shape mismatch inside the shared cem_iteration.
-    if not 0 <= config.keep_elites <= min(k, pop - 1):
+    reserved = 1 + (1 if config.mean_as_candidate else 0)
+    if not 0 <= config.keep_elites <= min(k, pop - reserved):
         raise ValueError(
-            f"keep_elites ({config.keep_elites}) must be in [0, min(num_elite, pop-1)]"
+            f"keep_elites ({config.keep_elites}) must be in "
+            f"[0, min(num_elite, population - {reserved})]"
         )
     if not 0.0 < config.population_decay <= 1.0:
         raise ValueError(

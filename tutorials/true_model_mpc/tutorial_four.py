@@ -49,7 +49,12 @@ for t in range(args.steps):
     obs, rew, done, _ = env.step(action)
     total += rew
 
-budget = sum(max(int(512 * 0.7**i), 100) for i in range(5))
+from blackbox_mpc_tpu.solvers.cem import CEMConfig, iteration_populations
+
+budget = sum(iteration_populations(CEMConfig(
+    population=512, num_elite=50, max_iterations=5, population_decay=0.7,
+    keep_elites=5, mean_as_candidate=True,
+)))
 print(f"iCEM cart-pole swing-up: episode reward {total.mean():.1f}, "
       f"final cos(theta) {np.cos(obs[:, 2]).round(3)}, "
       f"{budget} samples/solve vs 2560 for plain CEM")
