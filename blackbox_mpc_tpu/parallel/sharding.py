@@ -42,6 +42,7 @@ def make_sharded_evaluator(
     nan_guard: bool = True,
     shard_axis: str = "population",
     num_particles: int = 1,
+    remat: bool = False,
 ) -> TrajectoryEvaluator:
     """A trajectory evaluator sharded over ``mesh``.
 
@@ -59,7 +60,7 @@ def make_sharded_evaluator(
     axis = 0 if shard_axis == "population" else 1
     base = make_trajectory_evaluator(
         dynamics_fn, reward_fn, discount=discount, nan_guard=nan_guard,
-        num_particles=num_particles,
+        num_particles=num_particles, remat=remat,
     )
 
     def evaluate(

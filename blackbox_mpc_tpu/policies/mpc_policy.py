@@ -52,6 +52,7 @@ class MPCPolicy(ModelBasedPolicy):
         shard_axis: str = "population",
         rollout_backend: str = "xla",
         proposer=None,
+        remat_rollout: bool = False,
         **solver_kwargs,
     ):
         """``solver_kwargs`` are forwarded into the solver's config dataclass
@@ -76,7 +77,14 @@ class MPCPolicy(ModelBasedPolicy):
         (POPLIN-style amortization) — its policy net is unrolled through the posterior-mean
         dynamics each solve and the resulting plan replaces the solver's carried plan, so
         refinement starts from a learned proposal instead of the midpoint. Requires a
-        plan-carrying solver (CEM, CEM-GD, CMA-ES, Gradient, PI2, SPSA)."""
+        plan-carrying solver (CEM, CEM-GD, CMA-ES, Gradient, PI2, SPSA).
+
+        ``remat_rollout``: checkpoint the horizon-scan body (``jax.checkpoint``) so the
+        first-order solvers (Gradient, CEM-GD) differentiate through the rollout storing
+        only per-step carries, not every MLP activation — backward memory drops from
+        O(H*B*width) to O(H*B*S) for one extra forward pass. Gradients are identical;
+        derivative-free solvers are unaffected. Use for big restart clouds / long horizons
+        that would otherwise exhaust HBM. XLA backend only (the fused kernels have no VJP)."""
         self._space = as_box_space(action_space)
         self._bounds = Bounds.from_space(self._space)
         self._reward_fn = reward_function
@@ -118,6 +126,7 @@ class MPCPolicy(ModelBasedPolicy):
         self._rollout_backend = rollout_backend
         self._key = jax.random.PRNGKey(seed)
         self._proposer = proposer
+        self._remat_rollout = bool(remat_rollout)
         self._solver_kwargs = dict(solver_kwargs)
         self._act_counter = 0
         self._build(solver_name, strict_kwargs=True)
@@ -276,12 +285,12 @@ class MPCPolicy(ModelBasedPolicy):
                 evaluate = make_sharded_evaluator(
                     partial(dynamics_fn, dynamics_params), reward_fn, mesh,
                     discount=discount, shard_axis=self._shard_axis,
-                    num_particles=num_particles,
+                    num_particles=num_particles, remat=self._remat_rollout,
                 )
             else:
                 evaluate = make_trajectory_evaluator(
                     partial(dynamics_fn, dynamics_params), reward_fn, discount=discount,
-                    num_particles=num_particles,
+                    num_particles=num_particles, remat=self._remat_rollout,
                 )
             if stochastic:
                 # TS-inf: bind ONE rollout-noise key for the whole solve — every solver

@@ -32,6 +32,7 @@ def rollout_trajectories(
     discount: float = 1.0,
     return_states: bool = False,
     key: jax.Array | None = None,
+    remat: bool = False,
 ):
     """Rolls a batch of action sequences through the dynamics, accumulating reward.
 
@@ -40,6 +41,13 @@ def rollout_trajectories(
     ``key``: for stochastic dynamics (PETS TS-∞ sampling propagation) — split into one
     subkey per horizon step and passed as ``dynamics_fn(state, action, key_t)``. ``None``
     keeps the deterministic two-argument call.
+
+    ``remat``: checkpoint the scan body (``jax.checkpoint``), so differentiating through
+    the rollout (Gradient/CEM-GD planners) stores only the per-step carry instead of every
+    MLP activation — backward memory drops from O(H x B x layer widths) to
+    O(H x B x S) at the cost of one extra forward during the backward pass. Purely a
+    memory/FLOPs trade: gradients are mathematically identical. No effect on
+    forward-only (derivative-free) solves.
     """
     actions_time_major = jnp.swapaxes(action_sequences, 0, 1)  # [H, B, U]
     horizon = action_sequences.shape[1]
@@ -56,6 +64,8 @@ def rollout_trajectories(
         out = next_state if return_states else None
         return (next_state, total + disc * r, disc * discount), out
 
+    if remat:
+        step = jax.checkpoint(step)
     xs = (actions_time_major,) if key is None else (
         actions_time_major, jax.random.split(key, horizon)
     )
@@ -78,8 +88,12 @@ def make_trajectory_evaluator(
     discount: float = 1.0,
     nan_guard: bool = True,
     num_particles: int = 1,
+    remat: bool = False,
 ) -> TrajectoryEvaluator:
     """Builds ``evaluate(initial_states [A,S], action_sequences [P,A,H,U]) -> rewards [P,A]``.
+
+    ``remat``: checkpoint the horizon scan body (see :func:`rollout_trajectories`) —
+    enables much larger restart clouds / populations for the differentiable planners.
 
     Semantics match the reference evaluator call
     (/root/reference/blackbox_mpc/trajectory_evaluators/deterministic.py:26-77): the initial
@@ -113,7 +127,8 @@ def make_trajectory_evaluator(
         # Tile [A, S] -> [P*A, S] with agent minor, matching tf.tile(current_states, [pop, 1]).
         flat_states = jnp.tile(initial_states, (pop * k, 1))
         total = rollout_trajectories(
-            dynamics_fn, reward_fn, flat_states, flat_actions, discount=discount, key=key
+            dynamics_fn, reward_fn, flat_states, flat_actions, discount=discount, key=key,
+            remat=remat,
         )
         rewards = total.reshape(pop, k, agents).mean(axis=1) if k > 1 else total.reshape(
             pop, agents

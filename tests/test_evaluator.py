@@ -59,6 +59,43 @@ def test_nan_guard():
     assert np.all(np.asarray(r) == NAN_REWARD)
 
 
+def test_remat_matches_plain_forward_and_grad(rng):
+    """jax.checkpoint is a pure memory/FLOPs trade: values AND grads must be identical."""
+    pop, agents, horizon = 5, 2, 8
+    plain = make_trajectory_evaluator(pendulum_dynamics, pendulum_reward)
+    ckpt = make_trajectory_evaluator(pendulum_dynamics, pendulum_reward, remat=True)
+    s0 = jnp.asarray(rng.uniform(-1, 1, size=(agents, 3)).astype(np.float32))
+    acts = jnp.asarray(rng.uniform(-2, 2, size=(pop, agents, horizon, 1)).astype(np.float32))
+    np.testing.assert_array_equal(np.asarray(plain(s0, acts)), np.asarray(ckpt(s0, acts)))
+    g_plain = jax.grad(lambda a: plain(s0, a).sum())(acts)
+    g_ckpt = jax.grad(lambda a: ckpt(s0, a).sum())(acts)
+    assert np.all(np.isfinite(np.asarray(g_plain)))
+    np.testing.assert_allclose(np.asarray(g_plain), np.asarray(g_ckpt), rtol=1e-6, atol=1e-7)
+
+
+def test_policy_remat_rollout_action_parity():
+    """MPCPolicy(remat_rollout=True) produces the exact same Gradient-solver actions."""
+    from blackbox_mpc_tpu.core.spaces import BoxSpace
+    from blackbox_mpc_tpu.learning.handler import DynamicsHandler
+
+    space = BoxSpace(low=np.full((1,), -2.0), high=np.full((1,), 2.0))
+    handler = DynamicsHandler(true_model=pendulum_dynamics)
+
+    def mk(remat):
+        from blackbox_mpc_tpu.policies.mpc_policy import MPCPolicy
+
+        return MPCPolicy(
+            space, pendulum_reward, handler, solver_name="Gradient", num_agents=2,
+            planning_horizon=6, exploration_noise_scale=0.0, seed=3,
+            remat_rollout=remat, population=4, max_iterations=3,
+        )
+
+    obs = np.tile(np.array([[1.0, 0.0, 0.5], [0.0, 1.0, -0.3]], np.float32), (1, 1))
+    a0 = mk(False).act(obs, t=0)[0]
+    a1 = mk(True).act(obs, t=0)[0]
+    np.testing.assert_array_equal(np.asarray(a0), np.asarray(a1))
+
+
 def test_evaluator_jits_and_is_deterministic(rng):
     evaluate = jax.jit(make_trajectory_evaluator(pendulum_dynamics, pendulum_reward))
     s0 = jnp.asarray(rng.uniform(-1, 1, size=(2, 3)).astype(np.float32))
