@@ -30,7 +30,7 @@ N_CHAIN = 11
 REPEATS = 5
 
 
-def build_chain(n, solver_name, solver_kw):
+def build_chain(n, solver_name, solver_kw, evaluator_kw=None):
     reward_fn = lambda s, a, ns: ns[:, 0] - 0.1 * jnp.sum(jnp.square(a), axis=-1)  # noqa: E731
     bounds = Bounds.of(-1.0, 1.0, dim=6)
     cfg = LearnedDynamicsConfig(
@@ -38,7 +38,8 @@ def build_chain(n, solver_name, solver_kw):
     )
     init_model, dyn = make_learned_dynamics(cfg)
     dp = init_model(jax.random.PRNGKey(0))
-    evaluate = lambda d: make_trajectory_evaluator(partial(dyn, d), reward_fn)  # noqa: E731
+    ekw = dict(evaluator_kw or {})
+    evaluate = lambda d: make_trajectory_evaluator(partial(dyn, d), reward_fn, **ekw)  # noqa: E731
 
     def chained(state, dp, obs, key):
         s = make_solver(solver_name, bounds, evaluate(dp), **solver_kw)
@@ -57,13 +58,13 @@ def build_chain(n, solver_name, solver_kw):
     return jax.jit(chained), (state, dp, jnp.zeros((1, 17)))
 
 
-def measure(solver_name, solver_kw, n_chain=N_CHAIN, repeats=REPEATS):
+def measure(solver_name, solver_kw, n_chain=N_CHAIN, repeats=REPEATS, evaluator_kw=None):
     """Marginal seconds per solve for the given solver on the flagship workload."""
     if n_chain < 2:
         raise SystemExit("chain length must be >= 2 (differential timing)")
     totals = {}
     for n in (1, n_chain):
-        jfn, args = build_chain(n, solver_name, solver_kw)
+        jfn, args = build_chain(n, solver_name, solver_kw, evaluator_kw)
         float(jfn(*args, jax.random.PRNGKey(9)))  # compile + warm
         lat = []
         for k in jax.random.split(jax.random.PRNGKey(5), repeats):
@@ -72,3 +73,17 @@ def measure(solver_name, solver_kw, n_chain=N_CHAIN, repeats=REPEATS):
             lat.append(time.perf_counter() - t0)
         totals[n] = float(np.min(lat))
     return (totals[n_chain] - totals[1]) / (n_chain - 1)
+
+
+def temp_memory_bytes(solver_name, solver_kw, evaluator_kw=None):
+    """XLA temp-buffer allocation of one compiled solve chain (peak working set proxy).
+
+    Uses the AOT path (lower -> compile -> memory_analysis) so no solve actually runs;
+    returns None on backends that don't expose the analysis.
+    """
+    jfn, args = build_chain(1, solver_name, solver_kw, evaluator_kw)
+    compiled = jfn.lower(*args, jax.random.PRNGKey(9)).compile()
+    try:
+        return int(compiled.memory_analysis().temp_size_in_bytes)
+    except (AttributeError, TypeError):
+        return None

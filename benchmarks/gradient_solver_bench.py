@@ -20,7 +20,7 @@ sys.path.insert(0, _HERE)
 
 import jax
 
-from _flagship_chain import measure  # noqa: E402  (shared chained-timing harness)
+from _flagship_chain import measure, temp_memory_bytes  # noqa: E402  (shared harness)
 
 
 def main():
@@ -29,25 +29,35 @@ def main():
     rows = []
     configs = [
         ("CEM", dict(planning_horizon=50, population=1000, num_agents=1, num_elite=50,
-                     max_iterations=5), "pop=1000 iters=5"),
+                     max_iterations=5), "pop=1000 iters=5", None),
         ("Gradient", dict(planning_horizon=50, population=16, num_agents=1,
-                          max_iterations=20, learning_rate=0.1), "restarts=16 adam=20"),
+                          max_iterations=20, learning_rate=0.1), "restarts=16 adam=20", None),
         ("Gradient", dict(planning_horizon=50, population=64, num_agents=1,
-                          max_iterations=20, learning_rate=0.1), "restarts=64 adam=20"),
+                          max_iterations=20, learning_rate=0.1), "restarts=64 adam=20", None),
         ("Gradient", dict(planning_horizon=50, population=16, num_agents=1,
-                          max_iterations=5, learning_rate=0.2), "restarts=16 adam=5"),
+                          max_iterations=5, learning_rate=0.2), "restarts=16 adam=5", None),
         ("CEM-GD", dict(planning_horizon=50, population=1000, num_agents=1, num_elite=50,
-                        max_iterations=5), "pop=1000 iters=5 + polish 9x10"),
+                        max_iterations=5), "pop=1000 iters=5 + polish 9x10", None),
         # iCEM decay: same pop=1000 start, iteration i samples max(int(1000*0.6^i), 100)
         # = 1000+600+360+215+129 = 2304 total rollouts vs CEM's 5000 at the same
         # iteration count.
         ("CEM", dict(planning_horizon=50, population=1000, num_agents=1, num_elite=50,
                      max_iterations=5, population_decay=0.6, execute_best=True),
-         "pop=1000 iters=5 decay=0.6 (iCEM)"),
+         "pop=1000 iters=5 decay=0.6 (iCEM)", None),
+        # Remat pair: a big restart cloud differentiated through the H=50 rollout. Without
+        # remat the backward stores every MLP activation (H x restarts x 3x500 floats);
+        # with remat only per-step carries persist. temp_bytes quantifies the HBM headroom
+        # the checkpoint buys; per_solve_ms quantifies the extra-forward cost.
+        ("Gradient", dict(planning_horizon=50, population=1024, num_agents=1,
+                          max_iterations=10, learning_rate=0.1),
+         "restarts=1024 adam=10", dict(remat=False)),
+        ("Gradient", dict(planning_horizon=50, population=1024, num_agents=1,
+                          max_iterations=10, learning_rate=0.1),
+         "restarts=1024 adam=10 remat", dict(remat=True)),
     ]
     with open(out, "a") as f:
-        for name, kw, label in configs:
-            per_solve = measure(name, kw)
+        for name, kw, label, ekw in configs:
+            per_solve = measure(name, kw, evaluator_kw=ekw)
             row = {
                 "bench": "gradient_vs_cem_flagship",
                 "solver": name,
@@ -57,6 +67,10 @@ def main():
                 "device": device,
                 "ts": time.strftime("%Y-%m-%dT%H:%M:%S"),
             }
+            if ekw is not None:
+                temp = temp_memory_bytes(name, kw, ekw)
+                if temp is not None:
+                    row["temp_bytes"] = temp
             rows.append(row)
             f.write(json.dumps(row) + "\n")
             print(json.dumps(row))
