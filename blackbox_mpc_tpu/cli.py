@@ -22,6 +22,10 @@ def _add_common(p):
     p.add_argument("--num-envs", type=int, default=1)
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--cpu", action="store_true", help="force the CPU backend")
+    p.add_argument(
+        "--smoothness", type=float, default=0.0, metavar="W",
+        help="actuation-rate cost: subtract W * sum ||a_t - a_{t-1}||^2 from candidate returns",
+    )
 
 
 def _maybe_cpu(args):
@@ -82,6 +86,7 @@ def cmd_solve(args):
         population=args.population,
         max_iterations=args.iterations,
         seed=args.seed,
+        action_smoothness_weight=args.smoothness,
     )
     result = perform_rollouts(
         env, policy, number_of_rollouts=args.rollouts, rollout_horizon=args.steps
@@ -144,6 +149,8 @@ def cmd_learn(args):
         seed=args.seed,
         checkpoint_dir=args.checkpoint_dir,
         resume=args.resume,
+        # Binds to MPCPolicy's named param through the workflow's **solver_kwargs.
+        action_smoothness_weight=args.smoothness,
     )
     env.close()
     print(json.dumps({"env": args.env, "replay_size": len(handler.replay), "done": True}))

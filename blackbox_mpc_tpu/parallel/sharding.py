@@ -43,6 +43,7 @@ def make_sharded_evaluator(
     shard_axis: str = "population",
     num_particles: int = 1,
     remat: bool = False,
+    action_smoothness_weight: float = 0.0,
 ) -> TrajectoryEvaluator:
     """A trajectory evaluator sharded over ``mesh``.
 
@@ -61,6 +62,7 @@ def make_sharded_evaluator(
     base = make_trajectory_evaluator(
         dynamics_fn, reward_fn, discount=discount, nan_guard=nan_guard,
         num_particles=num_particles, remat=remat,
+        action_smoothness_weight=action_smoothness_weight,
     )
 
     def evaluate(

@@ -53,6 +53,7 @@ class MPCPolicy(ModelBasedPolicy):
         rollout_backend: str = "xla",
         proposer=None,
         remat_rollout: bool = False,
+        action_smoothness_weight: float = 0.0,
         **solver_kwargs,
     ):
         """``solver_kwargs`` are forwarded into the solver's config dataclass
@@ -84,7 +85,14 @@ class MPCPolicy(ModelBasedPolicy):
         only per-step carries, not every MLP activation — backward memory drops from
         O(H*B*width) to O(H*B*S) for one extra forward pass. Gradients are identical;
         derivative-free solvers are unaffected. Use for big restart clouds / long horizons
-        that would otherwise exhaust HBM. XLA backend only (the fused kernels have no VJP)."""
+        that would otherwise exhaust HBM. XLA backend only (the fused kernels have no VJP).
+
+        ``action_smoothness_weight``: actuation-rate cost ``w * sum ||a_t - a_{t-1}||^2``
+        subtracted from every candidate's return before selection (see
+        :func:`~blackbox_mpc_tpu.rollout.evaluator.make_trajectory_evaluator`). Works with
+        every solver and the XLA/pallas backends (the term is computed on the candidate
+        tensor outside the kernel); incompatible with ``fused_cem``, whose candidates are
+        never materialized."""
         self._space = as_box_space(action_space)
         self._bounds = Bounds.from_space(self._space)
         self._reward_fn = reward_function
@@ -127,6 +135,16 @@ class MPCPolicy(ModelBasedPolicy):
         self._key = jax.random.PRNGKey(seed)
         self._proposer = proposer
         self._remat_rollout = bool(remat_rollout)
+        if action_smoothness_weight < 0:
+            raise ValueError(
+                f"action_smoothness_weight must be >= 0, got {action_smoothness_weight}"
+            )
+        if action_smoothness_weight > 0 and rollout_backend == "fused_cem":
+            raise ValueError(
+                "action_smoothness_weight needs the candidate tensor; the fused CEM never "
+                "materializes it — use the 'xla' or 'pallas' backend"
+            )
+        self._smoothness = float(action_smoothness_weight)
         self._solver_kwargs = dict(solver_kwargs)
         self._act_counter = 0
         self._build(solver_name, strict_kwargs=True)
@@ -203,6 +221,12 @@ class MPCPolicy(ModelBasedPolicy):
             ) if not self._stochastic else "xla"
             if resolved != self._rollout_backend:
                 logger.info("rollout_backend auto -> %s", resolved)
+            if resolved == "fused_cem" and self._smoothness > 0:
+                raise ValueError(
+                    "rollout_backend='auto' selected the fused CEM (beyond-HBM population) "
+                    "but action_smoothness_weight needs the candidate tensor; pick a "
+                    "population that fits HBM or drop the smoothness cost"
+                )
             self._rollout_backend = resolved
         if self._rollout_backend == "fused_cem" and solver_name != "CEM":
             raise ValueError(
@@ -278,7 +302,16 @@ class MPCPolicy(ModelBasedPolicy):
                 pred_reward = reward_fn(obs, action, next_obs)
                 return action, new_state, aux, next_obs, pred_reward
             if pallas_evaluate is not None:
-                evaluate = partial(pallas_evaluate, dynamics_params)
+                kernel_evaluate = partial(pallas_evaluate, dynamics_params)
+                if self._smoothness > 0:
+                    from blackbox_mpc_tpu.rollout.evaluator import action_smoothness_penalty
+
+                    w, disc = self._smoothness, discount
+                    evaluate = lambda s0, acts: kernel_evaluate(s0, acts) - (  # noqa: E731
+                        action_smoothness_penalty(acts, w, disc)
+                    )
+                else:
+                    evaluate = kernel_evaluate
             elif mesh is not None:
                 from blackbox_mpc_tpu.parallel.sharding import make_sharded_evaluator
 
@@ -286,11 +319,13 @@ class MPCPolicy(ModelBasedPolicy):
                     partial(dynamics_fn, dynamics_params), reward_fn, mesh,
                     discount=discount, shard_axis=self._shard_axis,
                     num_particles=num_particles, remat=self._remat_rollout,
+                    action_smoothness_weight=self._smoothness,
                 )
             else:
                 evaluate = make_trajectory_evaluator(
                     partial(dynamics_fn, dynamics_params), reward_fn, discount=discount,
                     num_particles=num_particles, remat=self._remat_rollout,
+                    action_smoothness_weight=self._smoothness,
                 )
             if stochastic:
                 # TS-inf: bind ONE rollout-noise key for the whole solve — every solver

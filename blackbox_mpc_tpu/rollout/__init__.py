@@ -1,7 +1,11 @@
 from blackbox_mpc_tpu.rollout.evaluator import (
     NAN_REWARD,
+    action_smoothness_penalty,
     make_trajectory_evaluator,
     rollout_trajectories,
 )
 
-__all__ = ["NAN_REWARD", "make_trajectory_evaluator", "rollout_trajectories"]
+__all__ = [
+    "NAN_REWARD", "action_smoothness_penalty", "make_trajectory_evaluator",
+    "rollout_trajectories",
+]

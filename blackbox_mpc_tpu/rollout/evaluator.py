@@ -16,7 +16,10 @@ import jax.numpy as jnp
 
 from blackbox_mpc_tpu.core.types import DynamicsFn, RewardFn, TrajectoryEvaluator
 
-__all__ = ["make_trajectory_evaluator", "rollout_trajectories", "NAN_REWARD"]
+__all__ = [
+    "make_trajectory_evaluator", "rollout_trajectories", "action_smoothness_penalty",
+    "NAN_REWARD",
+]
 
 # NaN rewards are clamped to this, matching the reference's guard
 # (/root/reference/blackbox_mpc/trajectory_evaluators/deterministic.py:75-77).
@@ -81,6 +84,23 @@ def rollout_trajectories(
     return total_reward
 
 
+def action_smoothness_penalty(
+    action_sequences: jax.Array, weight: float, discount: float = 1.0
+) -> jax.Array:
+    """``w * sum_t discount^t * ||a_t - a_{t-1}||^2`` over [P, A, H, U] plans -> [P, A].
+
+    The actuation-rate cost of :func:`make_trajectory_evaluator`'s
+    ``action_smoothness_weight``, exposed separately so kernel backends (whose reward comes
+    out of Mosaic) can apply the identical term on the candidate tensor in XLA.
+    """
+    horizon = action_sequences.shape[2]
+    diffs = jnp.sum(jnp.square(jnp.diff(action_sequences, axis=2)), axis=-1)  # [P, A, H-1]
+    if discount != 1.0:
+        disc = jnp.asarray(discount, diffs.dtype) ** jnp.arange(1, horizon)
+        diffs = diffs * disc
+    return weight * jnp.sum(diffs, axis=-1)
+
+
 def make_trajectory_evaluator(
     dynamics_fn: DynamicsFn,
     reward_fn: RewardFn,
@@ -89,11 +109,20 @@ def make_trajectory_evaluator(
     nan_guard: bool = True,
     num_particles: int = 1,
     remat: bool = False,
+    action_smoothness_weight: float = 0.0,
 ) -> TrajectoryEvaluator:
     """Builds ``evaluate(initial_states [A,S], action_sequences [P,A,H,U]) -> rewards [P,A]``.
 
     ``remat``: checkpoint the horizon scan body (see :func:`rollout_trajectories`) —
     enables much larger restart clouds / populations for the differentiable planners.
+
+    ``action_smoothness_weight`` (w >= 0): actuation-rate cost — subtracts
+    ``w * sum_t discount^t * ||a_t - a_{t-1}||^2`` (t = 1..H-1, intra-plan differences;
+    the hand-off from the previously *executed* action is not visible here) from each
+    candidate's return. A standard MPC regularizer the reference lacks: it needs no
+    dynamics pass (computed directly on the candidate tensor) and steers every solver
+    toward low-jerk plans — complementary to iCEM's colored-noise *sampling* bias
+    (solvers/base.py), which shapes proposals but not selection.
 
     Semantics match the reference evaluator call
     (/root/reference/blackbox_mpc/trajectory_evaluators/deterministic.py:26-77): the initial
@@ -109,6 +138,10 @@ def make_trajectory_evaluator(
     """
     if num_particles < 1:
         raise ValueError(f"num_particles must be >= 1, got {num_particles}")
+    if action_smoothness_weight < 0:
+        raise ValueError(
+            f"action_smoothness_weight must be >= 0, got {action_smoothness_weight}"
+        )
 
     def evaluate(
         initial_states: jax.Array,
@@ -133,6 +166,13 @@ def make_trajectory_evaluator(
         rewards = total.reshape(pop, k, agents).mean(axis=1) if k > 1 else total.reshape(
             pop, agents
         )
+        if action_smoothness_weight > 0.0:
+            # On the K-repeated tensor rows of one candidate are identical, so slice back
+            # to [P, A, H, U] (every particle carries the same plan penalty).
+            plans = action_sequences[::k] if k > 1 else action_sequences
+            rewards = rewards - action_smoothness_penalty(
+                plans, action_smoothness_weight, discount
+            )
         if nan_guard:
             rewards = jnp.where(jnp.isnan(rewards), jnp.asarray(NAN_REWARD, rewards.dtype), rewards)
         return rewards
