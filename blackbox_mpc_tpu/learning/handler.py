@@ -70,6 +70,7 @@ class DynamicsHandler:
             self._config = None
             self._dynamics_fn = true_model_dynamics(true_model)
             self._mean_dynamics_fn = self._dynamics_fn
+            self._penalized_dynamics_fn = None
             self._params: Optional[DynamicsParams] = DynamicsParams(params=(), stats=())
             self._replay = None
             return
@@ -77,6 +78,12 @@ class DynamicsHandler:
         self._is_true_model = False
         self._config = config
         init, self._dynamics_fn = make_learned_dynamics(config)
+        if config.plan_uncertainty_penalty > 0:
+            from blackbox_mpc_tpu.models.dynamics import make_penalized_dynamics
+
+            self._penalized_dynamics_fn = make_penalized_dynamics(config)
+        else:
+            self._penalized_dynamics_fn = None
         if config.propagation in ("mean", "mm"):
             # mm with key=None returns the moment-matched mean == ensemble mean of means,
             # and has no batch-divisibility constraint, so it doubles as its own mean fn.
@@ -124,6 +131,12 @@ class DynamicsHandler:
         """Posterior-mean dynamics (ensemble-averaged, head means) for diagnostics; equals
         :attr:`dynamics_fn` unless propagation is member-partitioned (``ts1``/``ts_inf``)."""
         return self._mean_dynamics_fn
+
+    @property
+    def penalized_dynamics_fn(self) -> Optional[Callable]:
+        """``(dp, state, action, key=None) -> (next_state, penalty [B])`` when the config
+        sets ``plan_uncertainty_penalty > 0`` (pessimistic planning), else ``None``."""
+        return self._penalized_dynamics_fn
 
     @property
     def dynamics_params(self) -> DynamicsParams:

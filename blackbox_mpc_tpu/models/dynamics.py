@@ -45,7 +45,7 @@ from blackbox_mpc_tpu.models.normalizer import NormalizerStats, identity_stats
 
 __all__ = [
     "DynamicsParams", "LearnedDynamicsConfig", "make_learned_dynamics",
-    "true_model_dynamics", "ts_member_ids",
+    "make_penalized_dynamics", "true_model_dynamics", "ts_member_ids",
 ]
 
 
@@ -96,6 +96,13 @@ class LearnedDynamicsConfig:
     # per state dim and trains with Gaussian NLL. The reference supports deterministic nets
     # only (its README lists probabilistic nets as future work). Planning uses the means.
     probabilistic: bool = False
+    # Pessimistic (uncertainty-penalized) planning, MOPO-style: each rollout step subtracts
+    # lambda * mean_S(std_E(member mean-heads)) — the ensemble's epistemic disagreement in
+    # normalized-target space — from the step reward, steering every solver away from
+    # regions the model doesn't know. Planning-time only (training loss unchanged); needs
+    # ensemble_size > 1 and propagation "mean" or "mm" (ts1/ts_inf run one member per row,
+    # so no per-row disagreement exists without an extra E-fold forward). XLA backend only.
+    plan_uncertainty_penalty: float = 0.0
     compute_dtype: Any = jnp.float32
 
     @property
@@ -121,12 +128,17 @@ def bound_logvar(logvar: jax.Array) -> jax.Array:
 
 def make_learned_dynamics(
     config: LearnedDynamicsConfig,
+    return_penalized: bool = False,
 ) -> Tuple[Callable[[jax.Array], DynamicsParams], Callable]:
     """Returns ``(init, dynamics_fn)``.
 
     ``init(key) -> DynamicsParams`` allocates fresh params + identity stats.
     ``dynamics_fn(dp, state [B,S], action [B,U]) -> next_state [B,S]`` runs the full
     normalize -> MLP -> denormalize -> inverse-transform chain.
+
+    ``return_penalized=True`` appends a third element — the uncertainty-penalized variant
+    ``fn(dp, state, action, key=None) -> (next_state, penalty [B])`` used by pessimistic
+    planning (``plan_uncertainty_penalty``; prefer :func:`make_penalized_dynamics`).
     """
     mlp_cfg = config.mlp
     ensemble = config.ensemble_size
@@ -136,6 +148,22 @@ def make_learned_dynamics(
         raise ValueError(
             f"propagation={config.propagation!r} samples the Gaussian head: set probabilistic=True"
         )
+    if config.plan_uncertainty_penalty < 0:
+        raise ValueError(
+            f"plan_uncertainty_penalty must be >= 0, got {config.plan_uncertainty_penalty}"
+        )
+    if config.plan_uncertainty_penalty > 0:
+        if ensemble <= 1:
+            raise ValueError(
+                "plan_uncertainty_penalty needs an ensemble (ensemble_size > 1): the "
+                "penalty is the members' disagreement"
+            )
+        if config.propagation not in ("mean", "mm"):
+            raise ValueError(
+                "plan_uncertainty_penalty requires propagation 'mean' or 'mm' (ts1/ts_inf "
+                "run a single member per row — no per-row disagreement is available); got "
+                f"{config.propagation!r}"
+            )
     if config.predict_delta:
         inverse = transforms.delta_inverse_transform
     else:
@@ -233,7 +261,38 @@ def make_learned_dynamics(
         sample_key = key if config.propagation == "ts_inf" else None
         return _target_to_state(dp, state, _head(raw, sample_key))
 
+    def penalized_dynamics_fn(
+        dp: DynamicsParams, state: jax.Array, action: jax.Array, key: jax.Array | None = None
+    ):
+        """``(next_state, penalty [B])``: the plain step plus the scaled epistemic
+        disagreement ``lambda * mean_S(std_E(member mean-heads))``, measured in
+        normalized-target space so the penalty is scale-free across state dimensions.
+        Same next-state numerics as ``dynamics_fn`` (mean: average of member means;
+        mm: moment-matched sample under the same key)."""
+        x = _net_input(dp, state, action)
+        raw_all = jax.vmap(lambda p: mlp_apply(p, x, config=mlp_cfg))(dp.params)  # [E,B,·]
+        mu_e = raw_all[..., : config.dim_s] if config.probabilistic else raw_all
+        disagreement = jnp.mean(jnp.std(mu_e.astype(jnp.float32), axis=0), axis=-1)
+        penalty = jnp.asarray(config.plan_uncertainty_penalty, jnp.float32) * disagreement
+        if config.propagation == "mm":
+            next_state = _target_to_state(dp, state, _mm_head(raw_all, key))
+        else:  # "mean"
+            next_state = _target_to_state(dp, state, _head(jnp.mean(raw_all, axis=0), None))
+        return next_state, penalty
+
+    if return_penalized:
+        return init, dynamics_fn, penalized_dynamics_fn
     return init, dynamics_fn
+
+
+def make_penalized_dynamics(config: LearnedDynamicsConfig) -> Callable:
+    """The uncertainty-penalized planning dynamics for ``plan_uncertainty_penalty > 0``:
+    ``fn(dp, state, action, key=None) -> (next_state, penalty [B])``. Thread into the
+    evaluator with ``dynamics_returns_penalty=True`` (rollout/evaluator.py); MPCPolicy
+    wires this automatically when the handler's config sets the penalty."""
+    if config.plan_uncertainty_penalty <= 0:
+        raise ValueError("make_penalized_dynamics needs plan_uncertainty_penalty > 0")
+    return make_learned_dynamics(config, return_penalized=True)[2]
 
 
 def true_model_dynamics(analytic_fn: Callable) -> Callable:

@@ -44,6 +44,7 @@ def make_sharded_evaluator(
     num_particles: int = 1,
     remat: bool = False,
     action_smoothness_weight: float = 0.0,
+    dynamics_returns_penalty: bool = False,
 ) -> TrajectoryEvaluator:
     """A trajectory evaluator sharded over ``mesh``.
 
@@ -63,6 +64,7 @@ def make_sharded_evaluator(
         dynamics_fn, reward_fn, discount=discount, nan_guard=nan_guard,
         num_particles=num_particles, remat=remat,
         action_smoothness_weight=action_smoothness_weight,
+        dynamics_returns_penalty=dynamics_returns_penalty,
     )
 
     def evaluate(

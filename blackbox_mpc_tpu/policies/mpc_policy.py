@@ -117,6 +117,13 @@ class MPCPolicy(ModelBasedPolicy):
             and dynamics_handler.config is not None
             and dynamics_handler.config.propagation in ("ts_inf", "mm")
         )
+        self._penalized = dynamics_handler.penalized_dynamics_fn is not None
+        if kernel_backend and self._penalized:
+            raise ValueError(
+                f"rollout_backend={rollout_backend!r} does not support "
+                "plan_uncertainty_penalty (the kernels roll out penalty-free dynamics); "
+                "use the XLA backend"
+            )
         if kernel_backend and self._stochastic:
             raise ValueError(
                 f"rollout_backend={rollout_backend!r} does not support propagation="
@@ -218,7 +225,7 @@ class MPCPolicy(ModelBasedPolicy):
                 dim_u=self._bounds.dim,
                 solver_name=solver_name,
                 solver_config=config,
-            ) if not self._stochastic else "xla"
+            ) if not (self._stochastic or self._penalized) else "xla"
             if resolved != self._rollout_backend:
                 logger.info("rollout_backend auto -> %s", resolved)
             if resolved == "fused_cem" and self._smoothness > 0:
@@ -239,7 +246,14 @@ class MPCPolicy(ModelBasedPolicy):
             )
         bounds = self._bounds
         reward_fn = self._reward_fn
-        dynamics_fn = self._handler.dynamics_fn
+        # Pessimistic planning: roll out the (next_state, disagreement-penalty) variant and
+        # let the evaluator subtract the penalty per step. The one-step lookahead report
+        # below stays on the unpenalized posterior mean — it predicts the env's reward, not
+        # the planner's internal objective.
+        penalized = self._penalized
+        dynamics_fn = (
+            self._handler.penalized_dynamics_fn if penalized else self._handler.dynamics_fn
+        )
         mean_dynamics_fn = self._handler.mean_dynamics_fn
         discount = self._discount
         noise_scale = self._noise_scale
@@ -320,12 +334,14 @@ class MPCPolicy(ModelBasedPolicy):
                     discount=discount, shard_axis=self._shard_axis,
                     num_particles=num_particles, remat=self._remat_rollout,
                     action_smoothness_weight=self._smoothness,
+                    dynamics_returns_penalty=penalized,
                 )
             else:
                 evaluate = make_trajectory_evaluator(
                     partial(dynamics_fn, dynamics_params), reward_fn, discount=discount,
                     num_particles=num_particles, remat=self._remat_rollout,
                     action_smoothness_weight=self._smoothness,
+                    dynamics_returns_penalty=penalized,
                 )
             if stochastic:
                 # TS-inf: bind ONE rollout-noise key for the whole solve — every solver

@@ -36,6 +36,7 @@ def rollout_trajectories(
     return_states: bool = False,
     key: jax.Array | None = None,
     remat: bool = False,
+    dynamics_returns_penalty: bool = False,
 ):
     """Rolls a batch of action sequences through the dynamics, accumulating reward.
 
@@ -44,6 +45,11 @@ def rollout_trajectories(
     ``key``: for stochastic dynamics (PETS TS-∞ sampling propagation) — split into one
     subkey per horizon step and passed as ``dynamics_fn(state, action, key_t)``. ``None``
     keeps the deterministic two-argument call.
+
+    ``dynamics_returns_penalty``: the dynamics function returns
+    ``(next_state, penalty [B])`` and each step accumulates ``discount^t * (r - penalty)``
+    — the hook for uncertainty-penalized (pessimistic) planning on learned ensembles
+    (``LearnedDynamicsConfig.plan_uncertainty_penalty``, models/dynamics.py).
 
     ``remat``: checkpoint the scan body (``jax.checkpoint``), so differentiating through
     the rollout (Gradient/CEM-GD planners) stores only the per-step carry instead of every
@@ -59,11 +65,12 @@ def rollout_trajectories(
         state, total, disc = carry
         if key is None:
             (actions_t,) = xs
-            next_state = dynamics_fn(state, actions_t)
+            out_t = dynamics_fn(state, actions_t)
         else:
             actions_t, key_t = xs
-            next_state = dynamics_fn(state, actions_t, key_t)
-        r = reward_fn(state, actions_t, next_state)
+            out_t = dynamics_fn(state, actions_t, key_t)
+        next_state, penalty = out_t if dynamics_returns_penalty else (out_t, 0.0)
+        r = reward_fn(state, actions_t, next_state) - penalty
         out = next_state if return_states else None
         return (next_state, total + disc * r, disc * discount), out
 
@@ -110,8 +117,12 @@ def make_trajectory_evaluator(
     num_particles: int = 1,
     remat: bool = False,
     action_smoothness_weight: float = 0.0,
+    dynamics_returns_penalty: bool = False,
 ) -> TrajectoryEvaluator:
     """Builds ``evaluate(initial_states [A,S], action_sequences [P,A,H,U]) -> rewards [P,A]``.
+
+    ``dynamics_returns_penalty``: see :func:`rollout_trajectories` — pessimistic planning
+    over uncertainty-penalized dynamics.
 
     ``remat``: checkpoint the horizon scan body (see :func:`rollout_trajectories`) —
     enables much larger restart clouds / populations for the differentiable planners.
@@ -161,7 +172,7 @@ def make_trajectory_evaluator(
         flat_states = jnp.tile(initial_states, (pop * k, 1))
         total = rollout_trajectories(
             dynamics_fn, reward_fn, flat_states, flat_actions, discount=discount, key=key,
-            remat=remat,
+            remat=remat, dynamics_returns_penalty=dynamics_returns_penalty,
         )
         rewards = total.reshape(pop, k, agents).mean(axis=1) if k > 1 else total.reshape(
             pop, agents
