@@ -54,6 +54,12 @@ def main():
     p.add_argument("--ckpt", default=None,
                    help="checkpoint dir: loop state + handler saved every refinement; "
                         "rerunning with the same --ckpt auto-resumes (tunnel-crash-proof)")
+    p.add_argument("--uncertainty-penalty", type=float, default=0.0,
+                   help="plan_uncertainty_penalty: pessimistic planning, lambda * ensemble "
+                        "disagreement subtracted per rollout step (mean/mm propagation)")
+    p.add_argument("--smoothness", type=float, default=0.0,
+                   help="action_smoothness_weight: w * sum ||a_t - a_{t-1}||^2 subtracted "
+                        "from candidate returns")
     p.add_argument("--num-envs", type=int, default=2)
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--cpu", action="store_true")
@@ -89,6 +95,7 @@ def main():
     cfg = LearnedDynamicsConfig(
         dim_s=18, dim_u=6, hidden=tuple(args.hidden), ensemble_size=args.members,
         probabilistic=True, propagation=args.propagation, num_particles=args.particles,
+        plan_uncertainty_penalty=args.uncertainty_penalty,
     )
     if args.solver == "Gradient":
         # population = random restarts; Adam steps replace sampled iterations. The solver's
@@ -112,6 +119,9 @@ def main():
             solver_kwargs["execute_best"] = True
     if args.population_decay is not None:
         solver_kwargs["population_decay"] = args.population_decay
+    if args.smoothness > 0:
+        # Binds to MPCPolicy's named param through the workflow's **solver_kwargs.
+        solver_kwargs["action_smoothness_weight"] = args.smoothness
     # On --ckpt auto-resume into an existing JSONL: seed the peak from the rows already
     # on disk (MetricsWriter.history is per-process, so post-crash reruns would otherwise
     # report a peak over post-resume episodes only) and append a resume marker instead of
@@ -141,7 +151,9 @@ def main():
                f"{args.members}-member ensemble HalfCheetah MBRL",
         "config": f"solver_kwargs={solver_kwargs} H={args.planning_horizon} "
                   f"hidden={'x'.join(map(str, args.hidden))} NLL lr=3e-3 "
-                  f"propagation={args.propagation} particles={args.particles}",
+                  f"propagation={args.propagation} particles={args.particles}"
+                  + (f" pessimism={args.uncertainty_penalty}"
+                     if args.uncertainty_penalty else ""),
         "start": time.strftime("%Y-%m-%dT%H:%M:%S"),
     }
     with open(args.out, "a") as f:  # run-header row precedes the scalar stream
