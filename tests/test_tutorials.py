@@ -25,6 +25,7 @@ TUTORIALS = {
     "tutorials/save_load/tutorial_one.py": ["--steps", "30"],
     "tutorials/save_load/tutorial_two.py": ["--steps", "30"],
     "tutorials/probabilistic/tutorial_one.py": ["--steps", "40"],
+    "tutorials/probabilistic/tutorial_two.py": ["--steps", "30"],
     "tutorials/gradient_planning/tutorial_one.py": ["--steps", "40"],
     "tutorials/proposer/tutorial_one.py": ["--steps", "30", "--refinements", "1"],
     "tutorials/record_videos/tutorial_one.py": [],
