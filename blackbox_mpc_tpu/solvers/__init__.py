@@ -15,7 +15,7 @@ from blackbox_mpc_tpu.solvers.cem import CEMConfig, CEMState, make_cem
 from blackbox_mpc_tpu.solvers.cem_gd import CEMGDConfig, CEMGDState, make_cem_gd
 from blackbox_mpc_tpu.solvers.cma_es import CMAESConfig, CMAESState, make_cma_es
 from blackbox_mpc_tpu.solvers.gradient import GradientConfig, GradientState, make_gradient
-from blackbox_mpc_tpu.solvers.pi2 import PI2Config, PI2State, make_pi2
+from blackbox_mpc_tpu.solvers.pi2 import MPPIConfig, PI2Config, PI2State, make_pi2
 from blackbox_mpc_tpu.solvers.pso import PSOConfig, PSOState, make_pso
 from blackbox_mpc_tpu.solvers.random_search import (
     RandomSearchConfig,
@@ -29,6 +29,7 @@ SOLVER_REGISTRY: Dict[str, Tuple[Type[SolverConfig], Callable]] = {
     "CEM-GD": (CEMGDConfig, make_cem_gd),
     "CMA-ES": (CMAESConfig, make_cma_es),
     "Gradient": (GradientConfig, make_gradient),
+    "MPPI": (MPPIConfig, make_pi2),
     "PI2": (PI2Config, make_pi2),
     "PSO": (PSOConfig, make_pso),
     "RandomSearch": (RandomSearchConfig, make_random_search),
@@ -70,6 +71,7 @@ __all__ = [
     "GradientConfig",
     "GradientState",
     "make_gradient",
+    "MPPIConfig",
     "PI2Config",
     "PI2State",
     "make_pi2",

@@ -19,7 +19,7 @@ from flax import struct
 from blackbox_mpc_tpu.core.types import Bounds, Solver, SolverAux, TrajectoryEvaluator, truncated_normal
 from blackbox_mpc_tpu.solvers import base
 
-__all__ = ["PI2Config", "PI2State", "make_pi2"]
+__all__ = ["MPPIConfig", "PI2Config", "PI2State", "make_pi2"]
 
 
 @dataclasses.dataclass(frozen=True)
@@ -35,6 +35,26 @@ class PI2Config(base.SolverConfig):
     # variance) prevents premature collapse.
     adapt_variance: bool = False
     variance_floor_frac: float = 0.01
+    # MPPI (Williams et al. 2017, "Information Theoretic MPC for Model-Based RL"): add the
+    # control-affine exploration cost lambda * sum_t u_t^T Sigma^-1 eps_t to each sample's
+    # cost before the softmax, where u is the nominal (carried) mean, eps the sampled
+    # perturbation, and Sigma the (diagonal) sampling covariance. This is what separates
+    # information-theoretic MPPI from plain reward-weighted PI2: perturbations aligned with
+    # an already-large nominal control are charged for the control energy they add. Off by
+    # default (reference PI2 parity); the "MPPI" registry name turns it on.
+    control_cost: bool = False
+
+
+@dataclasses.dataclass(frozen=True)
+class MPPIConfig(PI2Config):
+    """The ``"MPPI"`` registry entry: PI2 with the information-theoretic control cost on.
+
+    Same state/update machinery (one softmax-weighted batched reduction); only the cost
+    definition differs. Registered separately so users find the canonical name and so
+    ``switch_solver`` carries the right default.
+    """
+
+    control_cost: bool = True
 
 
 @struct.dataclass
@@ -71,6 +91,12 @@ def make_pi2(config: PI2Config, bounds: Bounds, evaluate: TrajectoryEvaluator) -
             samples, penalty = base.bound_violation_penalty(samples, bounds)
             rewards = evaluate(obs, samples) - penalty  # [P, A]
             costs = -rewards
+            if config.control_cost:
+                # MPPI exploration cost on the post-clip (actually applied) perturbation.
+                eps = samples - mean[None]
+                costs = costs + lamda * jnp.einsum(
+                    "ahu,pahu->pa", mean / variance, eps
+                )
             beta = jnp.min(costs, axis=0, keepdims=True)  # [1, A]
             prob = jnp.exp(-(costs - beta) / lamda)
             omega = prob / jnp.sum(prob, axis=0, keepdims=True)  # [P, A]
@@ -94,6 +120,7 @@ def make_pi2(config: PI2Config, bounds: Bounds, evaluate: TrajectoryEvaluator) -
         del state
         return init(key)
 
+    name = "MPPI" if config.control_cost else "PI2"
     return base.with_state_dtype(
-        Solver(init=init, solve=solve, reset=reset, name="PI2", plan_field="mean"), config.dtype
+        Solver(init=init, solve=solve, reset=reset, name=name, plan_field="mean"), config.dtype
     )

@@ -84,6 +84,58 @@ def test_pi2_single_iteration_matches_numpy():
     np.testing.assert_allclose(np.asarray(next_state.mean), shifted, rtol=1e-5, atol=1e-6)
 
 
+def test_mppi_single_iteration_matches_numpy():
+    """MPPI = PI2 + Williams' control-affine cost lambda * sum u^T Sigma^-1 eps.
+
+    Asymmetric bounds make the nominal mean nonzero so the control cost actually bites
+    (with a zero nominal it vanishes identically and MPPI == PI2)."""
+    pop, agents, horizon = 64, 2, 4
+    lamda = 0.7
+    bounds = Bounds.of(-0.5, 1.0, dim=2)
+    s = make_solver(
+        "MPPI", bounds, lambda s0, a: quad_eval(a),
+        planning_horizon=horizon, num_agents=agents, population=pop,
+        max_iterations=1, lamda=lamda,
+    )
+    state = s.init(jax.random.PRNGKey(0))
+    key = jax.random.PRNGKey(7)
+    action, next_state, aux = s.solve(state, jnp.zeros((agents, 3)), jnp.asarray(0), key)
+
+    _, sample_key = jax.random.split(key)
+    mean0 = np.asarray(init_solution_mean(bounds, horizon, agents))
+    var0 = np.asarray(init_solution_variance(bounds, horizon, agents))
+    raw = np.asarray(
+        truncated_normal(sample_key, jnp.asarray(mean0), jnp.sqrt(jnp.asarray(var0)),
+                         (pop, agents, horizon, 2))
+    )
+    feasible = np.clip(raw, -0.5, 1.0)
+    penalty = np.sum((raw - feasible).reshape(pop, agents, -1) ** 2, axis=-1)
+    rewards = np.asarray(quad_eval(jnp.asarray(feasible))) - penalty
+    eps = feasible - mean0[None]
+    ctrl = lamda * np.einsum("ahu,pahu->pa", mean0 / var0, eps)
+    costs = -rewards + ctrl
+    assert not np.allclose(ctrl, 0.0)  # the term must actually participate
+    beta = costs.min(axis=0, keepdims=True)
+    prob = np.exp(-(costs - beta) / lamda)
+    omega = prob / prob.sum(axis=0, keepdims=True)
+    expected_mean = np.einsum("pa,pahu->ahu", omega, feasible)
+    np.testing.assert_allclose(np.asarray(aux.plan), expected_mean, rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(action), expected_mean[:, 0], rtol=1e-5, atol=1e-6)
+
+
+def test_mppi_control_cost_off_equals_pi2():
+    bounds = Bounds.of(-0.5, 1.0, dim=1)
+    kw = dict(planning_horizon=5, num_agents=1, population=32, max_iterations=3, lamda=0.5)
+    s_pi2 = make_solver("PI2", bounds, lambda s0, a: quad_eval(a), **kw)
+    s_mppi = make_solver("MPPI", bounds, lambda s0, a: quad_eval(a), control_cost=False, **kw)
+    st = s_pi2.init(jax.random.PRNGKey(0))
+    k = jax.random.PRNGKey(3)
+    a1, _, _ = s_pi2.solve(st, jnp.zeros((1, 3)), jnp.asarray(0), k)
+    a2, _, _ = s_mppi.solve(s_mppi.init(jax.random.PRNGKey(0)), jnp.zeros((1, 3)),
+                            jnp.asarray(0), k)
+    np.testing.assert_array_equal(np.asarray(a1), np.asarray(a2))
+
+
 def test_spsa_single_iteration_matches_numpy():
     pop, agents, horizon = 32, 1, 3
     bounds = Bounds.of(-1.0, 1.0, dim=1)

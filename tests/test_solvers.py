@@ -87,6 +87,9 @@ SWINGUP_BUDGET = {
     "CEM": (80, 0.9),
     "RandomSearch": (120, 0.8),
     "PI2": (80, 0.9),
+    # Pendulum bounds are symmetric so the nominal starts at 0 and the control-cost term is
+    # weak; same budget as PI2.
+    "MPPI": (80, 0.9),
     "PSO": (120, 0.6),
     "SPSA": (200, -0.2),  # SPSA is a weak local optimizer; just require no divergence
     "CMA-ES": (120, 0.8),
