@@ -14,7 +14,6 @@ stay under ~20 configs.
 from __future__ import annotations
 
 import argparse
-import itertools
 import json
 import os
 import sys
@@ -50,6 +49,7 @@ def build_chain(N, backend, population, hidden, agents, ensemble, horizon=50, it
     )
     init_model, dyn = make_learned_dynamics(cfg)
     dp = init_model(jax.random.PRNGKey(0))
+    make_fused = None
     if backend == "pallas":
         from blackbox_mpc_tpu.ops.pallas_rollout import make_pallas_rollout_evaluator
 
@@ -60,11 +60,24 @@ def build_chain(N, backend, population, hidden, agents, ensemble, horizon=50, it
         tile = min(256, max(128, rows))
         pal = make_pallas_rollout_evaluator(cfg, reward_fn, tile=tile)
         make_ev = lambda dp: partial(pal, dp)  # noqa: E731
+    elif backend in ("fused_cem", "fused_cem_block"):
+        # Generate-in-kernel CEM, streamed (per-step generation, (tiles, H) grid) vs the
+        # round-1 block kernel (whole [T, H*U] action block in VMEM).
+        from blackbox_mpc_tpu.ops.pallas_cem import make_fused_cem
+        from blackbox_mpc_tpu.solvers.cem import CEMConfig
+
+        cem_cfg = CEMConfig(**solver_kw)
+        make_fused = lambda dp: make_fused_cem(  # noqa: E731
+            cem_cfg, bounds, cfg, dp, reward_fn, streamed=(backend == "fused_cem")
+        )
+        make_ev = None
     else:
         make_ev = lambda dp: make_trajectory_evaluator(partial(dyn, dp), reward_fn)  # noqa: E731
 
     def chained(state, dp, obs, key):
-        s = make_solver("CEM", bounds, make_ev(dp), **solver_kw)
+        s = make_fused(dp) if make_fused is not None else make_solver(
+            "CEM", bounds, make_ev(dp), **solver_kw
+        )
 
         def body(carry, k):
             st, ob = carry
@@ -110,20 +123,25 @@ def main():
     # scales inversely with expected solve time so the differential (chain(N) - chain(1))
     # stays far above the tunnel-RTT jitter floor (~1 ms) even for ~100 us solves.
     grid = [
-        # (population, hidden, agents, ensemble, chain)
-        (128, (64, 64), 1, 1, 64),
-        (4096, (64, 64), 1, 1, 32),
-        (1000, (200, 200), 1, 1, 16),
-        (1000, (200, 200), 16, 1, 8),
-        (1000, (500, 500, 500), 1, 5, 11),  # flagship (chain 11 matches bench.py's cache)
+        # (population, hidden, agents, ensemble, chain, backends)
+        (128, (64, 64), 1, 1, 64, ("xla", "pallas")),
+        (4096, (64, 64), 1, 1, 32, ("xla", "pallas", "fused_cem")),
+        (1000, (200, 200), 1, 1, 16, ("xla", "pallas")),
+        (1000, (200, 200), 16, 1, 8, ("xla", "pallas")),
+        # flagship (chain 11 matches bench.py's cache) + the fused-CEM A/B: streamed
+        # (per-step in-kernel generation) vs the round-1 block kernel.
+        (1000, (500, 500, 500), 1, 5, 11, ("xla", "pallas", "fused_cem", "fused_cem_block")),
     ]
     if args.quick:
         grid = grid[:1]
 
+    sweep = [
+        (population, hidden, agents, ensemble, chain, backend)
+        for population, hidden, agents, ensemble, chain, backends in grid
+        for backend in backends
+    ]
     rows = []
-    for (population, hidden, agents, ensemble, chain), backend in itertools.product(
-        grid, ("xla", "pallas")
-    ):
+    for population, hidden, agents, ensemble, chain, backend in sweep:
         try:
             per_solve, value = measure(
                 backend, population, hidden, agents, ensemble, chain, args.repeats
@@ -144,21 +162,24 @@ def main():
         print(json.dumps(row), flush=True)
         rows.append(row)
 
-    # Per-config winner summary
+    # Per-config winner summary (across every backend measured for that shape)
     winners = []
-    for population, hidden, agents, ensemble, _chain in grid:
+    for population, hidden, agents, ensemble, _chain, _backends in grid:
         pair = {
             r["backend"]: r for r in rows
             if (r["population"], tuple(r["hidden"]), r["agents"], r["ensemble"])
             == (population, hidden, agents, ensemble) and "per_solve_ms" in r
         }
-        if len(pair) == 2:
-            x, pl = pair["xla"]["per_solve_ms"], pair["pallas"]["per_solve_ms"]
+        if len(pair) >= 2:
+            times = {b: r["per_solve_ms"] for b, r in pair.items()}
+            best = min(times, key=times.get)
             winners.append({
                 "population": population, "hidden": list(hidden), "agents": agents,
-                "ensemble": ensemble, "xla_ms": x, "pallas_ms": pl,
-                "winner": "pallas" if pl < x else "xla",
-                "speedup": round(max(x, pl) / min(x, pl), 3),
+                "ensemble": ensemble, **{f"{b}_ms": t for b, t in times.items()},
+                "winner": best,
+                "speedup_vs_next": round(
+                    sorted(times.values())[1] / times[best], 3
+                ) if len(times) > 1 else 1.0,
             })
     summary = {"summary": "backend_regimes", "winners": winners}
     print(json.dumps(summary), flush=True)

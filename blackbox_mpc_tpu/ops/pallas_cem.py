@@ -78,6 +78,28 @@ def _sample_tile(seed_ref, tile_id, t_rows: int, n_flat: int):
     return jnp.clip(z, -2.0, 2.0)
 
 
+def _streamed_tile(config: LearnedDynamicsConfig) -> int:
+    """Largest row tile whose working set fits comfortably in scoped VMEM.
+
+    The streamed kernel holds: the bf16 weights (resident across the whole grid), one
+    activation set (~max_width x (2B bf16 + 4B f32 accumulator)), and the f32 state/total
+    scratch. No action block — candidates are generated per step — so tiles can be 2-4x
+    larger than the block kernel's, which is the point: bigger matmuls, fewer grid steps.
+    """
+    widths = [config.dim_s + config.dim_u, *config.hidden, config.dim_s]
+    itemsize = jnp.dtype(config.compute_dtype).itemsize
+    w_bytes = 0
+    for a, b in zip(widths[:-1], widths[1:]):
+        w_bytes += config.ensemble_size * (a * b * itemsize + b * 4)
+    max_w = max(widths)
+    budget = 12 * 1024 * 1024  # leave headroom under the ~16 MB scoped-VMEM limit
+    for tile in (1024, 512, 256, 128):
+        act_bytes = tile * max_w * (itemsize + 4 + 4)  # input + accumulator + slack
+        if w_bytes + act_bytes + tile * config.dim_s * 8 <= budget:
+            return tile
+    return 128
+
+
 def make_fused_cem_kernels(
     config: LearnedDynamicsConfig,
     reward_fn: Callable,
@@ -86,6 +108,7 @@ def make_fused_cem_kernels(
     agents: int,
     population: int,
     tile: int = 256,
+    streamed: bool = True,
     interpret: bool = False,
 ):
     """Builds (rollout_rewards, elite_moments) for the fused CEM iteration.
@@ -96,6 +119,15 @@ def make_fused_cem_kernels(
 
     Constraints: deterministic MLP ensemble with mean propagation; rows are laid out
     population-major (row = p * A + a), matching the flattened evaluator convention.
+
+    ``streamed=True`` (default): the rollout kernel runs on a (tiles, horizon) grid and
+    synthesizes step h's actions *inside* step h from the counter-based RNG — the [T, H*U]
+    action block never exists, so tiles grow 2-4x (``_streamed_tile``), the per-step
+    ``pltpu.roll`` disappears, and Mosaic pipelines the tiny per-step mean/std blocks while
+    the weights stay VMEM-resident across the entire grid. Candidate streams are
+    bit-identical to the block kernel's (same global (row, col) counters), so kernel B's
+    regeneration keeps matching either way. ``streamed=False`` keeps the round-1 block
+    kernel (one grid dim, whole action block in VMEM) for A/B comparison.
     """
     kc.check_kernel_support(config, "fused CEM")
     dim_s, dim_u = config.dim_s, config.dim_u
@@ -150,6 +182,89 @@ def make_fused_cem_kernels(
         total0 = jnp.zeros((tile,), jnp.float32)
         _, total, _ = jax.lax.fori_loop(0, horizon, step, (s0, total0, actions0))
         out_ref[:, 0] = total
+
+    # ------------- Kernel A (streamed): per-step in-kernel generation + rollout -------------
+
+    st_tile = min(_streamed_tile(config), _round_up(rows, 128))
+    st_padded = _round_up(rows, st_tile)
+    st_tiles = st_padded // st_tile
+
+    def kernel_a_streamed(seed_ref, s0_ref, mean_ref, std_ref, stats_ref, *rest):
+        # rest = [*weight_refs, out_ref, state_scratch, total_scratch]
+        weight_refs, out_ref, state_ref, total_ref = rest[:-3], rest[-3], rest[-2], rest[-1]
+        i = pl.program_id(0)
+        h = pl.program_id(1)
+
+        @pl.when(h == 0)
+        def _():
+            state_ref[:] = s0_ref[:].astype(jnp.float32)
+            total_ref[:] = jnp.zeros_like(total_ref)
+
+        # Step h's candidate slice, same global (row, col) counter stream as _sample_tile:
+        # col = h*dim_u + u, so kernel B's full-block regeneration stays bit-identical.
+        seed = seed_ref[0]
+        row_ids = i * st_tile + jax.lax.broadcasted_iota(jnp.int32, (st_tile, dim_u), 0)
+        col_ids = h * dim_u + jax.lax.broadcasted_iota(jnp.int32, (st_tile, dim_u), 1)
+        counter = row_ids * n_flat + col_ids
+        u1 = _uniform(counter, seed)
+        u2 = _uniform(counter, seed + jnp.int32(0x632BE5AB))
+        z = jnp.clip(jnp.sqrt(-2.0 * jnp.log(u1)) * jnp.cos(_TWO_PI * u2), -2.0, 2.0)
+
+        agent_ids = jax.lax.rem(
+            i * st_tile + jax.lax.broadcasted_iota(jnp.int32, (st_tile, agents), 0), agents
+        )
+        onehot = (agent_ids == jax.lax.broadcasted_iota(jnp.int32, (st_tile, agents), 1)
+                  ).astype(jnp.float32)
+        mean_rows = jnp.dot(onehot, mean_ref[0], preferred_element_type=jnp.float32)
+        std_rows = jnp.dot(onehot, std_ref[0], preferred_element_type=jnp.float32)
+        actions = mean_rows + std_rows * z  # [T, U]
+
+        step_fn = kc.build_step_fn(config, reward_fn, stats_ref[:], weight_refs)
+        ns, r = step_fn(state_ref[:], actions)
+        state_ref[:] = ns
+        total_ref[:, 0] += r
+
+        @pl.when(h == horizon - 1)
+        def _():
+            out_ref[:] = total_ref[:]
+
+    def rollout_rewards_streamed(dp: DynamicsParams, s0, mean, std, seed):
+        s0_rows = jnp.tile(s0.astype(jnp.float32), (population, 1))
+        if st_padded != rows:
+            s0_rows = jnp.pad(s0_rows, ((0, st_padded - rows), (0, 0)))
+        # Time-major [H, A, U] so step h's (tiny) mean/std blocks ride the grid pipeline.
+        mean_hau = jnp.swapaxes(mean.astype(jnp.float32), 0, 1)
+        std_hau = jnp.swapaxes(std.astype(jnp.float32), 0, 1)
+        nstats = kc.stats_matrix(dp, dim_s, dim_u)
+        weight_args = kc.weight_operands(dp, ensemble, compute_dtype)
+        seed_arr = jnp.asarray([seed], jnp.int32)
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(st_tiles, horizon),
+            in_specs=[
+                pl.BlockSpec((st_tile, dim_s), lambda i, h, *_: (i, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, agents, dim_u), lambda i, h, *_: (h, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, agents, dim_u), lambda i, h, *_: (h, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec(memory_space=pltpu.VMEM),  # norm stats
+            ]
+            + [pl.BlockSpec(memory_space=pltpu.VMEM) for _ in weight_args],
+            out_specs=pl.BlockSpec((st_tile, 1), lambda i, h, *_: (i, 0),
+                                   memory_space=pltpu.VMEM),
+            scratch_shapes=[
+                pltpu.VMEM((st_tile, dim_s), jnp.float32),  # carried state
+                pltpu.VMEM((st_tile, 1), jnp.float32),      # carried return
+            ],
+        )
+        total = pl.pallas_call(
+            kernel_a_streamed,
+            out_shape=jax.ShapeDtypeStruct((st_padded, 1), jnp.float32),
+            grid_spec=grid_spec,
+            interpret=interpret_mode,
+        )(seed_arr, s0_rows, mean_hau, std_hau, nstats, *weight_args)
+        return total[:rows, 0].reshape(population, agents)
 
     # ---------------- Kernel B: regenerate + masked elite reduction ----------------
 
@@ -238,7 +353,7 @@ def make_fused_cem_kernels(
         )(seed_arr, mean_f, std_f, mask_rows)
         return sums, sumsq
 
-    return rollout_rewards, elite_moments
+    return (rollout_rewards_streamed if streamed else rollout_rewards), elite_moments
 
 
 def make_fused_cem(
@@ -249,6 +364,7 @@ def make_fused_cem(
     reward_fn: Callable,
     *,
     tile: int = 256,
+    streamed: bool = True,
     interpret: bool = False,
 ) -> Solver:
     """CEM solver over the fused kernels (same update rules/state as solvers.cem).
@@ -284,7 +400,8 @@ def make_fused_cem(
     alpha = config.alpha
     rollout_rewards, elite_moments = make_fused_cem_kernels(
         dyn_config, reward_fn,
-        horizon=horizon, agents=agents, population=pop, tile=tile, interpret=interpret,
+        horizon=horizon, agents=agents, population=pop, tile=tile, streamed=streamed,
+        interpret=interpret,
     )
 
     def init(key: jax.Array) -> CEMState:

@@ -131,3 +131,22 @@ def test_backend_auto_selects_fused_cem_beyond_hbm():
     # Ordinary populations stay on the measured xla/pallas rule.
     assert choose_backend(cfg, 1000, 1, platform="tpu", horizon=50, dim_u=6,
                           solver_name="CEM") == "xla"
+
+
+def test_streamed_kernel_bitmatches_block_kernel(rng):
+    """The streamed (per-step generation, (tiles, H) grid) rollout kernel must reproduce
+    the block kernel exactly: same global (row, col) RNG counters, same step math — only
+    the schedule differs. Odd sizes exercise the padding paths of both."""
+    cfg = LearnedDynamicsConfig(dim_s=3, dim_u=2, hidden=(16, 16), ensemble_size=2)
+    init_model, _ = make_learned_dynamics(cfg)
+    dp = init_model(jax.random.PRNGKey(0))
+    H, A, P = 7, 3, 90  # rows = 270: not a multiple of either kernel's tile
+    kw = dict(horizon=H, agents=A, population=P, interpret=True)
+    rr_block, _ = make_fused_cem_kernels(cfg, reward_fn, streamed=False, **kw)
+    rr_stream, _ = make_fused_cem_kernels(cfg, reward_fn, streamed=True, **kw)
+    s0 = jnp.asarray(rng.uniform(-1, 1, (A, 3)).astype(np.float32))
+    mean = jnp.asarray(rng.uniform(-0.5, 0.5, (A, H, 2)).astype(np.float32))
+    std = jnp.asarray(rng.uniform(0.1, 0.5, (A, H, 2)).astype(np.float32))
+    a = np.asarray(rr_block(dp, s0, mean, std, 1234))
+    b = np.asarray(rr_stream(dp, s0, mean, std, 1234))
+    np.testing.assert_allclose(a, b, rtol=1e-6, atol=1e-6)

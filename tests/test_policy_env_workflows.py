@@ -74,7 +74,7 @@ def test_mpc_policy_validates_config():
             action_space=NativePendulumVecEnv().action_space,
             reward_function=pendulum_reward,
             dynamics_handler=_true_handler(),
-            solver_name="MPPI",
+            solver_name="MPC-Bogus",  # MPPI used to be the example here — it's real now
             num_agents=1,
         )
 
