@@ -52,9 +52,9 @@ def build_chain(N: int, backend: str, solver: str = "CEM", solver_kw: dict | Non
     if backend.startswith("pallas"):
         from blackbox_mpc_tpu.ops.pallas_rollout import make_pallas_rollout_evaluator
 
-        # tile=256 is the measured VMEM ceiling at H=50 (tile 512 exceeds the 16M
-        # scoped-vmem limit for any width — benchmarks/backend_regimes.py).
-        pal = make_pallas_rollout_evaluator(cfg, reward_fn, tile=256)
+        # tile=None auto-sizes: the streamed kernel drops the [H, T, U] action block that
+        # capped block-kernel tiles at 256 (benchmarks/backend_regimes.py, r2 sweep).
+        pal = make_pallas_rollout_evaluator(cfg, reward_fn)
         make_ev = lambda dp: partial(pal, dp)
     else:
         make_ev = lambda dp: make_trajectory_evaluator(partial(dyn, dp), reward_fn)

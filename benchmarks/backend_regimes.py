@@ -53,12 +53,10 @@ def build_chain(N, backend, population, hidden, agents, ensemble, horizon=50, it
     if backend == "pallas":
         from blackbox_mpc_tpu.ops.pallas_rollout import make_pallas_rollout_evaluator
 
-        # tile 256 is the largest that fits scoped VMEM with H=50 action blocks (tile 512
-        # exceeded the 16M scoped-vmem limit by 9M even at hidden=64 — measured r2 sweep);
-        # smaller populations take their row count.
-        rows = population * agents
-        tile = min(256, max(128, rows))
-        pal = make_pallas_rollout_evaluator(cfg, reward_fn, tile=tile)
+        # tile=None auto-sizes: the streamed kernel has no [H, T, U] action block (which
+        # lane-padded U to 128 and capped block-kernel tiles at 256 — measured r2 sweep),
+        # so it picks 512-1024 rows from the VMEM budget.
+        pal = make_pallas_rollout_evaluator(cfg, reward_fn)
         make_ev = lambda dp: partial(pal, dp)  # noqa: E731
     elif backend in ("fused_cem", "fused_cem_block"):
         # Generate-in-kernel CEM, streamed (per-step generation, (tiles, H) grid) vs the

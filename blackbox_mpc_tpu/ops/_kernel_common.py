@@ -23,6 +23,30 @@ def round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
+def streamed_tile(config: LearnedDynamicsConfig, extra_row_bytes: int = 0) -> int:
+    """Largest row tile whose working set fits comfortably in scoped VMEM.
+
+    For the streamed (per-step) kernels, which hold: the bf16 weights (resident across the
+    whole grid), one activation set (~max_width x (input + f32 accumulator + slack)), the
+    f32 state/return scratch, and ``extra_row_bytes`` per row of kernel-specific blocks
+    (e.g. the double-buffered per-step action block, lane-padded to 128). No [T, H*U]
+    action block — that is the point: tiles grow 2-4x over the block kernels, giving
+    bigger matmuls and fewer grid steps.
+    """
+    widths = [config.dim_s + config.dim_u, *config.hidden, config.dim_s]
+    itemsize = jnp.dtype(config.compute_dtype).itemsize
+    w_bytes = 0
+    for a, b in zip(widths[:-1], widths[1:]):
+        w_bytes += config.ensemble_size * (a * b * itemsize + b * 4)
+    max_w = max(widths)
+    budget = 12 * 1024 * 1024  # leave headroom under the ~16 MB scoped-VMEM limit
+    for tile in (1024, 512, 256, 128):
+        act_bytes = tile * (max_w * (itemsize + 4 + 4) + config.dim_s * 8 + extra_row_bytes)
+        if w_bytes + act_bytes <= budget:
+            return tile
+    return 128
+
+
 def check_kernel_support(config: LearnedDynamicsConfig, what: str, allow_ts1: bool = False) -> None:
     allowed = ("mean", "ts1") if allow_ts1 else ("mean",)
     if config.ensemble_size > 1 and config.propagation not in allowed:

@@ -78,26 +78,6 @@ def _sample_tile(seed_ref, tile_id, t_rows: int, n_flat: int):
     return jnp.clip(z, -2.0, 2.0)
 
 
-def _streamed_tile(config: LearnedDynamicsConfig) -> int:
-    """Largest row tile whose working set fits comfortably in scoped VMEM.
-
-    The streamed kernel holds: the bf16 weights (resident across the whole grid), one
-    activation set (~max_width x (2B bf16 + 4B f32 accumulator)), and the f32 state/total
-    scratch. No action block — candidates are generated per step — so tiles can be 2-4x
-    larger than the block kernel's, which is the point: bigger matmuls, fewer grid steps.
-    """
-    widths = [config.dim_s + config.dim_u, *config.hidden, config.dim_s]
-    itemsize = jnp.dtype(config.compute_dtype).itemsize
-    w_bytes = 0
-    for a, b in zip(widths[:-1], widths[1:]):
-        w_bytes += config.ensemble_size * (a * b * itemsize + b * 4)
-    max_w = max(widths)
-    budget = 12 * 1024 * 1024  # leave headroom under the ~16 MB scoped-VMEM limit
-    for tile in (1024, 512, 256, 128):
-        act_bytes = tile * max_w * (itemsize + 4 + 4)  # input + accumulator + slack
-        if w_bytes + act_bytes + tile * config.dim_s * 8 <= budget:
-            return tile
-    return 128
 
 
 def make_fused_cem_kernels(
@@ -185,7 +165,7 @@ def make_fused_cem_kernels(
 
     # ------------- Kernel A (streamed): per-step in-kernel generation + rollout -------------
 
-    st_tile = min(_streamed_tile(config), _round_up(rows, 128))
+    st_tile = min(kc.streamed_tile(config), _round_up(rows, 128))
     st_padded = _round_up(rows, st_tile)
     st_tiles = st_padded // st_tile
 

@@ -140,3 +140,24 @@ def test_mpc_policy_auto_backend_resolves_on_cpu():
     assert policy._rollout_backend == "xla"
     action, _, _ = policy.act(np.asarray([1.0, 0.0, 0.0], np.float32))
     assert np.isfinite(action).all()
+
+
+@pytest.mark.parametrize("propagation,ensemble", [("mean", 2), ("ts1", 2), ("mean", 1)])
+def test_streamed_rollout_bitmatches_block(propagation, ensemble, rng):
+    """The streamed ((tiles, H) grid, per-step action blocks) kernel must reproduce the
+    block kernel exactly — same step math, same repeated-multiply discounting, only the
+    schedule differs. Covers mean/ts1 and a non-unit discount."""
+    cfg = LearnedDynamicsConfig(
+        dim_s=3, dim_u=2, hidden=(16, 16), ensemble_size=ensemble, propagation=propagation,
+    )
+    init_model, _ = make_learned_dynamics(cfg)
+    dp = init_model(jax.random.PRNGKey(0))
+    P, A, H = 44, 2, 6  # rows = 88: exercises both kernels' padding
+    acts = jnp.asarray(rng.uniform(-1, 1, size=(P, A, H, 2)).astype(np.float32))
+    s0 = jnp.asarray(rng.uniform(-1, 1, size=(A, 3)).astype(np.float32))
+    kw = dict(discount=0.95, interpret=True)
+    block = make_pallas_rollout_evaluator(cfg, reward_fn, streamed=False, **kw)
+    stream = make_pallas_rollout_evaluator(cfg, reward_fn, streamed=True, **kw)
+    a = np.asarray(block(dp, s0, acts))
+    b = np.asarray(stream(dp, s0, acts))
+    np.testing.assert_allclose(a, b, rtol=1e-6, atol=1e-6)
