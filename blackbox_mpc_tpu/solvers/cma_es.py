@@ -49,6 +49,14 @@ class CMAESConfig(base.SolverConfig):
     num_elite: int = 50
     alpha_cov: float = 2.0
     h_sigma: float = 1.0
+    # Hansen's state-dependent Heaviside stall indicator. The reference hardcodes
+    # h_sigma = 1.0 (cma_es.py:10), which over-applies the rank-one update when the
+    # sigma path is long (fast sigma growth after a stall). True computes, per agent
+    # and iteration, h = 1{ ||p_sigma|| / sqrt(1-(1-c_sigma)^(2(g+1))) <
+    # (1.4 + 2/(n+1)) * E||N(0,I)|| } and (a) gates the p_cov input by h, (b) adds the
+    # standard variance-loss correction (1-h) * cc * (2-cc) * C to the rank-one term.
+    # Default False keeps the reference-parity constant above.
+    adaptive_h_sigma: bool = False
     # The reference carries sigma/C/paths across MPC solves (state assigned in-place each
     # iteration, cma_es.py:199-206, reset only per episode). Measured on pendulum, sigma then
     # collapses to ~0 within ~20 control steps and the controller goes open-loop. Default here:
@@ -202,16 +210,34 @@ def make_cma_es(config: CMAESConfig, bounds: Bounds, evaluate: TrajectoryEvaluat
             )[:, None]
             sigma = jnp.clip(sigma, config.sigma_floor * sigma0, config.sigma_ceil * sigma0)
             # Covariance adaptation (cma_es.py:177-190).
-            p_cov = (1.0 - cc) * s.p_cov + config.h_sigma * jnp.sqrt(
+            if config.adaptive_h_sigma:
+                # Hansen stall indicator from the freshly updated sigma path: under the
+                # null (stationary selection) p_sigma's stationary norm is E||N(0,I)||
+                # scaled by the warm-up factor sqrt(1-(1-c_sigma)^(2(g+1))); a path much
+                # longer than that signals sigma is still catching up and the rank-one
+                # update would imprint the (transient) path direction into C.
+                warmup = 1.0 - (1.0 - c_sigma) ** (2.0 * (jnp.asarray(i, jnp.float32) + 1.0))
+                h = (
+                    jnp.linalg.norm(p_sigma, axis=-1) / jnp.sqrt(warmup)
+                    < (1.4 + 2.0 / (nf + 1.0)) * expectation_of_normal
+                ).astype(s.mean.dtype)[:, None]  # [A, 1]
+                delta = (1.0 - h) * cc * (2.0 - cc)  # [A, 1] variance-loss correction
+            else:
+                h = config.h_sigma  # reference behavior: a constant (cma_es.py:10)
+                delta = None
+            p_cov = (1.0 - cc) * s.p_cov + h * jnp.sqrt(
                 cc * (2.0 - cc) * mu_eff
             ) * y_mean
             y_unweighted = x_diff / s.sigma[:, None, :]
             if diagonal:
                 # sep-CMA: only the diagonal of the rank-mu / rank-one updates — O(n).
                 rank_mu_d = jnp.einsum("p,apn->an", weights, jnp.square(y_unweighted))
+                rank_one_d = jnp.square(p_cov)
+                if delta is not None:
+                    rank_one_d = rank_one_d + delta * s.cov
                 cov = (
                     (1.0 - c1 - c_mu) * s.cov
-                    + c1 * jnp.square(p_cov)
+                    + c1 * rank_one_d
                     + c_mu * rank_mu_d
                 )
                 cov = jnp.maximum(cov, 1e-20)
@@ -219,9 +245,12 @@ def make_cma_es(config: CMAESConfig, bounds: Bounds, evaluate: TrajectoryEvaluat
                 inv_sqrt = 1.0 / chol
             else:
                 rank_mu = jnp.einsum("p,apn,apm->anm", weights, y_unweighted, y_unweighted)
+                rank_one = p_cov[:, :, None] * p_cov[:, None, :]
+                if delta is not None:
+                    rank_one = rank_one + delta[:, :, None] * s.cov
                 cov = (
                     (1.0 - c1 - c_mu) * s.cov
-                    + c1 * p_cov[:, :, None] * p_cov[:, None, :]
+                    + c1 * rank_one
                     + c_mu * rank_mu
                 )
                 cov = (cov + jnp.swapaxes(cov, -1, -2)) / 2.0

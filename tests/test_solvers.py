@@ -292,6 +292,50 @@ def test_cma_es_lazy_eigen_quality_and_gap_semantics():
         assert np.all(np.abs(lazy - 0.7) < 0.2), lazy
 
 
+# --- CMA-ES Hansen h_sigma stall indicator ---------------------------------------------------
+
+
+def test_cma_es_adaptive_h_sigma_converges_and_gates_stall():
+    """adaptive_h_sigma=True must (a) still solve the quadratic, and (b) gate the rank-one
+    update in a stall scenario: with an injected long sigma path, h = 0, so p_cov must decay
+    by exactly its (1-cc) factor with NO y_mean contribution — every coordinate of the
+    (constant-vector-seeded) p_cov stays equal and shrinks. The reference hardcodes
+    h_sigma = 1.0 (cma_es.py:10) and would imprint the transient path direction into C."""
+    horizon, agents = 8, 2
+    bounds = Bounds.of(-2.0, 2.0, dim=1)
+    evaluate = quadratic_evaluate(0.7)
+    kw = dict(planning_horizon=horizon, num_agents=agents, population=200,
+              num_elite=20, max_iterations=8)
+    obs = jnp.zeros((agents, 3))
+
+    # (a) convergence is preserved with the indicator on.
+    s = make_solver("CMA-ES", bounds, evaluate, adaptive_h_sigma=True, **kw)
+    action, _, _ = jax.jit(s.solve)(
+        s.init(jax.random.PRNGKey(0)), obs, jnp.asarray(0), jax.random.PRNGKey(1)
+    )
+    assert np.all(np.abs(np.asarray(action) - 0.7) < 0.2), np.asarray(action)
+
+    # (b) stall gating: a huge p_sigma puts the path far above Hansen's threshold -> h = 0.
+    kw_stall = dict(kw, max_iterations=1, persist_across_solves=True)
+    for flag, expect_gated in ((True, True), (False, False)):
+        s = make_solver("CMA-ES", bounds, evaluate, adaptive_h_sigma=flag, **kw_stall)
+        state = s.init(jax.random.PRNGKey(0))
+        state = state.replace(
+            p_sigma=jnp.full_like(state.p_sigma, 100.0),
+            p_cov=jnp.full_like(state.p_cov, 0.5),
+        )
+        _, new_state, _ = jax.jit(s.solve)(state, obs, jnp.asarray(0), jax.random.PRNGKey(1))
+        p_cov = np.asarray(new_state.p_cov)
+        spread = p_cov.max() - p_cov.min()
+        if expect_gated:
+            # pure decay: (1-cc) * 0.5 elementwise — direction (a constant vector) preserved
+            assert spread < 1e-6, spread
+            assert np.all(p_cov < 0.5) and np.all(p_cov > 0.0), p_cov
+        else:
+            # constant h_sigma=1.0: the y_mean term varies per coordinate
+            assert spread > 1e-4, spread
+
+
 # --- bounds feasibility (asymmetric spaces) -------------------------------------------------
 
 
