@@ -1,0 +1,312 @@
+"""Head-to-head behavioral parity vs the ACTUAL reference package.
+
+Runs the real ``/root/reference/blackbox_mpc`` (TF2 graph mode, imported in-process with a
+two-line ``tensorflow_probability`` stub — tfp is imported but unused by the reference,
+``/root/reference/blackbox_mpc/optimizers/pi2.py:3``) and this framework side by side on the
+same numpy pendulum simulator, one episode per (optimizer, seed), at MATCHED configs:
+
+* same physics model: both planners get an exact model of the simulator (gym Pendulum-v0
+  integration order, which is what the reference's ``PendulumTrueModel`` implements,
+  ``/root/reference/blackbox_mpc/utils/pendulum.py:58-92`` — velocity clipped AFTER theta is
+  integrated);
+* same planning objective: the reference's *called* reward behavior — its evaluator passes
+  ``(s, a, s')`` into a function declared ``(s, s', a)``
+  (``trajectory_evaluators/deterministic.py:65-66`` vs ``utils/pendulum.py:11``), so the
+  effective objective is ``-(th^2 + 0.1 thdot^2) - 0.001 ||s'||^2``; we hand this exact
+  function (correctly ordered) to our planner;
+* same sampling budgets: reference defaults per optimizer (``optimizers/cem.py:7-10`` etc.),
+  quirk-compat flags on our side left at their reference-parity defaults (CEM no warm start,
+  PSO scalar random coefficients, ...).
+
+Scoring is done by the harness env with the true gym pendulum cost (independent of either
+planner's internal objective). RNG streams cannot be matched bitwise across TF and JAX, so
+parity is judged on episode returns at fixed initial states: PASS iff
+``ours >= ref - max(abs_tol, rel_tol * |ref|)``.
+
+Usage:
+  python benchmarks/reference_parity.py [--episodes 3] [--steps 200]
+      [--optimizers CEM,CMA-ES,PI2,PSO,RandomSearch,SPSA]
+      [--out benchmarks/reference_parity_r3.jsonl]
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import math
+import os
+import sys
+import time
+import types
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+REFERENCE_ROOT = "/root/reference"
+
+# Reference optimizer configs: EXACT defaults from the constructors
+# (/root/reference/blackbox_mpc/optimizers/{cem,cma_es,pi2,pso,random_search,spsa}.py).
+# Our kwargs name the same quantities in this framework's config dataclasses.
+MATCHED_CONFIGS = {
+    "CEM": dict(population=500, max_iterations=5, num_elite=50, alpha=0.25),
+    "CMA-ES": dict(population=500, max_iterations=5, num_elite=50, alpha_cov=2.0),
+    "PI2": dict(population=500, max_iterations=5, lamda=1.0),
+    "PSO": dict(population=500, max_iterations=5, c1=0.3, c2=0.5, w=0.2,
+                initial_velocity_fraction=0.01),
+    "RandomSearch": dict(population=1024),
+    "SPSA": dict(population=500, max_iterations=5, alpha=0.602, gamma=0.101,
+                 a_par=0.01, noise_parameter=0.3),
+}
+
+# Reference-side constructor kwargs for the same configs (constructor names differ:
+# population_size vs population).
+_REF_KWARG_RENAMES = {"population": "population_size"}
+_REF_KWARG_DROP = {
+    # our-side-only names that the reference hardcodes or names identically
+}
+
+PASS_ABS_TOL = 50.0
+PASS_REL_TOL = 0.20
+
+
+def _angle_normalize(x):
+    return ((x + math.pi) % (2.0 * math.pi)) - math.pi
+
+
+class PendulumSim:
+    """Numpy gym Pendulum-v0 physics: the environment both controllers act on.
+
+    Matches the reference's true model exactly (utils/pendulum.py:83-87): theta is
+    integrated with the UNCLIPPED new velocity, then the velocity is clipped.
+    """
+
+    g, m, length, dt = 10.0, 1.0, 1.0, 0.05
+    max_speed, max_torque = 8.0, 2.0
+
+    def reset(self, seed: int) -> np.ndarray:
+        rng = np.random.default_rng(seed)
+        self.th = rng.uniform(-math.pi, math.pi)
+        self.thdot = rng.uniform(-1.0, 1.0)
+        return self._obs()
+
+    def _obs(self) -> np.ndarray:
+        return np.array([math.cos(self.th), math.sin(self.th), self.thdot], np.float32)
+
+    def step(self, u: float):
+        u = float(np.clip(u, -self.max_torque, self.max_torque))
+        cost = _angle_normalize(self.th) ** 2 + 0.1 * self.thdot**2 + 0.001 * u**2
+        newthdot = self.thdot + (
+            -3.0 * self.g / (2.0 * self.length) * math.sin(self.th + math.pi)
+            + 3.0 / (self.m * self.length**2) * u
+        ) * self.dt
+        self.th = self.th + newthdot * self.dt
+        self.thdot = float(np.clip(newthdot, -self.max_speed, self.max_speed))
+        return self._obs(), -cost
+
+
+class _BoxShim:
+    """Duck-typed gym.spaces.Box: the reference only reads .shape/.low/.high."""
+
+    def __init__(self, low, high):
+        self.low = np.asarray(low, np.float32)
+        self.high = np.asarray(high, np.float32)
+        self.shape = self.low.shape
+
+
+def _install_reference():
+    """Puts the real reference package on sys.path with a tfp stub; returns its modules."""
+    if REFERENCE_ROOT not in sys.path:
+        sys.path.insert(0, REFERENCE_ROOT)
+    if "tensorflow_probability" not in sys.modules:
+        # The reference imports tfp and aliases tfp.distributions at module scope but never
+        # uses either (optimizers/pi2.py:3-5); a stub with an empty `distributions` attribute
+        # satisfies the import under the installed TF 2.21, which has no compatible tfp.
+        stub = types.ModuleType("tensorflow_probability")
+        stub.distributions = types.ModuleType("tensorflow_probability.distributions")
+        sys.modules["tensorflow_probability"] = stub
+    from blackbox_mpc.policies.mpc_policy import MPCPolicy as RefMPCPolicy  # noqa: E501
+    from blackbox_mpc.utils.pendulum import (  # noqa: E501
+        PendulumTrueModel,
+        pendulum_reward_function,
+    )
+
+    return RefMPCPolicy, PendulumTrueModel, pendulum_reward_function
+
+
+def run_reference_episode(optimizer: str, seed: int, steps: int) -> dict:
+    import tensorflow as tf
+
+    RefMPCPolicy, PendulumTrueModel, pendulum_reward_function = _install_reference()
+    tf.random.set_seed(seed)
+    np.random.seed(seed)
+    act_space = _BoxShim([-2.0], [2.0])
+    obs_space = _BoxShim([-1.0, -1.0, -8.0], [1.0, 1.0, 8.0])
+    kwargs = {}
+    for k, v in MATCHED_CONFIGS[optimizer].items():
+        kwargs[_REF_KWARG_RENAMES.get(k, k)] = v
+    policy = RefMPCPolicy(
+        reward_function=pendulum_reward_function,
+        env_action_space=act_space,
+        env_observation_space=obs_space,
+        true_model=True,
+        dynamics_function=PendulumTrueModel(),
+        optimizer_name=optimizer,
+        num_agents=1,
+        **kwargs,
+    )
+    env = PendulumSim()
+    obs = env.reset(seed)
+    policy.reset()
+    total, actions = 0.0, []
+    t0 = time.perf_counter()
+    for t in range(steps):
+        action, _, _ = policy.act(obs, t)
+        obs, reward = env.step(action[0])
+        total += reward
+        actions.append(float(action[0]))
+    wall = time.perf_counter() - t0
+    a = np.asarray(actions)
+    return dict(
+        framework="reference", optimizer=optimizer, seed=seed, steps=steps,
+        episode_reward=float(total), action_mean=float(a.mean()),
+        action_abs_mean=float(np.abs(a).mean()), action_std=float(a.std()),
+        wall_s=round(wall, 2),
+    )
+
+
+def _pendulum_v0_dynamics():
+    """Exact jnp model of PendulumSim (gym-v0 order), (state, action) -> next_state."""
+    import jax.numpy as jnp
+
+    def dyn(state, action):
+        cos_th, sin_th, thdot = state[..., 0], state[..., 1], state[..., 2]
+        u = action[..., 0]
+        th = jnp.arctan2(sin_th, cos_th)
+        newthdot = thdot + (
+            -3.0 * 10.0 / 2.0 * jnp.sin(th + math.pi) + 3.0 * u
+        ) * 0.05
+        newth = th + newthdot * 0.05
+        newthdot = jnp.clip(newthdot, -8.0, 8.0)
+        return jnp.stack([jnp.cos(newth), jnp.sin(newth), newthdot], axis=-1)
+
+    return dyn
+
+
+def _reference_called_reward():
+    """The reference's EFFECTIVE planning objective, in canonical (s, a, s') order.
+
+    The reference evaluator calls reward_function(state, actions, next_state) on a function
+    declared (current_state, next_state, actions) (deterministic.py:65-66, pendulum.py:11),
+    so the term written as an action penalty is actually 0.001*||s'||^2.
+    """
+    import jax.numpy as jnp
+
+    def reward(state, action, next_state):
+        del action
+        th = _angle_normalize_jnp(jnp.arctan2(state[..., 1], state[..., 0]))
+        return -(th**2 + 0.1 * state[..., 2] ** 2) - 0.001 * jnp.sum(
+            jnp.square(next_state), axis=-1
+        )
+
+    return reward
+
+
+def _angle_normalize_jnp(x):
+    import jax.numpy as jnp  # noqa: F401
+
+    return ((x + math.pi) % (2.0 * math.pi)) - math.pi
+
+
+def run_ours_episode(optimizer: str, seed: int, steps: int) -> dict:
+    from blackbox_mpc_tpu.core.spaces import BoxSpace
+    from blackbox_mpc_tpu.learning.handler import DynamicsHandler
+    from blackbox_mpc_tpu.policies.mpc_policy import MPCPolicy
+
+    handler = DynamicsHandler(true_model=_pendulum_v0_dynamics())
+    policy = MPCPolicy(
+        action_space=BoxSpace(low=[-2.0], high=[2.0]),
+        reward_function=_reference_called_reward(),
+        dynamics_handler=handler,
+        solver_name=optimizer,
+        num_agents=1,
+        planning_horizon=50,
+        seed=seed,
+        **MATCHED_CONFIGS[optimizer],
+    )
+    env = PendulumSim()
+    obs = env.reset(seed)
+    policy.reset()
+    total, actions = 0.0, []
+    t0 = time.perf_counter()
+    for t in range(steps):
+        action, _, _ = policy.act(obs, t)
+        obs, reward = env.step(action[0])
+        total += reward
+        actions.append(float(action[0]))
+    wall = time.perf_counter() - t0
+    a = np.asarray(actions)
+    return dict(
+        framework="blackbox_mpc_tpu", optimizer=optimizer, seed=seed, steps=steps,
+        episode_reward=float(total), action_mean=float(a.mean()),
+        action_abs_mean=float(np.abs(a).mean()), action_std=float(a.std()),
+        wall_s=round(wall, 2),
+    )
+
+
+def judge(ref_rows, our_rows):
+    """Per-optimizer pass table on mean episode reward across seeds."""
+    table = []
+    by_opt = {}
+    for r in ref_rows + our_rows:
+        by_opt.setdefault(r["optimizer"], {}).setdefault(r["framework"], []).append(
+            r["episode_reward"]
+        )
+    for opt, sides in sorted(by_opt.items()):
+        ref = float(np.mean(sides.get("reference", [np.nan])))
+        ours = float(np.mean(sides.get("blackbox_mpc_tpu", [np.nan])))
+        tol = max(PASS_ABS_TOL, PASS_REL_TOL * abs(ref))
+        ok = bool(ours >= ref - tol)
+        table.append(dict(optimizer=opt, ref_reward=round(ref, 1),
+                          ours_reward=round(ours, 1), tol=round(tol, 1),
+                          passed=ok))
+    return table
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser()
+    p.add_argument("--episodes", type=int, default=3)
+    p.add_argument("--steps", type=int, default=200)
+    p.add_argument("--optimizers", default="CEM,CMA-ES,PI2,PSO,RandomSearch,SPSA")
+    p.add_argument("--out", default="benchmarks/reference_parity_r3.jsonl")
+    p.add_argument("--skip-reference", action="store_true",
+                   help="only run our side (e.g. no TF available)")
+    args = p.parse_args(argv)
+
+    optimizers = [s.strip() for s in args.optimizers.split(",") if s.strip()]
+    seeds = list(range(args.episodes))
+    ref_rows, our_rows = [], []
+    for opt in optimizers:
+        for seed in seeds:
+            if not args.skip_reference:
+                row = run_reference_episode(opt, seed, args.steps)
+                print(json.dumps(row), flush=True)
+                ref_rows.append(row)
+            row = run_ours_episode(opt, seed, args.steps)
+            print(json.dumps(row), flush=True)
+            our_rows.append(row)
+
+    table = judge(ref_rows, our_rows)
+    with open(args.out, "w") as f:
+        for r in ref_rows + our_rows:
+            f.write(json.dumps(r) + "\n")
+        f.write(json.dumps({"summary": table}) + "\n")
+    print("\n== parity table (mean episode reward, higher is better) ==")
+    for row in table:
+        print(json.dumps(row))
+    failed = [r for r in table if not r["passed"]]
+    print(f"\n{len(table) - len(failed)}/{len(table)} optimizers within tolerance")
+    return 1 if failed else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
