@@ -13,12 +13,13 @@ release = "0.2"
 
 extensions = [
     "sphinx.ext.autodoc",
-    "sphinx.ext.autosummary",
     "sphinx.ext.napoleon",
     "sphinx.ext.viewcode",
 ]
-autosummary_generate = True
 autodoc_member_order = "bysource"
-autodoc_mock_imports = ["jax", "jaxlib", "flax", "optax", "orbax", "tensorboardX"]
+# Hard deps (jax, optax, orbax, numpy) must be importable for a real autodoc build —
+# mocking jax breaks dataclass field defaults (jnp.float32) and pytree registration at
+# import time. Only soft/optional deps are mocked.
+autodoc_mock_imports = ["tensorboardX", "imageio", "gymnasium", "mujoco"]
 html_theme = "alabaster"
 exclude_patterns = ["_build"]
