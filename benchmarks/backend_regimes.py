@@ -129,6 +129,10 @@ def main():
         # flagship (chain 11 matches bench.py's cache) + the fused-CEM A/B: streamed
         # (per-step in-kernel generation) vs the round-1 block kernel.
         (1000, (500, 500, 500), 1, 5, 11, ("xla", "pallas", "fused_cem", "fused_cem_block")),
+        # beyond-HBM: the [P, A, H, U] candidate tensor alone is 4.8 GB (x2 with the XLA
+        # path's workspace copies on a 16 GB v5e) — only the generate-in-kernel fused CEM
+        # can run this shape; measured here so the capacity claim carries a current number.
+        (4_000_000, (64, 64), 1, 1, 3, ("fused_cem",)),
     ]
     if args.quick:
         grid = grid[:1]

@@ -1,18 +1,22 @@
 """Measured rollout-backend auto-selection (``MPCPolicy(rollout_backend="auto")``).
 
-Decision rule distilled from the regime sweep in ``benchmarks/backend_regimes.py``
-(results: ``benchmarks/backend_regimes_r2.jsonl``, one v5e chip, 5 shapes from
-pop=128/MLP-64^2 to the flagship pop=1000/5-member-500^3): **the XLA scan path wins every
-shape that fits in HBM** — by 3% at the smallest (0.290 vs 0.300 ms) up to 5-6x at
-mid-size shapes (the kernel serializes row tiles over its grid while XLA pipelines the whole
-batch), and 17% at the flagship (8.76 vs 10.25 ms, XLA at ~78% of chip peak). Both backends
+Decision rule distilled from the regime sweep in ``benchmarks/backend_regimes.py``, round-3
+hardware run (``benchmarks/backend_regimes_r3.jsonl``, one v5e chip, the STREAMED kernel
+rewrites included): **the XLA scan path wins every shape that fits in HBM, definitively** —
+1.8x at pop=128/MLP-64^2 (0.298 vs 0.539 ms), 2.6-5.5x at mid-size shapes, 1.07x at the
+flagship pop=1000/5-member-500^3 (8.81 vs 9.46 ms best-kernel). The round-2 streamed
+rewrites narrowed the gap substantially (e.g. pop=1000/200^2: 2.75 -> 1.62 ms) but flip no
+regime: the kernels are **capacity-only**, by measurement across two rounds. Both backends
 produce bit-identical chained-solve results on hardware (``chain_result`` fields).
 
-So "auto" never selects the plain pallas rollout kernel — XLA is the measured winner
-wherever both can run. What the fused kernels uniquely provide is **capacity**: the
-generate-in-kernel fused CEM (:mod:`~blackbox_mpc_tpu.ops.pallas_cem`) never materializes
-the candidate tensor, so populations whose [P, A, H, U] tensor exceeds HBM (measured: 8M
-candidates = 9.6 GB x2 on a 16 GB v5e) route there automatically.
+What the fused kernels uniquely provide is capacity: the generate-in-kernel fused CEM
+(:mod:`~blackbox_mpc_tpu.ops.pallas_cem`) never materializes the candidate tensor, so
+populations whose [P, A, H, U] tensor exceeds HBM route there automatically (measured r3:
+4M candidates — a 4.8 GB x2 tensor on a 16 GB v5e — solve in 3.46 s, 289M traj-steps/s).
+Within the fused CEM the BLOCK kernel beats the streamed one everywhere measured (3.46 vs
+5.74 s at 4M; 9.46 vs 10.17 ms at the flagship): per-step candidate generation pads U=6
+lanes to 128 on the VPU (~95% waste in the RNG), while the block kernel synthesizes fully
+packed [T, H*U] noise — so ``make_fused_cem`` defaults to the block kernel.
 """
 from __future__ import annotations
 

@@ -344,13 +344,18 @@ def make_fused_cem(
     reward_fn: Callable,
     *,
     tile: int = 256,
-    streamed: bool = True,
+    streamed: bool = False,
     interpret: bool = False,
 ) -> Solver:
     """CEM solver over the fused kernels (same update rules/state as solvers.cem).
 
     ``dp`` may be a traced value (construct the solver inside the jitted step, as MPCPolicy
     does) so freshly trained params flow in without recompilation.
+
+    ``streamed`` defaults to the BLOCK kernel: measured r3 (backend_regimes_r3.jsonl) the
+    block variant wins every fused-CEM shape (1.66x at the 4M beyond-HBM point, 1.07x at
+    the flagship) — per-step in-kernel generation lane-pads the [T, U] noise block to 128
+    lanes (~95% VPU waste at U=6) while the block kernel synthesizes packed [T, H*U] noise.
     """
     horizon, agents, pop, k = (
         config.planning_horizon, config.num_agents, config.population, config.num_elite,
