@@ -77,6 +77,69 @@ def build_chain(N: int, backend: str, solver: str = "CEM", solver_kw: dict | Non
     return jax.jit(chained), (state, dp, obs)
 
 
+def build_multi_agent_chain(N: int, solver: str):
+    """BASELINE.json config #4: 256 parallel agents x 1k samples on a learned model.
+
+    Exercises the agent-sharded evaluator path (``shard_axis="agents"``: each device owns
+    whole agents, zero solve collectives — parallel/sharding.py) over the device mesh; on
+    one chip the constraint is a layout no-op but the full sharded code path compiles/runs.
+    Model matches the prior multi_agent rows in benchmarks/results_r1.jsonl (MLP 200^2).
+    """
+    from functools import partial as _partial
+
+    from blackbox_mpc_tpu.core.types import Bounds
+    from blackbox_mpc_tpu.models.dynamics import LearnedDynamicsConfig, make_learned_dynamics
+    from blackbox_mpc_tpu.parallel import make_pop_mesh, make_sharded_evaluator
+    from blackbox_mpc_tpu.solvers import make_solver
+
+    agents = 256
+    reward_fn = lambda s, a, ns: ns[:, 0] - 0.1 * jnp.sum(jnp.square(a), axis=-1)  # noqa: E731
+    bounds = Bounds.of(-1.0, 1.0, dim=6)
+    solver_kw = dict(
+        planning_horizon=50, population=1000, num_agents=agents, max_iterations=5
+    )
+    if solver == "CEM":
+        solver_kw["num_elite"] = 50
+    cfg = LearnedDynamicsConfig(dim_s=17, dim_u=6, hidden=(200, 200), ensemble_size=1)
+    init_model, dyn = make_learned_dynamics(cfg)
+    dp = init_model(jax.random.PRNGKey(0))
+    mesh = make_pop_mesh(len(jax.devices()))
+
+    def chained(state, dp, obs, key):
+        evaluate = make_sharded_evaluator(
+            _partial(dyn, dp), reward_fn, mesh, shard_axis="agents"
+        )
+        s = make_solver(solver, bounds, evaluate, **solver_kw)
+
+        def body(carry, k):
+            st, ob = carry
+            action, st, aux = s.solve(st, ob, jnp.asarray(0), k)
+            ob = dyn(dp, ob, action)
+            return (st, ob), aux.expected_reward[0]
+
+        (_, _), rs = jax.lax.scan(body, (state, obs), jax.random.split(key, N))
+        return rs[-1]
+
+    s0 = make_solver(solver, bounds, lambda a, b: jnp.zeros(()), **solver_kw)
+    state = jax.jit(s0.init)(jax.random.PRNGKey(1))
+    obs = jnp.zeros((agents, 17))
+    return jax.jit(chained), (state, dp, obs)
+
+
+def measure_multi_agent(n_chain: int, repeats: int, solver: str):
+    totals = {}
+    for N in (1, n_chain):
+        jfn, (state, dp, obs) = build_multi_agent_chain(N, solver)
+        float(jfn(state, dp, obs, jax.random.PRNGKey(9)))  # compile + warm
+        lat = []
+        for k in jax.random.split(jax.random.PRNGKey(5), repeats):
+            t0 = time.perf_counter()
+            float(jfn(state, dp, obs, k))
+            lat.append(time.perf_counter() - t0)
+        totals[N] = float(np.min(lat))
+    return (totals[n_chain] - totals[1]) / (n_chain - 1)
+
+
 def measure(backend: str, n_chain: int, repeats: int, solver: str = "CEM",
             solver_kw: dict | None = None):
     if n_chain < 2:
@@ -156,6 +219,21 @@ def main():
         except Exception:  # noqa: BLE001 — secondary metric must not kill the headline
             pass
 
+    # Second headline (BASELINE.json config #4): 256-agent vectorized MPC on a learned
+    # model over the agent-sharded evaluator, CEM + PSO.
+    multi_agent = None
+    if os.environ.get("BENCH_MULTIAGENT", "1") != "0" and backend == "xla":
+        multi_agent = {"metric": "multi-agent MPC solves/s/chip "
+                                 "(256 agents x 1k samples, H=50, MLP 200^2, agent-sharded)"}
+        for ma_solver in ("CEM", "PSO"):
+            try:
+                ma = measure_multi_agent(max(3, n_chain // 3), repeats, ma_solver)
+                multi_agent[f"{ma_solver.lower()}_per_solve_ms"] = round(ma * 1e3, 3)
+                multi_agent[f"{ma_solver.lower()}_solves_per_s"] = round(1.0 / ma, 2)
+                multi_agent[f"{ma_solver.lower()}_agent_solves_per_s"] = round(256.0 / ma, 1)
+            except Exception as e:  # noqa: BLE001 — secondary metric must not kill the headline
+                multi_agent[f"{ma_solver.lower()}_error"] = f"{type(e).__name__}: {e}"
+
     flops = analytic_flops_per_solve()
     achieved_tflops = flops / per_solve / 1e12
     kind = jax.devices()[0].device_kind.lower()
@@ -191,6 +269,7 @@ def main():
                 "gradient_planner_solves_per_s": (
                     round(1.0 / gradient_per_solve, 1) if gradient_per_solve else None
                 ),
+                "multi_agent": multi_agent,
                 "pallas_numerics": pallas_numerics_check(),
                 "backend": backend,
                 "device": str(jax.devices()[0]),
