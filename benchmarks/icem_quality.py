@@ -53,12 +53,14 @@ def budget(population, num_elite, iters, solver_kw):
 
 def episode_reward(task, solver_kw, steps, seed):
     env_cls, dynamics, reward, horizon = TASKS[task]
+    solver_kw = dict(solver_kw)
+    population = solver_kw.pop("population", 512)
     env = env_cls(num_envs=1, seed=seed, max_episode_steps=steps)
     policy = MPCPolicy(
         action_space=env.action_space, reward_function=reward,
         dynamics_handler=DynamicsHandler(true_model=dynamics),
         solver_name="CEM", planning_horizon=horizon, num_agents=1,
-        population=512, num_elite=50, max_iterations=5, seed=seed, **solver_kw,
+        population=population, num_elite=50, max_iterations=5, seed=seed, **solver_kw,
     )
     obs = env.reset_down()
     total = 0.0
@@ -74,13 +76,36 @@ def main():
     p = argparse.ArgumentParser()
     p.add_argument("--steps", type=int, default=250)
     p.add_argument("--seeds", type=int, default=3)
-    p.add_argument("--out", default=os.path.join(_HERE, "results_r2.jsonl"))
+    p.add_argument("--ablation", action="store_true",
+                   help="equal-budget CEM + per-feature ablations (VERDICT r2 item 5)")
+    p.add_argument("--out", default=os.path.join(_HERE, "results_r3.jsonl"))
     args = p.parse_args()
     device = jax.devices()[0].device_kind
+    icem_budget = budget(512, 50, 5, ICEM_KW)
     configs = [
         ("CEM", {}, budget(512, 50, 5, {})),
         ("iCEM", ICEM_KW, budget(512, 50, 5, ICEM_KW)),
     ]
+    if args.ablation:
+        # Equal-sample-budget plain CEM: same TOTAL rollouts/solve as the iCEM preset,
+        # spread evenly over the 5 iterations — isolates "fewer samples" from "iCEM
+        # features" in the comparison.
+        matched_pop = max(icem_budget // 5, 100)
+        configs += [
+            ("CEM-matched-budget",
+             {"population": matched_pop}, budget(matched_pop, 50, 5, {})),
+        ]
+        # Single-feature ablations on top of plain CEM (full 2560 budget except decay).
+        for tag, kw in [
+            ("colored-only", dict(colored_noise_beta=1.0)),
+            ("keep-elites-only", dict(keep_elites=5)),
+            ("decay-only", dict(population_decay=0.7)),
+            ("mean-candidate-only", dict(mean_as_candidate=True)),
+            ("execute-best-only", dict(execute_best=True)),
+            ("icem-minus-colored", {k: v for k, v in ICEM_KW.items()
+                                    if k != "colored_noise_beta"}),
+        ]:
+            configs.append((tag, kw, budget(512, 50, 5, kw)))
     with open(args.out, "a") as f:
         for task in TASKS:
             for name, kw, samples in configs:
