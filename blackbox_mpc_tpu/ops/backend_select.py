@@ -69,26 +69,32 @@ def choose_backend(
     if config.activation not in ("tanh", "relu", "gelu"):
         return "xla"
     rows = population * num_agents
-    if config.propagation == "ts1" and config.ensemble_size > 1 and rows % config.ensemble_size:
-        return "xla"
-    if PALLAS_MAX_WIDTH and max(config.hidden) <= PALLAS_MAX_WIDTH and rows <= PALLAS_MAX_ROWS:
+    if (
+        PALLAS_MAX_WIDTH
+        and max(config.hidden) <= PALLAS_MAX_WIDTH
+        and rows <= PALLAS_MAX_ROWS
+        # the rollout kernel's ts1 member-major permutation needs rows % E == 0
+        and not (config.propagation == "ts1" and config.ensemble_size > 1
+                 and rows % config.ensemble_size)
+    ):
         return "pallas"
     # Beyond-HBM populations: only the generate-in-kernel fused CEM can run them at all.
+    # iCEM colored noise, keep_elites, mean-as-candidate, execute-best, and ts1 are
+    # in-kernel features since round 3 (ops/pallas_cem.py); the counter budget for colored
+    # noise is (H+2)*U per row (the spectral G block) instead of H*U.
     candidate_bytes = rows * horizon * dim_u * 4
+    rng_cols = (
+        ((horizon // 2 + 1) * 2) * dim_u
+        if getattr(solver_config, "colored_noise_beta", 0.0) > 0.0
+        else horizon * dim_u
+    )
     if (
         solver_name == "CEM"
         and candidate_bytes >= FUSED_CEM_MIN_BYTES
-        and config.propagation == "mean"
-        and rows * horizon * dim_u < 2**32  # in-kernel RNG counter range
-        # iCEM features make_fused_cem rejects: the kernel samples white noise and
-        # regenerates a fixed-size candidate tile set in-kernel, so colored noise,
-        # elite persistence, population decay, and the mean/best-candidate tricks must
-        # stay on the XLA path rather than crash the auto route at first act().
-        and getattr(solver_config, "colored_noise_beta", 0.0) == 0.0
-        and getattr(solver_config, "keep_elites", 0) == 0
+        and config.propagation in ("mean", "ts1")
+        and rows * rng_cols < 2**32  # in-kernel RNG counter range
+        # population_decay needs per-iteration kernel shapes — still XLA-only.
         and getattr(solver_config, "population_decay", 1.0) == 1.0
-        and not getattr(solver_config, "mean_as_candidate", False)
-        and not getattr(solver_config, "execute_best", False)
     ):
         return "fused_cem"
     return "xla"

@@ -15,6 +15,14 @@ backend-portable, no hardware PRNG state):
   ``mask^T @ samples`` on the MXU — the elite gather becomes a [T, A] x [T, HU] contraction,
   no candidate ever touching HBM.
 
+Round-3 feature parity with the XLA CEM (``solvers/cem.py``), all in-kernel: TS-1 ensemble
+propagation (one member per tile, scalar-prefetched), iCEM colored noise (white gaussians
+pushed through a fixed spectral basis — one extra MXU matmul), keep_elites and
+mean-as-candidate (the last population slots read from a tiny injected-candidate buffer),
+and execute-best (elite values regenerated outside the kernels by the jnp mirror of the
+counter RNG, :func:`_mirror_z`). Only ``population_decay`` stays XLA-only (per-iteration
+kernel shapes).
+
 ``make_fused_cem`` wraps both into a CEM solver with the same update rules/state as
 :mod:`blackbox_mpc_tpu.solvers.cem`. It is not in ``SOLVER_REGISTRY`` (its factory needs the
 dynamics config + params, not an evaluator); construct it directly inside a jitted step.
@@ -61,21 +69,83 @@ def _uniform(counter: jax.Array, seed: jax.Array) -> jax.Array:
     return (top24 + 0.5) * (1.0 / 16777216.0)
 
 
-def _sample_tile(seed_ref, tile_id, t_rows: int, n_flat: int):
-    """Deterministic clipped-N(0,1) candidate block [T, n_flat] for one tile.
-
-    Counter-based (element index + seed -> murmur3 mix -> Box-Muller): both kernels
-    regenerate bit-identical streams for the same (seed, global row), on any backend —
-    no hardware PRNG state involved.
-    """
-    seed = seed_ref[0]
-    row_ids = tile_id * t_rows + jax.lax.broadcasted_iota(jnp.int32, (t_rows, n_flat), 0)
-    col_ids = jax.lax.broadcasted_iota(jnp.int32, (t_rows, n_flat), 1)
-    counter = row_ids * n_flat + col_ids
+def _normal(counter: jax.Array, seed: jax.Array) -> jax.Array:
+    """Counter-based N(0,1) via Box-Muller (unclipped)."""
     u1 = _uniform(counter, seed)
     u2 = _uniform(counter, seed + jnp.int32(0x632BE5AB))
-    z = jnp.sqrt(-2.0 * jnp.log(u1)) * jnp.cos(_TWO_PI * u2)
-    return jnp.clip(z, -2.0, 2.0)
+    return jnp.sqrt(-2.0 * jnp.log(u1)) * jnp.cos(_TWO_PI * u2)
+
+
+def _colored_basis2(horizon: int, dim_u: int, beta: float) -> np.ndarray:
+    """[U*2F, H*U] spectral-synthesis basis reproducing ``solvers.base.colored_noise``.
+
+    colored_noise draws a white complex spectrum g1 + i*g2 over F = H//2+1 rfft bins,
+    scales bin k by (k+1)^(-beta/2), and irffts over H. irfft is linear, so the signal is
+    an exact linear map of the 2F white gaussians: precompute the irfft of each unit
+    basis vector (numpy, trace time) and the in-kernel transform becomes ONE MXU matmul
+    ``G [T, U*2F] @ basis2`` producing the action-layout block (col = h*U + u). Per-u
+    blocks are disjoint (block-diagonal after the (u, k) -> u*2F + k packing).
+    """
+    nfreq = horizon // 2 + 1
+    scale = np.arange(1, nfreq + 1, dtype=np.float64) ** (-beta / 2.0)
+    # real/imag unit responses: irfft(e_k) and irfft(i*e_k), each [H]
+    basis = np.zeros((2 * nfreq, horizon), np.float64)
+    for k in range(nfreq):
+        spec = np.zeros(nfreq, np.complex128)
+        spec[k] = scale[k]
+        basis[2 * k] = np.fft.irfft(spec, n=horizon)
+        spec[k] = 1j * scale[k]
+        basis[2 * k + 1] = np.fft.irfft(spec, n=horizon)
+    big = np.zeros((dim_u * 2 * nfreq, horizon * dim_u), np.float32)
+    for u in range(dim_u):
+        big[u * 2 * nfreq:(u + 1) * 2 * nfreq, u::dim_u] = basis
+    return big
+
+
+def _gen_z(counter: jax.Array, seed: jax.Array, basis2) -> jax.Array:
+    """Deterministic clipped z block from int32 counters; shared by both kernels AND the
+    jnp mirror (plain jnp ops — legal in Mosaic and in XLA), so candidate streams are
+    identical everywhere.
+
+    White (``basis2 is None``): counter is [N, n_flat]; z = clipped-N(0,1) (+/-2 sigma —
+    a clipped rather than resampled truncated normal; indistinguishable for elite
+    selection). Colored: counter is [N, U*2F]; white gaussians are pushed through the
+    spectral basis (one matmul), normalized to unit std per row over the whole (H, U)
+    sequence (matching ``solvers.base.colored_noise``), then clipped at +/-2.
+    """
+    g = _normal(counter, seed)
+    if basis2 is None:
+        return jnp.clip(g, -2.0, 2.0)
+    sig = jnp.dot(g, basis2, preferred_element_type=jnp.float32)  # [N, H*U]
+    mu = jnp.mean(sig, axis=1, keepdims=True)
+    std = jnp.sqrt(jnp.maximum(jnp.mean(jnp.square(sig - mu), axis=1, keepdims=True), 0.0))
+    return jnp.clip(sig / (std + 1e-8), -2.0, 2.0)
+
+
+def _tile_counter(row0, t_rows: int, n_cols: int):
+    """[T, C] element counters for rows [row0, row0+T) (row-major: counter = row*C + col)."""
+    row_ids = row0 + jax.lax.broadcasted_iota(jnp.int32, (t_rows, n_cols), 0)
+    col_ids = jax.lax.broadcasted_iota(jnp.int32, (t_rows, n_cols), 1)
+    return row_ids * n_cols + col_ids
+
+
+def _sample_tile(seed_ref, tile_id, t_rows: int, n_flat: int):
+    """White clipped-N(0,1) candidate block [T, n_flat] for one tile (streamed kernel)."""
+    return _gen_z(_tile_counter(tile_id * t_rows, t_rows, n_flat), seed_ref[0], None)
+
+
+def _mirror_z(seed, row_ids, n_flat: int, basis2=None) -> jax.Array:
+    """jnp mirror of the in-kernel stream for arbitrary (non-contiguous) rows [N].
+
+    Used by the fused solver to extract elite VALUES (carried elites, execute-best plans)
+    without ever materializing the population — regenerates just the N requested rows.
+    Same counters, same math as ``_gen_z`` in the kernels (XLA vs Mosaic transcendentals
+    may differ in the last ulp, which only perturbs re-injected candidate values, never
+    the in-kernel moment reduction).
+    """
+    n_cols = n_flat if basis2 is None else basis2.shape[0]
+    counter = row_ids[:, None].astype(jnp.int32) * n_cols + jnp.arange(n_cols, dtype=jnp.int32)
+    return _gen_z(counter, jnp.asarray(seed, jnp.int32), basis2)
 
 
 
@@ -88,17 +158,38 @@ def make_fused_cem_kernels(
     agents: int,
     population: int,
     tile: int = 256,
-    streamed: bool = True,
+    streamed: bool = False,
     interpret: bool = False,
+    colored_noise_beta: float = 0.0,
+    extra_slots: int = 0,
 ):
     """Builds (rollout_rewards, elite_moments) for the fused CEM iteration.
 
-    rollout_rewards(dp, s0 [A,S], mean [A,H,U], std [A,H,U], seed) -> rewards [P, A]
-    elite_moments(mean, std, seed, mask [P, A]) -> CENTERED elite moments
+    rollout_rewards(dp, s0 [A,S], mean [A,H,U], std [A,H,U], seed[, extra]) -> rewards [P, A]
+    elite_moments(mean, std, seed, mask [P, A][, extra]) -> CENTERED elite moments
         (sum of (x - mean), sum of (x - mean)^2), each [A, H*U]
 
-    Constraints: deterministic MLP ensemble with mean propagation; rows are laid out
-    population-major (row = p * A + a), matching the flattened evaluator convention.
+    Constraints: deterministic MLP ensemble with ``"mean"`` or ``"ts1"`` propagation; rows
+    are laid out population-major (row = p * A + a), matching the flattened evaluator
+    convention. TS-1 assigns one ensemble member per TILE (a seeded balanced shuffle over
+    tiles — coarser than the XLA path's per-row ``ts_member_ids`` but statistically
+    equivalent: candidates are iid across rows, every candidate runs exactly one member,
+    members are used with equal frequency to within one tile); the assignment is exposed
+    as ``rollout_rewards.tile_member_ids`` / ``.tile_rows`` for verification.
+
+    ``colored_noise_beta > 0`` generates iCEM temporally colored candidates in-kernel (one
+    extra MXU matmul against a fixed spectral basis — see :func:`_colored_basis2`); the
+    XLA path clips colored samples to bounds while this kernel clips z at +/-2 sigma (the
+    white-path convention that keeps kernel B's centered moments exact).
+
+    ``extra_slots > 0`` reserves the LAST ``extra_slots`` population indices for INJECTED
+    candidates (iCEM keep_elites / mean-as-candidate): both kernels take an additional
+    ``extra [extra_slots * agents, H*U]`` operand (slot e, agent a at flat row e*A + a)
+    and rows with p >= population - extra_slots read their actions from it instead of the
+    RNG stream. The buffer is tiny (tens of rows), so injection costs one one-hot matmul.
+
+    The new features run on the BLOCK kernels only (the measured-default path —
+    backend_regimes_r3.jsonl); ``streamed=True`` with any feature raises.
 
     ``streamed=True`` (default): the rollout kernel runs on a (tiles, horizon) grid and
     synthesizes step h's actions *inside* step h from the counter-based RNG — the [T, H*U]
@@ -109,21 +200,44 @@ def make_fused_cem_kernels(
     regeneration keeps matching either way. ``streamed=False`` keeps the round-1 block
     kernel (one grid dim, whole action block in VMEM) for A/B comparison.
     """
-    kc.check_kernel_support(config, "fused CEM")
+    kc.check_kernel_support(config, "fused CEM", allow_ts1=True)
     dim_s, dim_u = config.dim_s, config.dim_u
     ensemble = config.ensemble_size
+    ts1 = ensemble > 1 and config.propagation == "ts1"
     compute_dtype = jnp.dtype(config.compute_dtype)
     n_flat = horizon * dim_u
     rows = population * agents
-    if rows * n_flat >= 2**32:
+    colored = colored_noise_beta > 0.0
+    basis2_np = _colored_basis2(horizon, dim_u, colored_noise_beta) if colored else None
+    n_cols = basis2_np.shape[0] if colored else n_flat  # RNG counters per row
+    fresh_pop = population - extra_slots
+    if extra_slots and fresh_pop < 1:
+        raise ValueError(f"extra_slots ({extra_slots}) must leave >= 1 fresh candidate")
+    if streamed and (colored or extra_slots or ts1):
+        raise ValueError(
+            "colored noise / injected candidates / ts1 run on the block fused-CEM kernels "
+            "(the measured default); streamed=True supports the plain white-noise path only"
+        )
+    if rows * n_cols >= 2**32:
         # The counter-based RNG indexes elements with int32 arithmetic (uint32 wrap);
         # beyond 2^32 elements counters collide and candidates silently duplicate.
         raise ValueError(
-            f"fused CEM candidate tensor has {rows * n_flat} elements (>= 2^32); "
+            f"fused CEM candidate stream has {rows * n_cols} elements (>= 2^32); "
             "the int32 RNG counters would collide — reduce population/horizon"
         )
     padded_rows = _round_up(rows, tile)
     n_tiles = padded_rows // tile
+    if ts1:
+        # One member per tile: a seeded balanced shuffle over tiles (same spirit and seed
+        # as models.dynamics.ts_member_ids, tile-granular so each tile runs exactly one
+        # member's weights via scalar prefetch — the rollout kernel's scheme, ported).
+        if n_tiles < ensemble:
+            raise ValueError(
+                f"ts1 fused CEM needs >= {ensemble} tiles (rows={rows}, tile={tile}) so "
+                "every ensemble member is used; raise population or lower tile"
+            )
+        tile_members = np.resize(np.arange(ensemble, dtype=np.int32), n_tiles)
+        np.random.default_rng(0x75B007).shuffle(tile_members)
     # Use the TPU-semantics interpreter for CPU testing (matches Mosaic op behavior).
     interpret_mode = pltpu.InterpretParams() if interpret else False
 
@@ -137,17 +251,51 @@ def make_fused_cem_kernels(
         std_rows = jnp.dot(onehot, std_ref[:], preferred_element_type=jnp.float32)
         return mean_rows, std_rows, onehot
 
+    def _inject_lookup(tile_id, extra_ref):
+        """Values for rows owned by injected population slots (p >= fresh_pop), gathered
+        from the extra buffer via a one-hot matmul (no dynamic VMEM gathers).
+        Returns (inj_vals [T, H*U] — zeros on non-injected rows, mask [T, 1] bool)."""
+        row_ids = tile_id * tile + jax.lax.broadcasted_iota(jnp.int32, (tile, 1), 0)[:, 0]
+        p_ids = jax.lax.div(row_ids, jnp.int32(agents))
+        a_ids = jax.lax.rem(row_ids, jnp.int32(agents))
+        is_inj = jnp.logical_and(p_ids >= fresh_pop, p_ids < population)
+        inj_idx = jnp.clip(
+            (p_ids - fresh_pop) * agents + a_ids, 0, extra_slots * agents - 1
+        )
+        onehot = (
+            inj_idx[:, None]
+            == jax.lax.broadcasted_iota(jnp.int32, (tile, extra_slots * agents), 1)
+        ).astype(jnp.float32) * is_inj.astype(jnp.float32)[:, None]
+        inj_vals = jnp.dot(onehot, extra_ref[:], preferred_element_type=jnp.float32)
+        return inj_vals, is_inj[:, None]
+
     # ---------------- Kernel A: sample + rollout -> rewards ----------------
 
-    def kernel_a(seed_ref, s0_ref, mean_ref, std_ref, stats_ref, *wb_refs):
+    def kernel_a(*refs):
+        if ts1:
+            seed_ref, member_ref, *refs = refs
+            member = member_ref[pl.program_id(0)]
+        else:
+            seed_ref, *refs = refs
+            member = None
+        s0_ref, mean_ref, std_ref, *refs = refs
+        basis_ref = refs.pop(0) if colored else None
+        extra_ref = refs.pop(0) if extra_slots else None
+        stats_ref, *wb_refs = refs
         out_ref = wb_refs[-1]
         weight_refs = wb_refs[:-1]
         tile_id = pl.program_id(0)
-        z = _sample_tile(seed_ref, tile_id, tile, n_flat)
+        counter = _tile_counter(tile_id * tile, tile, n_cols)
+        z = _gen_z(counter, seed_ref[0], basis_ref[:] if colored else None)
         mean_rows, std_rows, _ = _row_stats(mean_ref, std_ref, tile_id)
         actions0 = mean_rows + std_rows * z  # [T, H*U]
+        if extra_slots:
+            inj_vals, inj_mask = _inject_lookup(tile_id, extra_ref)
+            actions0 = jnp.where(inj_mask, inj_vals, actions0)
 
-        step_fn = kc.build_step_fn(config, reward_fn, stats_ref[:], weight_refs)
+        step_fn = kc.build_step_fn(
+            config, reward_fn, stats_ref[:], weight_refs, member=member
+        )
 
         def step(t, carry):
             # The action block rides in the loop carry: step t's actions are the leading
@@ -248,14 +396,23 @@ def make_fused_cem_kernels(
 
     # ---------------- Kernel B: regenerate + masked elite reduction ----------------
 
-    def kernel_b(seed_ref, mean_ref, std_ref, mask_ref, sum_ref, sumsq_ref):
+    def kernel_b(seed_ref, mean_ref, std_ref, *refs):
+        basis_ref = refs[0] if colored else None
+        refs = refs[1:] if colored else refs
+        extra_ref = refs[0] if extra_slots else None
+        refs = refs[1:] if extra_slots else refs
+        mask_ref, sum_ref, sumsq_ref = refs
         tile_id = pl.program_id(0)
-        z = _sample_tile(seed_ref, tile_id, tile, n_flat)
+        counter = _tile_counter(tile_id * tile, tile, n_cols)
+        z = _gen_z(counter, seed_ref[0], basis_ref[:] if colored else None)
         mean_rows, std_rows, onehot = _row_stats(mean_ref, std_ref, tile_id)
         # Reduce CENTERED moments (sample - sampling mean = std*z): E[x^2]-mean^2 on raw
         # samples cancels catastrophically in fp32 for large-magnitude action bounds, while
         # centered values are O(2 sigma). The caller reconstructs mean/var from these.
         centered = std_rows * z  # [T, H*U]
+        if extra_slots:
+            inj_vals, inj_mask = _inject_lookup(tile_id, extra_ref)
+            centered = jnp.where(inj_mask, inj_vals - mean_rows, centered)
         # mask_ref is [T, 1]: row r's elite membership (for its own agent); the one-hot
         # restricts the reduction to the owning agent's column.
         mask = mask_ref[:] * onehot  # [T, A]
@@ -270,7 +427,22 @@ def make_fused_cem_kernels(
         sum_ref[:] += part_sum
         sumsq_ref[:] += part_sq
 
-    def rollout_rewards(dp: DynamicsParams, s0, mean, std, seed):
+    basis2 = jnp.asarray(basis2_np) if colored else None
+
+    def _feature_operands(extra):
+        """The optional [basis], [extra] operands + their (full-array) specs, in order."""
+        ops, specs = [], []
+        if colored:
+            ops.append(basis2)
+            specs.append(pl.BlockSpec(memory_space=pltpu.VMEM))
+        if extra_slots:
+            if extra is None:
+                raise ValueError("extra_slots > 0: pass extra [extra_slots*agents, H*U]")
+            ops.append(extra.reshape(extra_slots * agents, n_flat).astype(jnp.float32))
+            specs.append(pl.BlockSpec(memory_space=pltpu.VMEM))
+        return ops, specs
+
+    def rollout_rewards(dp: DynamicsParams, s0, mean, std, seed, extra=None):
         # s0 [A,S] tiled to rows; mean/std [A,H,U] -> [A, H*U]
         s0_rows = jnp.tile(s0.astype(jnp.float32), (population, 1))
         if padded_rows != rows:
@@ -279,16 +451,20 @@ def make_fused_cem_kernels(
         std_f = std.reshape(agents, n_flat).astype(jnp.float32)
         nstats = kc.stats_matrix(dp, dim_s, dim_u)
         weight_args = kc.weight_operands(dp, ensemble, compute_dtype)
-        seed_arr = jnp.asarray([seed], jnp.int32)
+        feat_ops, feat_specs = _feature_operands(extra)
+        prefetch = [jnp.asarray([seed], jnp.int32)]
+        if ts1:
+            prefetch.append(jnp.asarray(tile_members))
         grid_spec = pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=1,
+            num_scalar_prefetch=len(prefetch),
             grid=(n_tiles,),
             in_specs=[
                 pl.BlockSpec((tile, dim_s), lambda i, *_: (i, 0), memory_space=pltpu.VMEM),
                 pl.BlockSpec(memory_space=pltpu.VMEM),  # mean
                 pl.BlockSpec(memory_space=pltpu.VMEM),  # std
-                pl.BlockSpec(memory_space=pltpu.VMEM),  # norm stats
             ]
+            + feat_specs
+            + [pl.BlockSpec(memory_space=pltpu.VMEM)]  # norm stats
             + [pl.BlockSpec(memory_space=pltpu.VMEM) for _ in weight_args],
             out_specs=pl.BlockSpec((tile, 1), lambda i, *_: (i, 0), memory_space=pltpu.VMEM),
         )
@@ -297,10 +473,16 @@ def make_fused_cem_kernels(
             out_shape=jax.ShapeDtypeStruct((padded_rows, 1), jnp.float32),
             grid_spec=grid_spec,
             interpret=interpret_mode,
-        )(seed_arr, s0_rows, mean_f, std_f, nstats, *weight_args)
+        )(*prefetch, s0_rows, mean_f, std_f, *feat_ops, nstats, *weight_args)
         return total[:rows, 0].reshape(population, agents)
 
-    def elite_moments(mean, std, seed, mask):
+    if ts1:
+        # Verification hooks: tile t covers rows [t*tile, (t+1)*tile) and runs member
+        # tile_member_ids[t] (tests cross-check against per-member XLA dynamics).
+        rollout_rewards.tile_member_ids = tile_members
+        rollout_rewards.tile_rows = tile
+
+    def elite_moments(mean, std, seed, mask, extra=None):
         """mask: [P, A] elite membership. Row r = p*A + a owns exactly mask[p, a] =
         mask.reshape(rows)[r], so the kernel needs only the flat per-row column."""
         mean_f = mean.reshape(agents, n_flat).astype(jnp.float32)
@@ -309,14 +491,16 @@ def make_fused_cem_kernels(
         if padded_rows != rows:
             mask_rows = jnp.pad(mask_rows, ((0, padded_rows - rows), (0, 0)))
         seed_arr = jnp.asarray([seed], jnp.int32)
+        feat_ops, feat_specs = _feature_operands(extra)
         grid_spec = pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
             grid=(n_tiles,),
             in_specs=[
                 pl.BlockSpec(memory_space=pltpu.VMEM),  # mean
                 pl.BlockSpec(memory_space=pltpu.VMEM),  # std
-                pl.BlockSpec((tile, 1), lambda i, *_: (i, 0), memory_space=pltpu.VMEM),
-            ],
+            ]
+            + feat_specs
+            + [pl.BlockSpec((tile, 1), lambda i, *_: (i, 0), memory_space=pltpu.VMEM)],
             out_specs=(
                 pl.BlockSpec(memory_space=pltpu.VMEM),
                 pl.BlockSpec(memory_space=pltpu.VMEM),
@@ -330,7 +514,7 @@ def make_fused_cem_kernels(
             ),
             grid_spec=grid_spec,
             interpret=interpret_mode,
-        )(seed_arr, mean_f, std_f, mask_rows)
+        )(seed_arr, mean_f, std_f, *feat_ops, mask_rows)
         return sums, sumsq
 
     return (rollout_rewards_streamed if streamed else rollout_rewards), elite_moments
@@ -360,34 +544,33 @@ def make_fused_cem(
     horizon, agents, pop, k = (
         config.planning_horizon, config.num_agents, config.population, config.num_elite,
     )
+    keep = getattr(config, "keep_elites", 0)
+    mean_as_candidate = getattr(config, "mean_as_candidate", False)
+    execute_best = getattr(config, "execute_best", False)
+    beta = getattr(config, "colored_noise_beta", 0.0)
     if k > pop:
         raise ValueError(f"num_elite ({k}) must be <= population ({pop})")
-    if getattr(config, "colored_noise_beta", 0.0) > 0.0:
+    reserved = 1 + (1 if mean_as_candidate else 0)
+    if not 0 <= keep <= min(k, pop - reserved):
         raise ValueError(
-            "fused CEM samples white clipped normals in-kernel; colored_noise_beta is not "
-            "supported — use the standard CEM solver for iCEM colored noise"
-        )
-    if getattr(config, "keep_elites", 0) > 0:
-        raise ValueError(
-            "fused CEM regenerates candidates in-kernel each iteration; keep_elites "
-            "persistence is not supported — use the standard CEM solver"
+            f"keep_elites ({keep}) must be in [0, min(num_elite, population - {reserved})]"
         )
     if getattr(config, "population_decay", 1.0) != 1.0:
         raise ValueError(
             "fused CEM compiles one fixed-population kernel; population_decay is not "
             "supported — use the standard CEM solver"
         )
-    if getattr(config, "mean_as_candidate", False) or getattr(config, "execute_best", False):
-        raise ValueError(
-            "fused CEM does not support mean_as_candidate/execute_best — use the "
-            "standard CEM solver"
-        )
     alpha = config.alpha
+    n_flat = horizon * bounds.dim
+    extra_slots = keep + (1 if mean_as_candidate else 0)
+    fresh_pop = pop - extra_slots
+    basis2 = jnp.asarray(_colored_basis2(horizon, bounds.dim, beta)) if beta > 0 else None
     rollout_rewards, elite_moments = make_fused_cem_kernels(
         dyn_config, reward_fn,
         horizon=horizon, agents=agents, population=pop, tile=tile, streamed=streamed,
-        interpret=interpret,
+        interpret=interpret, colored_noise_beta=beta, extra_slots=extra_slots,
     )
+    n_extract = max(keep, 1 if execute_best else 0)
 
     def init(key: jax.Array) -> CEMState:
         del key
@@ -396,40 +579,103 @@ def make_fused_cem(
             variance=base.init_solution_variance(bounds, horizon, agents),
         )
 
+    def extract_values(seed, mean_f, std_f, elite_idx_cols, extra_flat):
+        """Elite VALUES [A, n, H*U] for population indices elite_idx_cols [A, n] — the jnp
+        mirror regenerates just those rows; injected slots read the extra buffer back."""
+        p = elite_idx_cols  # [A, n]
+        row_ids = (p * agents + jnp.arange(agents)[:, None]).reshape(-1)  # row = p*A + a
+        z = _mirror_z(seed, row_ids, n_flat, basis2).reshape(agents, -1, n_flat)
+        vals = mean_f[:, None, :] + std_f[:, None, :] * z
+        if extra_slots:
+            slot = jnp.clip(p - fresh_pop, 0, extra_slots - 1)  # [A, n]
+            inj = jnp.take_along_axis(
+                extra_flat.reshape(extra_slots, agents, n_flat).transpose(1, 0, 2),
+                slot[:, :, None], axis=1,
+            )
+            vals = jnp.where((p >= fresh_pop)[:, :, None], inj, vals)
+        return vals
+
     def solve(state: CEMState, obs: jax.Array, t: jax.Array, key: jax.Array):
         del t
 
         def iteration(_, carry):
-            mean, var, key, _ = carry
+            mean, var, key, _, best_val, best_plan, carried = carry
             key, seed_key = jax.random.split(key)
             seed = jax.random.randint(seed_key, (), 0, jnp.iinfo(jnp.int32).max)
             constrained = base.constrain_variance(mean, var, bounds)
             std = jnp.sqrt(constrained)
-            rewards = rollout_rewards(dp, obs, mean, std, seed)  # [P, A]
+            mean_f = mean.reshape(agents, n_flat)
+            std_f = std.reshape(agents, n_flat)
+            extra = None
+            if extra_slots:
+                # Injected slots, [extra_slots, A, n_flat]: mean-as-candidate first, then
+                # the carried elites (order is arbitrary but fixed).
+                parts = []
+                if mean_as_candidate:
+                    parts.append(bounds.clip(mean).reshape(agents, n_flat)[None])
+                if keep:
+                    parts.append(jnp.swapaxes(carried, 0, 1))
+                extra = jnp.concatenate(parts, axis=0) if len(parts) > 1 else parts[0]
+            rewards = rollout_rewards(dp, obs, mean, std, seed, *(
+                (extra,) if extra_slots else ()))  # [P, A]
             rewards = jnp.where(jnp.isnan(rewards), jnp.float32(-1e6), rewards)
             elite_vals, elite_idx = jax.lax.top_k(rewards.T, k)  # [A, k]
             mask = jnp.zeros((pop, agents), jnp.float32).at[
                 elite_idx.T, jnp.arange(agents)[None, :]
             ].set(1.0)
-            csum, csumsq = elite_moments(mean, std, seed, mask)  # centered moments
+            csum, csumsq = elite_moments(mean, std, seed, mask, *(
+                (extra,) if extra_slots else ()))  # centered moments
             delta = (csum / k).reshape(agents, horizon, bounds.dim)
             new_mean = mean + delta  # sampling mean + mean of centered elite offsets
             new_var = (csumsq / k).reshape(agents, horizon, bounds.dim) - jnp.square(delta)
             new_var = jnp.maximum(new_var, 0.0)
+            if n_extract:
+                vals = extract_values(
+                    seed, mean_f, std_f, elite_idx[:, :n_extract],
+                    extra.reshape(extra_slots * agents, n_flat) if extra_slots else None,
+                )  # [A, n_extract, n_flat] ranked best-first
+                if keep:
+                    carried = vals[:, :keep]
+                if execute_best:
+                    top_val = elite_vals[:, 0]
+                    improve = top_val > best_val
+                    best_val = jnp.where(improve, top_val, best_val)
+                    best_plan = jnp.where(improve[:, None], vals[:, 0], best_plan)
             mean = alpha * mean + (1.0 - alpha) * new_mean
             var = alpha * var + (1.0 - alpha) * new_var
-            return mean, var, key, jnp.mean(elite_vals, axis=1)
+            return mean, var, key, jnp.mean(elite_vals, axis=1), best_val, best_plan, carried
 
         best0 = jnp.full((agents,), -jnp.inf, dtype=state.mean.dtype)
-        mean, var, _, elite_reward = jax.lax.fori_loop(
-            0, config.max_iterations, iteration, (state.mean, state.variance, key, best0)
+        if keep:
+            # Initial carried elites: init-sampled placeholders around the incoming plan
+            # distribution (mirrors solvers.cem.init_carried), via the counter RNG.
+            key, seed_key = jax.random.split(key)
+            seed0 = jax.random.randint(seed_key, (), 0, jnp.iinfo(jnp.int32).max)
+            z0 = _mirror_z(seed0, jnp.arange(keep * agents), n_flat, basis2)
+            carried0 = (
+                state.mean.reshape(agents, n_flat)[:, None]
+                + jnp.sqrt(state.variance).reshape(agents, n_flat)[:, None]
+                * z0.reshape(keep, agents, n_flat).transpose(1, 0, 2)
+            )
+        else:
+            carried0 = jnp.zeros((agents, 0, n_flat), state.mean.dtype)
+        plan0 = state.mean.reshape(agents, n_flat)
+        mean, var, _, elite_reward, best_val, best_plan, _ = jax.lax.fori_loop(
+            0, config.max_iterations, iteration,
+            (state.mean, state.variance, key, best0, best0, plan0, carried0),
         )
-        action = mean[:, 0]
+        if execute_best:
+            best_plan = best_plan.reshape(agents, horizon, bounds.dim)
+            action = best_plan[:, 0]
+            aux = SolverAux(expected_reward=best_val, plan=best_plan)
+        else:
+            action = mean[:, 0]
+            aux = SolverAux(expected_reward=elite_reward, plan=mean)
         if config.warm_start:
             next_state = CEMState(mean=base.shift_time(mean), variance=state.variance)
         else:
             next_state = state
-        return action, next_state, SolverAux(expected_reward=elite_reward, plan=mean)
+        return action, next_state, aux
 
     def reset(state: CEMState, key: jax.Array) -> CEMState:
         del state

@@ -132,7 +132,10 @@ def test_cem_gd_supports_decay_and_rejects_execute_best():
         )
 
 
-def test_fused_cem_and_auto_reject_new_flags():
+def test_fused_cem_auto_routes_icem_flags_and_rejects_decay():
+    """Round 3: the fused CEM supports the iCEM feature set in-kernel, so the auto route
+    keeps beyond-HBM populations on the fused path; only population_decay (per-iteration
+    kernel shapes) still falls back to XLA."""
     from blackbox_mpc_tpu.models.dynamics import LearnedDynamicsConfig
     from blackbox_mpc_tpu.ops.backend_select import choose_backend
 
@@ -140,8 +143,11 @@ def test_fused_cem_and_auto_reject_new_flags():
     common = dict(population=8_000_000, num_agents=1, platform="tpu",
                   horizon=50, dim_u=6, solver_name="CEM")
     base_kw = dict(planning_horizon=50, population=8_000_000, num_elite=50)
-    for flag in (dict(population_decay=0.5), dict(mean_as_candidate=True),
-                 dict(execute_best=True)):
+    for flag in (dict(mean_as_candidate=True), dict(execute_best=True),
+                 dict(keep_elites=20), dict(colored_noise_beta=2.0)):
         assert choose_backend(
             dyn, solver_config=CEMConfig(**base_kw, **flag), **common
-        ) == "xla", flag
+        ) == "fused_cem", flag
+    assert choose_backend(
+        dyn, solver_config=CEMConfig(**base_kw, population_decay=0.5), **common
+    ) == "xla"

@@ -56,13 +56,16 @@ def test_pallas_rollout_pads_ragged_rows(rng):
     np.testing.assert_allclose(np.asarray(ref), np.asarray(pal), rtol=1e-4, atol=1e-4)
 
 
-def test_fused_cem_rejects_ts1():
-    # The rollout kernel supports ts1 now; the fused CEM kernels still require "mean".
+def test_fused_cem_ts1_needs_enough_tiles():
+    # Round 3: the fused CEM supports ts1 (one member per tile) — but a population too
+    # small for every member to get a tile must fail loudly, not silently drop members.
     from blackbox_mpc_tpu.ops.pallas_cem import make_fused_cem_kernels
 
     cfg = LearnedDynamicsConfig(dim_s=3, dim_u=1, ensemble_size=2, propagation="ts1")
-    with pytest.raises(ValueError, match="propagation"):
+    with pytest.raises(ValueError, match="tiles"):
         make_fused_cem_kernels(cfg, reward_fn, horizon=4, agents=1, population=8)
+    # enough tiles: builds fine
+    make_fused_cem_kernels(cfg, reward_fn, horizon=4, agents=1, population=16, tile=8)
 
 
 def test_pallas_rollout_ts1_matches_xla(rng):

@@ -150,3 +150,209 @@ def test_streamed_kernel_bitmatches_block_kernel(rng):
     a = np.asarray(rr_block(dp, s0, mean, std, 1234))
     b = np.asarray(rr_stream(dp, s0, mean, std, 1234))
     np.testing.assert_allclose(a, b, rtol=1e-6, atol=1e-6)
+
+
+# --- round-3 feature parity: colored noise, injected candidates, ts1 ------------------------
+
+
+def _extract_all(elite_moments, mean, std, seed, P, A, H, U, extra=None):
+    """Every candidate's value via single-row kernel-B masks (mean + centered sum)."""
+    vals = np.zeros((P, A, H, U), np.float32)
+    for p in range(P):
+        for a in range(A):
+            mask = jnp.zeros((P, A)).at[p, a].set(1.0)
+            args = (mean, std, seed, mask) + ((extra,) if extra is not None else ())
+            csum, _ = elite_moments(*args)
+            vals[p, a] = np.asarray(mean[a]).reshape(H, U) + np.asarray(csum[a]).reshape(H, U)
+    return jnp.asarray(vals)
+
+
+def test_colored_noise_stream_matches_and_is_temporally_smooth(setup):
+    """Colored generation: kernels A and B share one stream (extracted candidates
+    re-evaluate to identical rewards on the XLA evaluator) and the candidates are
+    temporally correlated along the horizon, unlike the white path. H=16 here: at the
+    fixture's H=5, beta=2 noise has lag-1 ~ -0.07 (too few rfft bins to be smooth —
+    verified identical in the reference sampler)."""
+    dyn_cfg, dyn, dp, _, (_, A, P) = setup
+    H = 16
+    rr, em = make_fused_cem_kernels(
+        dyn_cfg, reward_fn, horizon=H, agents=A, population=P, tile=8, interpret=True,
+        colored_noise_beta=2.0,
+    )
+    mean = jnp.full((A, H, 2), 0.1)
+    std = jnp.full((A, H, 2), 0.5)
+    s0 = jnp.asarray([[0.3, -0.2, 0.1], [0.0, 0.5, -0.5]])
+    seed = 777
+    rewards = rr(dp, s0, mean, std, seed)
+    extracted = _extract_all(em, mean, std, seed, P, A, H, 2)
+    evaluate = make_trajectory_evaluator(partial(dyn, dp), reward_fn)
+    np.testing.assert_allclose(
+        np.asarray(rewards), np.asarray(evaluate(s0, extracted)), rtol=1e-3, atol=1e-3
+    )
+    # temporal smoothness: mean lag-1 autocorrelation along H far above the white path's
+    z = (np.asarray(extracted) - 0.1) / 0.5  # [P, A, H, U]
+    z = z - z.mean(axis=2, keepdims=True)
+    num = (z[:, :, 1:] * z[:, :, :-1]).sum()
+    den = np.sqrt((z[:, :, 1:] ** 2).sum() * (z[:, :, :-1] ** 2).sum())
+    assert num / den > 0.4, num / den  # beta=2 (red-ish noise); white is ~0
+
+
+def test_colored_mirror_matches_reference_sampler_statistics():
+    """_mirror_z's spectral-basis construction reproduces solvers.base.colored_noise's
+    distribution: compare lag-1 autocorrelation and per-sequence std on large samples."""
+    from blackbox_mpc_tpu.ops.pallas_cem import _colored_basis2, _mirror_z
+    from blackbox_mpc_tpu.solvers.base import colored_noise
+
+    H, U, beta, N = 16, 2, 2.0, 4000
+    basis2 = jnp.asarray(_colored_basis2(H, U, beta))
+    z_k = np.asarray(_mirror_z(123, jnp.arange(N), H * U, basis2)).reshape(N, H, U)
+    z_r = np.asarray(colored_noise(jax.random.PRNGKey(0), beta, (N, 1, H, U)))[:, 0]
+
+    def lag1(z):
+        zc = z - z.mean(axis=1, keepdims=True)
+        return float((zc[:, 1:] * zc[:, :-1]).sum()
+                     / np.sqrt((zc[:, 1:] ** 2).sum() * (zc[:, :-1] ** 2).sum()))
+
+    assert abs(lag1(z_k) - lag1(z_r)) < 0.05, (lag1(z_k), lag1(z_r))
+    # per-sequence normalization is to sample-std around the sequence mean, so the pooled
+    # std around zero is slightly above 1 (+mean^2 term); the kernel's +/-2 clip pulls it
+    # back down. Both must sit in the same band.
+    assert 0.9 < z_k.std() < 1.15 and 0.95 < z_r.std() < 1.2, (z_k.std(), z_r.std())
+
+
+def test_injected_candidates_roundtrip(setup):
+    """extra_slots: the last population indices read their actions from the extra buffer —
+    kernel A must score exactly those actions and kernel B must return them verbatim."""
+    dyn_cfg, dyn, dp, _, (H, A, P) = setup
+    extra_slots = 3
+    rr, em = make_fused_cem_kernels(
+        dyn_cfg, reward_fn, horizon=H, agents=A, population=P, tile=8, interpret=True,
+        extra_slots=extra_slots,
+    )
+    rng = np.random.default_rng(5)
+    extra = jnp.asarray(rng.uniform(-1, 1, (extra_slots, A, H * 2)).astype(np.float32))
+    mean = jnp.full((A, H, 2), 0.3)
+    std = jnp.full((A, H, 2), 0.5)
+    s0 = jnp.asarray([[0.3, -0.2, 0.1], [0.0, 0.5, -0.5]])
+    seed = 99
+    rewards = rr(dp, s0, mean, std, seed, extra)
+    evaluate = make_trajectory_evaluator(partial(dyn, dp), reward_fn)
+    # injected rows: rewards equal the XLA evaluator on the buffer's exact actions
+    inj_actions = jnp.swapaxes(extra.reshape(extra_slots, A, H, 2), 0, 1)  # [A, E, H, 2]
+    ref = evaluate(s0, jnp.swapaxes(inj_actions, 0, 1))  # [E, A]
+    np.testing.assert_allclose(
+        np.asarray(rewards)[P - extra_slots:], np.asarray(ref), rtol=1e-4, atol=1e-4
+    )
+    # kernel B returns injected values verbatim
+    vals = _extract_all(em, mean, std, seed, P, A, H, 2, extra=extra)
+    np.testing.assert_allclose(
+        np.asarray(vals)[P - extra_slots:],
+        np.asarray(extra.reshape(extra_slots, A, H, 2)), rtol=1e-5, atol=1e-5,
+    )
+    # fresh rows still re-evaluate correctly (stream unchanged by the extra operand)
+    np.testing.assert_allclose(
+        np.asarray(rewards)[: P - extra_slots],
+        np.asarray(evaluate(s0, vals))[: P - extra_slots], rtol=1e-3, atol=1e-3,
+    )
+
+
+def test_ts1_runs_one_member_per_tile(setup):
+    """ts1 fused CEM: each tile's rewards must equal the XLA rollout under exactly the
+    ensemble member named by rollout_rewards.tile_member_ids."""
+    dyn_cfg, dyn, dp, _, (H, A, P) = setup
+    ts1_cfg = LearnedDynamicsConfig(
+        dim_s=3, dim_u=2, hidden=(16,), ensemble_size=2, propagation="ts1"
+    )
+    rr, em = make_fused_cem_kernels(
+        ts1_cfg, reward_fn, horizon=H, agents=A, population=P, tile=8, interpret=True,
+    )
+    mean = jnp.full((A, H, 2), 0.2)
+    std = jnp.full((A, H, 2), 0.4)
+    s0 = jnp.asarray([[0.3, -0.2, 0.1], [0.0, 0.5, -0.5]])
+    seed = 41
+    rewards = np.asarray(rr(dp, s0, mean, std, seed))  # [P, A]
+    extracted = _extract_all(em, mean, std, seed, P, A, H, 2)
+
+    # per-member XLA dynamics: slice member e's params out of the stacked ensemble
+    single_cfg = LearnedDynamicsConfig(dim_s=3, dim_u=2, hidden=(16,), ensemble_size=1)
+    _, single_dyn = make_learned_dynamics(single_cfg)
+    per_member = []
+    for e in range(2):
+        dp_e = dp.replace(params=jax.tree.map(lambda x, e=e: x[e], dp.params))
+        ev = make_trajectory_evaluator(partial(single_dyn, dp_e), reward_fn)
+        per_member.append(np.asarray(ev(s0, extracted)))  # [P, A]
+
+    members = rr.tile_member_ids
+    tile_rows = rr.tile_rows
+    assert sorted(set(members.tolist())) == [0, 1]  # both members used
+    for p in range(P):
+        for a in range(A):
+            row = p * A + a
+            m = members[row // tile_rows]
+            np.testing.assert_allclose(
+                rewards[p, a], per_member[m][p, a], rtol=1e-3, atol=1e-3,
+                err_msg=f"row {row} tile member {m}",
+            )
+
+
+@pytest.mark.parametrize("features", [
+    dict(keep_elites=4),
+    dict(mean_as_candidate=True),
+    dict(execute_best=True),
+    dict(colored_noise_beta=2.0),
+    dict(keep_elites=4, mean_as_candidate=True, execute_best=True, colored_noise_beta=2.0),
+])
+def test_fused_cem_feature_matrix_solves(setup, features):
+    """Every iCEM feature combination must run through the fused solver and still drive
+    the contracting-dynamics task (reward favors small states/actions -> action near 0)."""
+    dyn_cfg, dyn, dp, _, (H, A, P) = setup
+    bounds = Bounds.of(-1.0, 1.0, dim=2)
+    cfg = CEMConfig(planning_horizon=H, num_agents=A, population=64, num_elite=8,
+                    max_iterations=6, **features)
+    solver = make_fused_cem(cfg, bounds, dyn_cfg, dp, reward_fn, tile=8, interpret=True)
+    state = solver.init(jax.random.PRNGKey(0))
+    obs = jnp.asarray([[0.5, 0.5, 0.5], [-0.5, -0.5, 0.5]])
+    action, _, aux = jax.jit(solver.solve)(state, obs, jnp.asarray(0), jax.random.PRNGKey(1))
+    assert np.all(np.isfinite(np.asarray(action)))
+    assert np.all(np.isfinite(np.asarray(aux.expected_reward)))
+    if features.get("execute_best"):
+        # action is the best plan's first step, and the plan rides in aux
+        np.testing.assert_allclose(np.asarray(action), np.asarray(aux.plan)[:, 0])
+
+
+def test_fused_cem_ts1_solver(setup):
+    dyn_cfg, dyn, dp, _, (H, A, P) = setup
+    ts1_cfg = LearnedDynamicsConfig(
+        dim_s=3, dim_u=2, hidden=(16,), ensemble_size=2, propagation="ts1"
+    )
+    bounds = Bounds.of(-1.0, 1.0, dim=2)
+    cfg = CEMConfig(planning_horizon=H, num_agents=A, population=64, num_elite=8,
+                    max_iterations=4)
+    solver = make_fused_cem(cfg, bounds, ts1_cfg, dp, reward_fn, tile=8, interpret=True)
+    state = solver.init(jax.random.PRNGKey(0))
+    obs = jnp.asarray([[0.5, 0.5, 0.5], [-0.5, -0.5, 0.5]])
+    action, _, aux = jax.jit(solver.solve)(state, obs, jnp.asarray(0), jax.random.PRNGKey(1))
+    assert np.all(np.isfinite(np.asarray(action)))
+
+
+def test_streamed_rejects_features():
+    dyn_cfg = LearnedDynamicsConfig(dim_s=3, dim_u=2, hidden=(16,))
+    with pytest.raises(ValueError, match="streamed"):
+        make_fused_cem_kernels(
+            dyn_cfg, reward_fn, horizon=5, agents=1, population=16, tile=8,
+            streamed=True, colored_noise_beta=2.0, interpret=True,
+        )
+
+
+def test_backend_auto_allows_icem_features_beyond_hbm():
+    from blackbox_mpc_tpu.models.dynamics import LearnedDynamicsConfig
+    from blackbox_mpc_tpu.ops.backend_select import choose_backend
+
+    cfg = LearnedDynamicsConfig(dim_s=17, dim_u=6, hidden=(200, 200))
+    icem = CEMConfig(population=8_000_000, colored_noise_beta=2.0, keep_elites=20,
+                     mean_as_candidate=True, execute_best=True)
+    assert choose_backend(cfg, 8_000_000, 1, platform="tpu", horizon=50, dim_u=6,
+                          solver_name="CEM", solver_config=icem) == "fused_cem"
+    decay = CEMConfig(population=8_000_000, population_decay=0.5)
+    assert choose_backend(cfg, 8_000_000, 1, platform="tpu", horizon=50, dim_u=6,
+                          solver_name="CEM", solver_config=decay) == "xla"

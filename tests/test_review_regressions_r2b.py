@@ -63,9 +63,10 @@ def test_shm_close_with_pending_step_exits_workers_cleanly():
         assert p.exitcode == 0, f"worker hard-terminated (exitcode {p.exitcode})"
 
 
-def test_backend_auto_rejects_fused_cem_incompatible_cem_features():
-    """auto must not route configs that make_fused_cem rejects (keep_elites /
-    colored noise) to the fused kernel — they would crash at the first act()."""
+def test_backend_auto_routes_only_what_make_fused_cem_accepts():
+    """auto must never route a config that make_fused_cem rejects — it would crash at the
+    first act(). Round 3: keep_elites/colored noise are in-kernel features (stay fused);
+    population_decay is still rejected by the factory, so auto must fall back to XLA."""
     from blackbox_mpc_tpu.ops.backend_select import choose_backend
     from blackbox_mpc_tpu.solvers.cem import CEMConfig
 
@@ -80,11 +81,15 @@ def test_backend_auto_rejects_fused_cem_incompatible_cem_features():
     kept = choose_backend(
         dyn, solver_config=CEMConfig(**base, keep_elites=5), **common
     )
-    assert kept == "xla"
+    assert kept == "fused_cem"
     colored = choose_backend(
         dyn, solver_config=CEMConfig(**base, colored_noise_beta=2.0), **common
     )
-    assert colored == "xla"
+    assert colored == "fused_cem"
+    decay = choose_backend(
+        dyn, solver_config=CEMConfig(**base, population_decay=0.5), **common
+    )
+    assert decay == "xla"
 
 
 def test_fused_cem_honors_state_dtype_contract():
