@@ -89,7 +89,7 @@ def choose_backend(
         else horizon * dim_u
     )
     if (
-        solver_name == "CEM"
+        solver_name in ("CEM", "PI2", "MPPI", "RandomSearch")
         and candidate_bytes >= FUSED_CEM_MIN_BYTES
         and config.propagation in ("mean", "ts1")
         and rows * rng_cols < 2**32  # in-kernel RNG counter range

@@ -42,8 +42,15 @@ from blackbox_mpc_tpu.models.dynamics import DynamicsParams, LearnedDynamicsConf
 from blackbox_mpc_tpu.ops import _kernel_common as kc
 from blackbox_mpc_tpu.solvers import base
 from blackbox_mpc_tpu.solvers.cem import CEMConfig, CEMState
+from blackbox_mpc_tpu.solvers.pi2 import PI2Config, PI2State
+from blackbox_mpc_tpu.solvers.random_search import RandomSearchConfig, RandomSearchState
 
-__all__ = ["make_fused_cem_kernels", "make_fused_cem"]
+__all__ = [
+    "make_fused_cem_kernels",
+    "make_fused_cem",
+    "make_fused_pi2",
+    "make_fused_random_search",
+]
 
 _TWO_PI = 2.0 * np.pi
 _round_up = kc.round_up
@@ -102,17 +109,22 @@ def _colored_basis2(horizon: int, dim_u: int, beta: float) -> np.ndarray:
     return big
 
 
-def _gen_z(counter: jax.Array, seed: jax.Array, basis2) -> jax.Array:
-    """Deterministic clipped z block from int32 counters; shared by both kernels AND the
-    jnp mirror (plain jnp ops — legal in Mosaic and in XLA), so candidate streams are
+def _gen_z(counter: jax.Array, seed: jax.Array, basis2, sampling: str = "normal") -> jax.Array:
+    """Deterministic z block from int32 counters; shared by both kernels AND the jnp
+    mirror (plain jnp ops — legal in Mosaic and in XLA), so candidate streams are
     identical everywhere.
 
-    White (``basis2 is None``): counter is [N, n_flat]; z = clipped-N(0,1) (+/-2 sigma —
-    a clipped rather than resampled truncated normal; indistinguishable for elite
-    selection). Colored: counter is [N, U*2F]; white gaussians are pushed through the
-    spectral basis (one matmul), normalized to unit std per row over the whole (H, U)
-    sequence (matching ``solvers.base.colored_noise``), then clipped at +/-2.
+    ``sampling="normal"``, white (``basis2 is None``): counter is [N, n_flat];
+    z = clipped-N(0,1) (+/-2 sigma — a clipped rather than resampled truncated normal;
+    indistinguishable for elite selection). Colored: counter is [N, U*2F]; white gaussians
+    are pushed through the spectral basis (one matmul), normalized to unit std per row
+    over the whole (H, U) sequence (matching ``solvers.base.colored_noise``), then clipped
+    at +/-2. ``sampling="uniform"``: z ~ U(-1, 1) — with mean=midpoint and
+    std=half-range this is the RandomSearch uniform-in-bounds candidate
+    (``solvers/random_search.py``).
     """
+    if sampling == "uniform":
+        return 2.0 * _uniform(counter, seed) - 1.0
     g = _normal(counter, seed)
     if basis2 is None:
         return jnp.clip(g, -2.0, 2.0)
@@ -134,18 +146,18 @@ def _sample_tile(seed_ref, tile_id, t_rows: int, n_flat: int):
     return _gen_z(_tile_counter(tile_id * t_rows, t_rows, n_flat), seed_ref[0], None)
 
 
-def _mirror_z(seed, row_ids, n_flat: int, basis2=None) -> jax.Array:
+def _mirror_z(seed, row_ids, n_flat: int, basis2=None, sampling: str = "normal") -> jax.Array:
     """jnp mirror of the in-kernel stream for arbitrary (non-contiguous) rows [N].
 
-    Used by the fused solver to extract elite VALUES (carried elites, execute-best plans)
-    without ever materializing the population — regenerates just the N requested rows.
-    Same counters, same math as ``_gen_z`` in the kernels (XLA vs Mosaic transcendentals
-    may differ in the last ulp, which only perturbs re-injected candidate values, never
-    the in-kernel moment reduction).
+    Used by the fused solvers to extract candidate VALUES (carried elites, execute-best /
+    argmax plans) without ever materializing the population — regenerates just the N
+    requested rows. Same counters, same math as ``_gen_z`` in the kernels (XLA vs Mosaic
+    transcendentals may differ in the last ulp, which only perturbs re-injected candidate
+    values, never the in-kernel moment reduction).
     """
     n_cols = n_flat if basis2 is None else basis2.shape[0]
     counter = row_ids[:, None].astype(jnp.int32) * n_cols + jnp.arange(n_cols, dtype=jnp.int32)
-    return _gen_z(counter, jnp.asarray(seed, jnp.int32), basis2)
+    return _gen_z(counter, jnp.asarray(seed, jnp.int32), basis2, sampling)
 
 
 
@@ -162,8 +174,18 @@ def make_fused_cem_kernels(
     interpret: bool = False,
     colored_noise_beta: float = 0.0,
     extra_slots: int = 0,
+    sampling: str = "normal",
+    aux_dot: bool = False,
 ):
-    """Builds (rollout_rewards, elite_moments) for the fused CEM iteration.
+    """Builds (rollout_rewards, elite_moments) for the fused solver iterations.
+
+    Shared by the fused CEM, PI2/MPPI (``elite_moments`` takes softmax weights in place
+    of the 0/1 elite mask — the masked matmul is weight-agnostic), and RandomSearch
+    (``sampling="uniform"``: z ~ U(-1,1), so mean=midpoint/std=half-range reproduce the
+    uniform-in-bounds candidates). ``aux_dot=True`` makes ``rollout_rewards`` also return
+    the per-row inner product ``<g_row, std*z>`` against a ``gvec [A, H*U]`` operand — the
+    MPPI information-theoretic control cost (``solvers/pi2.py`` ``control_cost``) computed
+    in-kernel without materializing the perturbations.
 
     rollout_rewards(dp, s0 [A,S], mean [A,H,U], std [A,H,U], seed[, extra]) -> rewards [P, A]
     elite_moments(mean, std, seed, mask [P, A][, extra]) -> CENTERED elite moments
@@ -207,16 +229,21 @@ def make_fused_cem_kernels(
     compute_dtype = jnp.dtype(config.compute_dtype)
     n_flat = horizon * dim_u
     rows = population * agents
+    if sampling not in ("normal", "uniform"):
+        raise ValueError(f"sampling must be 'normal' or 'uniform', got {sampling!r}")
     colored = colored_noise_beta > 0.0
+    if colored and sampling == "uniform":
+        raise ValueError("colored noise applies to normal sampling only")
     basis2_np = _colored_basis2(horizon, dim_u, colored_noise_beta) if colored else None
     n_cols = basis2_np.shape[0] if colored else n_flat  # RNG counters per row
     fresh_pop = population - extra_slots
     if extra_slots and fresh_pop < 1:
         raise ValueError(f"extra_slots ({extra_slots}) must leave >= 1 fresh candidate")
-    if streamed and (colored or extra_slots or ts1):
+    if streamed and (colored or extra_slots or ts1 or aux_dot or sampling != "normal"):
         raise ValueError(
-            "colored noise / injected candidates / ts1 run on the block fused-CEM kernels "
-            "(the measured default); streamed=True supports the plain white-noise path only"
+            "colored noise / injected candidates / ts1 / aux_dot / uniform sampling run on "
+            "the block fused kernels (the measured default); streamed=True supports the "
+            "plain white-noise path only"
         )
     if rows * n_cols >= 2**32:
         # The counter-based RNG indexes elements with int32 arithmetic (uint32 wrap);
@@ -281,17 +308,25 @@ def make_fused_cem_kernels(
         s0_ref, mean_ref, std_ref, *refs = refs
         basis_ref = refs.pop(0) if colored else None
         extra_ref = refs.pop(0) if extra_slots else None
+        gvec_ref = refs.pop(0) if aux_dot else None
         stats_ref, *wb_refs = refs
         out_ref = wb_refs[-1]
         weight_refs = wb_refs[:-1]
         tile_id = pl.program_id(0)
         counter = _tile_counter(tile_id * tile, tile, n_cols)
-        z = _gen_z(counter, seed_ref[0], basis_ref[:] if colored else None)
-        mean_rows, std_rows, _ = _row_stats(mean_ref, std_ref, tile_id)
-        actions0 = mean_rows + std_rows * z  # [T, H*U]
+        z = _gen_z(counter, seed_ref[0], basis_ref[:] if colored else None, sampling)
+        mean_rows, std_rows, onehot = _row_stats(mean_ref, std_ref, tile_id)
+        centered0 = std_rows * z
+        actions0 = mean_rows + centered0  # [T, H*U]
         if extra_slots:
             inj_vals, inj_mask = _inject_lookup(tile_id, extra_ref)
             actions0 = jnp.where(inj_mask, inj_vals, actions0)
+            if aux_dot:
+                centered0 = jnp.where(inj_mask, inj_vals - mean_rows, centered0)
+        if aux_dot:
+            # MPPI control cost term: <g_row, perturbation> per row, g = mean/variance.
+            g_rows = jnp.dot(onehot, gvec_ref[:], preferred_element_type=jnp.float32)
+            dot = jnp.sum(g_rows * centered0, axis=1)
 
         step_fn = kc.build_step_fn(
             config, reward_fn, stats_ref[:], weight_refs, member=member
@@ -310,6 +345,8 @@ def make_fused_cem_kernels(
         total0 = jnp.zeros((tile,), jnp.float32)
         _, total, _ = jax.lax.fori_loop(0, horizon, step, (s0, total0, actions0))
         out_ref[:, 0] = total
+        if aux_dot:
+            out_ref[:, 1] = dot
 
     # ------------- Kernel A (streamed): per-step in-kernel generation + rollout -------------
 
@@ -404,7 +441,7 @@ def make_fused_cem_kernels(
         mask_ref, sum_ref, sumsq_ref = refs
         tile_id = pl.program_id(0)
         counter = _tile_counter(tile_id * tile, tile, n_cols)
-        z = _gen_z(counter, seed_ref[0], basis_ref[:] if colored else None)
+        z = _gen_z(counter, seed_ref[0], basis_ref[:] if colored else None, sampling)
         mean_rows, std_rows, onehot = _row_stats(mean_ref, std_ref, tile_id)
         # Reduce CENTERED moments (sample - sampling mean = std*z): E[x^2]-mean^2 on raw
         # samples cancels catastrophically in fp32 for large-magnitude action bounds, while
@@ -442,7 +479,9 @@ def make_fused_cem_kernels(
             specs.append(pl.BlockSpec(memory_space=pltpu.VMEM))
         return ops, specs
 
-    def rollout_rewards(dp: DynamicsParams, s0, mean, std, seed, extra=None):
+    out_cols = 2 if aux_dot else 1
+
+    def rollout_rewards(dp: DynamicsParams, s0, mean, std, seed, extra=None, gvec=None):
         # s0 [A,S] tiled to rows; mean/std [A,H,U] -> [A, H*U]
         s0_rows = jnp.tile(s0.astype(jnp.float32), (population, 1))
         if padded_rows != rows:
@@ -452,6 +491,11 @@ def make_fused_cem_kernels(
         nstats = kc.stats_matrix(dp, dim_s, dim_u)
         weight_args = kc.weight_operands(dp, ensemble, compute_dtype)
         feat_ops, feat_specs = _feature_operands(extra)
+        if aux_dot:
+            if gvec is None:
+                raise ValueError("aux_dot=True: pass gvec [A, H*U]")
+            feat_ops.append(gvec.reshape(agents, n_flat).astype(jnp.float32))
+            feat_specs.append(pl.BlockSpec(memory_space=pltpu.VMEM))
         prefetch = [jnp.asarray([seed], jnp.int32)]
         if ts1:
             prefetch.append(jnp.asarray(tile_members))
@@ -466,15 +510,19 @@ def make_fused_cem_kernels(
             + feat_specs
             + [pl.BlockSpec(memory_space=pltpu.VMEM)]  # norm stats
             + [pl.BlockSpec(memory_space=pltpu.VMEM) for _ in weight_args],
-            out_specs=pl.BlockSpec((tile, 1), lambda i, *_: (i, 0), memory_space=pltpu.VMEM),
+            out_specs=pl.BlockSpec((tile, out_cols), lambda i, *_: (i, 0),
+                                   memory_space=pltpu.VMEM),
         )
         total = pl.pallas_call(
             kernel_a,
-            out_shape=jax.ShapeDtypeStruct((padded_rows, 1), jnp.float32),
+            out_shape=jax.ShapeDtypeStruct((padded_rows, out_cols), jnp.float32),
             grid_spec=grid_spec,
             interpret=interpret_mode,
         )(*prefetch, s0_rows, mean_f, std_f, *feat_ops, nstats, *weight_args)
-        return total[:rows, 0].reshape(population, agents)
+        rewards = total[:rows, 0].reshape(population, agents)
+        if aux_dot:
+            return rewards, total[:rows, 1].reshape(population, agents)
+        return rewards
 
     if ts1:
         # Verification hooks: tile t covers rows [t*tile, (t+1)*tile) and runs member
@@ -682,3 +730,143 @@ def make_fused_cem(
         return init(key)
 
     return Solver(init=init, solve=solve, reset=reset, name="CEM-Fused", plan_field="mean")
+
+
+def make_fused_pi2(
+    config: PI2Config,
+    bounds: Bounds,
+    dyn_config: LearnedDynamicsConfig,
+    dp: DynamicsParams,
+    reward_fn: Callable,
+    *,
+    tile: int = 256,
+    interpret: bool = False,
+) -> Solver:
+    """PI2/MPPI over the fused kernels — beyond-HBM softmax-weighted planning.
+
+    The PI2 update (``solvers/pi2.py:100-108``) is a weighted first/second moment of the
+    population, and kernel B's masked-matmul reduction is weight-agnostic: passing the
+    per-row softmax weights ``omega`` in place of the CEM's 0/1 elite mask yields
+    ``sum omega * (std z)`` (the weighted mean offset) and ``sum omega * (std z)^2``
+    (PI2-CMA's weighted variance) without ever materializing the candidates. MPPI's
+    control cost is kernel A's ``aux_dot`` output (``<mean/variance, std z>`` per row).
+
+    Fused-path conventions (documented deviations from the XLA solver): candidates are
+    mean + std * clipped(+/-2) z with NO bounds clip or violation penalty (the fused
+    CEM convention — with the default bounds-derived variance the samples stay feasible),
+    and colored noise clips z rather than the sample.
+    """
+    horizon, agents, pop = config.planning_horizon, config.num_agents, config.population
+    lamda = config.lamda
+    beta_cn = getattr(config, "colored_noise_beta", 0.0)
+    n_flat = horizon * bounds.dim
+    rollout_rewards, weighted_moments = make_fused_cem_kernels(
+        dyn_config, reward_fn,
+        horizon=horizon, agents=agents, population=pop, tile=tile, interpret=interpret,
+        colored_noise_beta=beta_cn, aux_dot=config.control_cost,
+    )
+
+    def init(key: jax.Array) -> PI2State:
+        del key
+        return PI2State(mean=base.init_solution_mean(bounds, horizon, agents))
+
+    def solve(state: PI2State, obs: jax.Array, t: jax.Array, key: jax.Array):
+        del t
+        variance0 = base.init_solution_variance(bounds, horizon, agents)
+
+        def iteration(_, carry):
+            mean, variance, key, _ = carry
+            key, seed_key = jax.random.split(key)
+            seed = jax.random.randint(seed_key, (), 0, jnp.iinfo(jnp.int32).max)
+            std = jnp.sqrt(variance)
+            if config.control_cost:
+                rewards, dots = rollout_rewards(
+                    dp, obs, mean, std, seed, gvec=mean / variance
+                )
+            else:
+                rewards = rollout_rewards(dp, obs, mean, std, seed)
+            rewards = jnp.where(jnp.isnan(rewards), jnp.float32(-1e6), rewards)
+            costs = -rewards
+            if config.control_cost:
+                costs = costs + lamda * dots
+            cbeta = jnp.min(costs, axis=0, keepdims=True)  # [1, A]
+            prob = jnp.exp(-(costs - cbeta) / lamda)
+            omega = prob / jnp.sum(prob, axis=0, keepdims=True)  # [P, A]
+            wsum, wsumsq = weighted_moments(mean, std, seed, omega)
+            delta = wsum.reshape(agents, horizon, bounds.dim)
+            new_mean = mean + delta
+            if config.adapt_variance:
+                new_var = wsumsq.reshape(agents, horizon, bounds.dim) - jnp.square(delta)
+                variance = jnp.maximum(
+                    new_var, config.variance_floor_frac * variance0
+                )
+            return new_mean, variance, key, jnp.max(rewards, axis=0)
+
+        best0 = jnp.full((agents,), -jnp.inf, dtype=state.mean.dtype)
+        mean, _, _, best_reward = jax.lax.fori_loop(
+            0, config.max_iterations, iteration, (state.mean, variance0, key, best0)
+        )
+        action = mean[:, 0]
+        next_state = PI2State(mean=base.shift_time(mean))
+        return action, next_state, SolverAux(expected_reward=best_reward, plan=mean)
+
+    def reset(state: PI2State, key: jax.Array) -> PI2State:
+        del state
+        return init(key)
+
+    name = "MPPI-Fused" if config.control_cost else "PI2-Fused"
+    return Solver(init=init, solve=solve, reset=reset, name=name, plan_field="mean")
+
+
+def make_fused_random_search(
+    config: RandomSearchConfig,
+    bounds: Bounds,
+    dyn_config: LearnedDynamicsConfig,
+    dp: DynamicsParams,
+    reward_fn: Callable,
+    *,
+    tile: int = 256,
+    interpret: bool = False,
+) -> Solver:
+    """RandomSearch over the fused kernels — beyond-HBM single-shot argmax planning.
+
+    Kernel A generates uniform-in-bounds candidates in-kernel (``sampling="uniform"``:
+    midpoint + half-range * U(-1,1), exactly ``solvers/random_search.py``'s distribution)
+    and emits only the [P, A] rewards; the per-agent argmax row is regenerated by the jnp
+    RNG mirror — the [P, A, H, U] tensor never exists.
+    """
+    horizon, agents, pop = config.planning_horizon, config.num_agents, config.population
+    n_flat = horizon * bounds.dim
+    mid = base.init_solution_mean(bounds, horizon, agents)  # midpoint-tiled [A, H, U]
+    half = jnp.broadcast_to(
+        (bounds.upper - bounds.lower).astype(jnp.float32) / 2.0, mid.shape
+    )
+    rollout_rewards, _ = make_fused_cem_kernels(
+        dyn_config, reward_fn,
+        horizon=horizon, agents=agents, population=pop, tile=tile, interpret=interpret,
+        sampling="uniform",
+    )
+
+    def init(key: jax.Array) -> RandomSearchState:
+        del key
+        return RandomSearchState()
+
+    def solve(state: RandomSearchState, obs: jax.Array, t: jax.Array, key: jax.Array):
+        del t
+        seed = jax.random.randint(key, (), 0, jnp.iinfo(jnp.int32).max)
+        rewards = rollout_rewards(dp, obs, mid, half, seed)  # [P, A]
+        rewards = jnp.where(jnp.isnan(rewards), jnp.float32(-1e6), rewards)
+        best_idx = jnp.argmax(rewards, axis=0)  # [A]
+        row_ids = best_idx * agents + jnp.arange(agents)  # row = p*A + a
+        z = _mirror_z(seed, row_ids, n_flat, sampling="uniform")  # [A, n_flat]
+        best_plan = (
+            mid.reshape(agents, n_flat) + half.reshape(agents, n_flat) * z
+        ).reshape(agents, horizon, bounds.dim)
+        best_reward = jnp.take_along_axis(rewards, best_idx[None, :], axis=0)[0]
+        return best_plan[:, 0], state, SolverAux(expected_reward=best_reward, plan=best_plan)
+
+    def reset(state: RandomSearchState, key: jax.Array) -> RandomSearchState:
+        del key
+        return state
+
+    return Solver(init=init, solve=solve, reset=reset, name="RandomSearch-Fused")

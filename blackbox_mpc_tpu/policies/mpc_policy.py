@@ -67,12 +67,13 @@ class MPCPolicy(ModelBasedPolicy):
 
         ``rollout_backend``: ``"xla"`` (default; measured fastest at every in-HBM shape —
         docs/performance.md regime map), ``"pallas"`` (fused VMEM-resident rollout kernel,
-        :mod:`blackbox_mpc_tpu.ops.pallas_rollout`), ``"fused_cem"`` (generate-in-kernel CEM,
-        :mod:`blackbox_mpc_tpu.ops.pallas_cem` — candidates never materialized, for
+        :mod:`blackbox_mpc_tpu.ops.pallas_rollout`), ``"fused"`` (alias ``"fused_cem"``;
+        the generate-in-kernel solver family — CEM, PI2, MPPI, RandomSearch — in
+        :mod:`blackbox_mpc_tpu.ops.pallas_cem`: candidates never materialized, for
         beyond-HBM populations), or ``"auto"`` (measured rule in
-        :mod:`blackbox_mpc_tpu.ops.backend_select`: XLA, except beyond-HBM CEM populations
-        route to the fused solver). Kernel backends need learned MLP dynamics with
-        mean/ts1 propagation.
+        :mod:`blackbox_mpc_tpu.ops.backend_select`: XLA, except beyond-HBM populations of
+        the fused-family solvers route to the fused path). Kernel backends need learned
+        MLP dynamics with mean/ts1 propagation.
 
         ``proposer``: optional :class:`~blackbox_mpc_tpu.learning.proposer.PolicyProposer`
         (POPLIN-style amortization) — its policy net is unrolled through the posterior-mean
@@ -104,10 +105,12 @@ class MPCPolicy(ModelBasedPolicy):
         self._writer = metrics_writer
         self._mesh = mesh
         self._shard_axis = shard_axis
+        if rollout_backend == "fused":
+            rollout_backend = "fused_cem"  # preferred alias for the fused solver family
         if rollout_backend not in ("xla", "pallas", "fused_cem", "auto"):
             raise ValueError(
-                f"rollout_backend must be 'xla', 'pallas', 'fused_cem', or 'auto', "
-                f"got {rollout_backend!r}"
+                f"rollout_backend must be 'xla', 'pallas', 'fused' (alias 'fused_cem'), "
+                f"or 'auto', got {rollout_backend!r}"
             )
         kernel_backend = rollout_backend in ("pallas", "fused_cem")
         if kernel_backend and dynamics_handler.is_true_model:
@@ -235,9 +238,12 @@ class MPCPolicy(ModelBasedPolicy):
                     "population that fits HBM or drop the smoothness cost"
                 )
             self._rollout_backend = resolved
-        if self._rollout_backend == "fused_cem" and solver_name != "CEM":
+        if self._rollout_backend == "fused_cem" and solver_name not in (
+            "CEM", "PI2", "MPPI", "RandomSearch"
+        ):
             raise ValueError(
-                f"rollout_backend='fused_cem' only applies to the CEM solver, not {solver_name}"
+                "rollout_backend='fused' backs the generate-in-kernel solver family "
+                f"(CEM, PI2, MPPI, RandomSearch), not {solver_name}"
             )
         if self._rollout_backend == "pallas" and solver_name in ("Gradient", "CEM-GD"):
             raise ValueError(
@@ -270,10 +276,20 @@ class MPCPolicy(ModelBasedPolicy):
                 self._handler.config, reward_fn, discount=discount, interpret=interpret
             )
         elif self._rollout_backend == "fused_cem":
-            from blackbox_mpc_tpu.ops.pallas_cem import make_fused_cem
+            from blackbox_mpc_tpu.ops.pallas_cem import (
+                make_fused_cem,
+                make_fused_pi2,
+                make_fused_random_search,
+            )
 
+            fused_factory_fn = {
+                "CEM": make_fused_cem,
+                "PI2": make_fused_pi2,
+                "MPPI": make_fused_pi2,
+                "RandomSearch": make_fused_random_search,
+            }[solver_name]
             dyn_cfg = self._handler.config
-            fused_cem_factory = lambda dp: make_fused_cem(  # noqa: E731
+            fused_cem_factory = lambda dp: fused_factory_fn(  # noqa: E731
                 config, bounds, dyn_cfg, dp, reward_fn, interpret=interpret
             )
 

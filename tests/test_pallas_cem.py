@@ -105,12 +105,12 @@ def test_mpc_policy_fused_cem_backend():
 
     import pytest
 
-    with pytest.raises(ValueError, match="fused_cem"):
+    with pytest.raises(ValueError, match="fused"):
         MPCPolicy(
             action_space=BoxSpace(low=np.asarray([-2.0]), high=np.asarray([2.0])),
             reward_function=pendulum_reward,
             dynamics_handler=handler,
-            solver_name="PI2",
+            solver_name="SPSA",  # no fused path (PI2/MPPI/RandomSearch have one since r3)
             planning_horizon=5,
             population=32,
             rollout_backend="fused_cem",
@@ -125,9 +125,10 @@ def test_backend_auto_selects_fused_cem_beyond_hbm():
     # 8M candidates x H=50 x U=6 x 4B = 9.6 GB candidate tensor: beyond HBM -> fused CEM.
     assert choose_backend(cfg, 8_000_000, 1, platform="tpu", horizon=50, dim_u=6,
                           solver_name="CEM") == "fused_cem"
-    # Same scale but a non-CEM solver has no fused path: XLA (will OOM, but honestly).
+    # Same scale but a solver outside the fused family (CEM/PI2/MPPI/RandomSearch) has
+    # no fused path: XLA (will OOM, but honestly).
     assert choose_backend(cfg, 8_000_000, 1, platform="tpu", horizon=50, dim_u=6,
-                          solver_name="PI2") == "xla"
+                          solver_name="SPSA") == "xla"
     # Ordinary populations stay on the measured xla/pallas rule.
     assert choose_backend(cfg, 1000, 1, platform="tpu", horizon=50, dim_u=6,
                           solver_name="CEM") == "xla"
@@ -356,3 +357,162 @@ def test_backend_auto_allows_icem_features_beyond_hbm():
     decay = CEMConfig(population=8_000_000, population_decay=0.5)
     assert choose_backend(cfg, 8_000_000, 1, platform="tpu", horizon=50, dim_u=6,
                           solver_name="CEM", solver_config=decay) == "xla"
+
+
+# --- fused PI2/MPPI and RandomSearch (beyond-HBM solver family) ------------------------------
+
+
+def test_fused_weighted_moments_match_einsum(setup):
+    """kernel B is weight-agnostic: arbitrary softmax-style weights must reduce to exactly
+    einsum('pa,pax->ax', w, centered) over the extracted candidates — the fused-PI2 update."""
+    dyn_cfg, dyn, dp, (rr, em), (H, A, P) = setup
+    mean = jnp.full((A, H, 2), 0.2)
+    std = jnp.full((A, H, 2), 0.5)
+    seed = 31
+    extracted = _extract_all(em, mean, std, seed, P, A, H, 2)  # [P, A, H, 2]
+    rng = np.random.default_rng(3)
+    w = jnp.asarray(rng.uniform(0, 1, (P, A)).astype(np.float32))
+    w = w / w.sum(axis=0, keepdims=True)
+    wsum, wsumsq = em(mean, std, seed, w)
+    centered = np.asarray(extracted).reshape(P, A, H * 2) - np.asarray(mean).reshape(A, H * 2)
+    np.testing.assert_allclose(
+        np.asarray(wsum), np.einsum("pa,pax->ax", np.asarray(w), centered),
+        rtol=1e-4, atol=1e-5,
+    )
+    np.testing.assert_allclose(
+        np.asarray(wsumsq), np.einsum("pa,pax->ax", np.asarray(w), centered**2),
+        rtol=1e-4, atol=1e-5,
+    )
+
+
+def test_fused_mppi_dot_output_matches_einsum(setup):
+    """aux_dot: kernel A's second output column is <g_row, std*z> per row — the MPPI
+    control-cost inner product against the extracted perturbations."""
+    dyn_cfg, dyn, dp, _, (H, A, P) = setup
+    rr, em = make_fused_cem_kernels(
+        dyn_cfg, reward_fn, horizon=H, agents=A, population=P, tile=8, interpret=True,
+        aux_dot=True,
+    )
+    mean = jnp.full((A, H, 2), 0.3)
+    std = jnp.full((A, H, 2), 0.5)
+    s0 = jnp.asarray([[0.3, -0.2, 0.1], [0.0, 0.5, -0.5]])
+    seed = 13
+    rng = np.random.default_rng(7)
+    gvec = jnp.asarray(rng.uniform(-1, 1, (A, H * 2)).astype(np.float32))
+    rewards, dots = rr(dp, s0, mean, std, seed, gvec=gvec)
+    extracted = _extract_all(em, mean, std, seed, P, A, H, 2)
+    centered = np.asarray(extracted).reshape(P, A, H * 2) - np.asarray(mean).reshape(A, H * 2)
+    expect = np.einsum("ax,pax->pa", np.asarray(gvec), centered)
+    np.testing.assert_allclose(np.asarray(dots), expect, rtol=1e-4, atol=1e-4)
+    # rewards still correct alongside the extra output column
+    evaluate = make_trajectory_evaluator(partial(dyn, dp), reward_fn)
+    np.testing.assert_allclose(
+        np.asarray(rewards), np.asarray(evaluate(s0, extracted)), rtol=1e-3, atol=1e-3
+    )
+
+
+def test_fused_pi2_and_mppi_solve(setup):
+    from blackbox_mpc_tpu.ops.pallas_cem import make_fused_pi2
+    from blackbox_mpc_tpu.solvers.pi2 import MPPIConfig, PI2Config
+
+    dyn_cfg, dyn, dp, _, (H, A, P) = setup
+    bounds = Bounds.of(-1.0, 1.0, dim=2)
+    obs = jnp.asarray([[0.5, 0.5, 0.5], [-0.5, -0.5, 0.5]])
+    for cfg in (
+        PI2Config(planning_horizon=H, num_agents=A, population=64, max_iterations=4),
+        PI2Config(planning_horizon=H, num_agents=A, population=64, max_iterations=4,
+                  adapt_variance=True, colored_noise_beta=2.0),
+        MPPIConfig(planning_horizon=H, num_agents=A, population=64, max_iterations=4),
+    ):
+        solver = make_fused_pi2(cfg, bounds, dyn_cfg, dp, reward_fn, tile=8, interpret=True)
+        state = solver.init(jax.random.PRNGKey(0))
+        action, next_state, aux = jax.jit(solver.solve)(
+            state, obs, jnp.asarray(0), jax.random.PRNGKey(1)
+        )
+        assert np.all(np.isfinite(np.asarray(action))), solver.name
+        assert np.all(np.isfinite(np.asarray(aux.expected_reward))), solver.name
+        # PI2 warm-starts by time-shift: carried mean differs from init
+        assert not np.allclose(np.asarray(next_state.mean), np.asarray(state.mean))
+
+
+def test_fused_random_search_matches_xla_argmax(setup):
+    from blackbox_mpc_tpu.ops.pallas_cem import _mirror_z, make_fused_random_search
+    from blackbox_mpc_tpu.solvers.random_search import RandomSearchConfig
+
+    dyn_cfg, dyn, dp, _, (H, A, P) = setup
+    bounds = Bounds.of(-1.0, 1.0, dim=2)
+    cfg = RandomSearchConfig(planning_horizon=H, num_agents=A, population=64)
+    solver = make_fused_random_search(cfg, bounds, dyn_cfg, dp, reward_fn, tile=8,
+                                      interpret=True)
+    obs = jnp.asarray([[0.5, 0.5, 0.5], [-0.5, -0.5, 0.5]])
+    key = jax.random.PRNGKey(4)
+    action, _, aux = jax.jit(solver.solve)(
+        solver.init(jax.random.PRNGKey(0)), obs, jnp.asarray(0), key
+    )
+    # regenerate the WHOLE candidate set via the mirror and cross-check the argmax
+    seed = jax.random.randint(key, (), 0, jnp.iinfo(jnp.int32).max)
+    rows = jnp.arange(64 * A)
+    z = np.asarray(_mirror_z(seed, rows, H * 2, sampling="uniform")).reshape(64, A, H, 2)
+    assert np.abs(z).max() <= 1.0 and -0.2 < z.mean() < 0.2  # U(-1,1)
+    samples = jnp.asarray(0.0 + 1.0 * z)  # mid=0, half-range=1 for these bounds
+    evaluate = make_trajectory_evaluator(partial(dyn, dp), reward_fn)
+    rewards = np.asarray(evaluate(obs, samples))  # [P, A]
+    best = rewards.argmax(axis=0)
+    np.testing.assert_allclose(
+        np.asarray(aux.expected_reward), rewards[best, np.arange(A)], rtol=1e-3, atol=1e-3
+    )
+    np.testing.assert_allclose(
+        np.asarray(action), np.asarray(samples)[best, np.arange(A), 0], rtol=1e-4, atol=1e-4
+    )
+
+
+def test_mpc_policy_fused_family_backends():
+    """rollout_backend='fused' drives PI2, MPPI, and RandomSearch through the policy."""
+    from blackbox_mpc_tpu.core.spaces import BoxSpace
+    from blackbox_mpc_tpu.learning import DynamicsHandler
+    from blackbox_mpc_tpu.models import pendulum_reward
+    from blackbox_mpc_tpu.policies import MPCPolicy
+
+    handler = DynamicsHandler(config=LearnedDynamicsConfig(dim_s=3, dim_u=1, hidden=(16,)))
+    for solver_name in ("PI2", "MPPI", "RandomSearch"):
+        policy = MPCPolicy(
+            action_space=BoxSpace(low=np.asarray([-2.0]), high=np.asarray([2.0])),
+            reward_function=pendulum_reward,
+            dynamics_handler=handler,
+            solver_name=solver_name,
+            planning_horizon=5,
+            population=32,
+            max_iterations=2,
+            rollout_backend="fused",
+        )
+        action, _, pred = policy.act(np.asarray([1.0, 0.0, 0.0], np.float32))
+        assert action.shape == (1,) and np.isfinite(action).all(), solver_name
+        assert np.isfinite(pred), solver_name
+    with pytest.raises(ValueError, match="fused"):
+        MPCPolicy(
+            action_space=BoxSpace(low=np.asarray([-2.0]), high=np.asarray([2.0])),
+            reward_function=pendulum_reward,
+            dynamics_handler=handler,
+            solver_name="SPSA",
+            planning_horizon=5,
+            population=32,
+            rollout_backend="fused",
+        )
+
+
+def test_backend_auto_routes_fused_family_beyond_hbm():
+    from blackbox_mpc_tpu.models.dynamics import LearnedDynamicsConfig
+    from blackbox_mpc_tpu.ops.backend_select import choose_backend
+    from blackbox_mpc_tpu.solvers.pi2 import PI2Config
+
+    cfg = LearnedDynamicsConfig(dim_s=17, dim_u=6, hidden=(200, 200))
+    common = dict(population=8_000_000, num_agents=1, platform="tpu", horizon=50, dim_u=6)
+    for name in ("PI2", "MPPI", "RandomSearch"):
+        assert choose_backend(cfg, solver_name=name, **common) == "fused_cem", name
+    assert choose_backend(
+        cfg, solver_name="PI2",
+        solver_config=PI2Config(population=8_000_000, adapt_variance=True,
+                                control_cost=True),
+        **common,
+    ) == "fused_cem"
+    assert choose_backend(cfg, solver_name="SPSA", **common) == "xla"
