@@ -128,7 +128,8 @@ def _gen_z(counter: jax.Array, seed: jax.Array, basis2, sampling: str = "normal"
     g = _normal(counter, seed)
     if basis2 is None:
         return jnp.clip(g, -2.0, 2.0)
-    sig = jnp.dot(g, basis2, preferred_element_type=jnp.float32)  # [N, H*U]
+    sig = jnp.dot(g, basis2, preferred_element_type=jnp.float32,
+                  precision=jax.lax.Precision.HIGHEST)  # [N, H*U]
     mu = jnp.mean(sig, axis=1, keepdims=True)
     std = jnp.sqrt(jnp.maximum(jnp.mean(jnp.square(sig - mu), axis=1, keepdims=True), 0.0))
     return jnp.clip(sig / (std + 1e-8), -2.0, 2.0)
@@ -274,8 +275,10 @@ def make_fused_cem_kernels(
         agent_ids = jax.lax.rem(row_ids, agents)
         onehot = (agent_ids[:, None] == jax.lax.broadcasted_iota(jnp.int32, (tile, agents), 1)
                   ).astype(jnp.float32)
-        mean_rows = jnp.dot(onehot, mean_ref[:], preferred_element_type=jnp.float32)
-        std_rows = jnp.dot(onehot, std_ref[:], preferred_element_type=jnp.float32)
+        mean_rows = jnp.dot(onehot, mean_ref[:], preferred_element_type=jnp.float32,
+                  precision=jax.lax.Precision.HIGHEST)
+        std_rows = jnp.dot(onehot, std_ref[:], preferred_element_type=jnp.float32,
+                  precision=jax.lax.Precision.HIGHEST)
         return mean_rows, std_rows, onehot
 
     def _inject_lookup(tile_id, extra_ref):
@@ -293,7 +296,8 @@ def make_fused_cem_kernels(
             inj_idx[:, None]
             == jax.lax.broadcasted_iota(jnp.int32, (tile, extra_slots * agents), 1)
         ).astype(jnp.float32) * is_inj.astype(jnp.float32)[:, None]
-        inj_vals = jnp.dot(onehot, extra_ref[:], preferred_element_type=jnp.float32)
+        inj_vals = jnp.dot(onehot, extra_ref[:], preferred_element_type=jnp.float32,
+                  precision=jax.lax.Precision.HIGHEST)
         return inj_vals, is_inj[:, None]
 
     # ---------------- Kernel A: sample + rollout -> rewards ----------------
@@ -325,7 +329,8 @@ def make_fused_cem_kernels(
                 centered0 = jnp.where(inj_mask, inj_vals - mean_rows, centered0)
         if aux_dot:
             # MPPI control cost term: <g_row, perturbation> per row, g = mean/variance.
-            g_rows = jnp.dot(onehot, gvec_ref[:], preferred_element_type=jnp.float32)
+            g_rows = jnp.dot(onehot, gvec_ref[:], preferred_element_type=jnp.float32,
+                  precision=jax.lax.Precision.HIGHEST)
             dot = jnp.sum(g_rows * centered0, axis=1)
 
         step_fn = kc.build_step_fn(
@@ -380,8 +385,10 @@ def make_fused_cem_kernels(
         )
         onehot = (agent_ids == jax.lax.broadcasted_iota(jnp.int32, (st_tile, agents), 1)
                   ).astype(jnp.float32)
-        mean_rows = jnp.dot(onehot, mean_ref[0], preferred_element_type=jnp.float32)
-        std_rows = jnp.dot(onehot, std_ref[0], preferred_element_type=jnp.float32)
+        mean_rows = jnp.dot(onehot, mean_ref[0], preferred_element_type=jnp.float32,
+                  precision=jax.lax.Precision.HIGHEST)
+        std_rows = jnp.dot(onehot, std_ref[0], preferred_element_type=jnp.float32,
+                  precision=jax.lax.Precision.HIGHEST)
         actions = mean_rows + std_rows * z  # [T, U]
 
         step_fn = kc.build_step_fn(config, reward_fn, stats_ref[:], weight_refs)
@@ -453,8 +460,10 @@ def make_fused_cem_kernels(
         # mask_ref is [T, 1]: row r's elite membership (for its own agent); the one-hot
         # restricts the reduction to the owning agent's column.
         mask = mask_ref[:] * onehot  # [T, A]
-        part_sum = jnp.dot(mask.T, centered, preferred_element_type=jnp.float32)
-        part_sq = jnp.dot(mask.T, centered * centered, preferred_element_type=jnp.float32)
+        part_sum = jnp.dot(mask.T, centered, preferred_element_type=jnp.float32,
+                  precision=jax.lax.Precision.HIGHEST)
+        part_sq = jnp.dot(mask.T, centered * centered, preferred_element_type=jnp.float32,
+                  precision=jax.lax.Precision.HIGHEST)
 
         @pl.when(tile_id == 0)
         def _():
