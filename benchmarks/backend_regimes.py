@@ -58,15 +58,36 @@ def build_chain(N, backend, population, hidden, agents, ensemble, horizon=50, it
         # so it picks 512-1024 rows from the VMEM budget.
         pal = make_pallas_rollout_evaluator(cfg, reward_fn)
         make_ev = lambda dp: partial(pal, dp)  # noqa: E731
-    elif backend in ("fused_cem", "fused_cem_block"):
-        # Generate-in-kernel CEM, streamed (per-step generation, (tiles, H) grid) vs the
-        # round-1 block kernel (whole [T, H*U] action block in VMEM).
+    elif backend in ("fused_cem", "fused_cem_streamed", "fused_cem_block"):
+        # Generate-in-kernel CEM. Since r3 the BLOCK kernel is the library default
+        # ("fused_cem" here now means block; pre-r3 jsonl rows used "fused_cem" for the
+        # streamed variant and "fused_cem_block" for block — kept accepted for re-runs).
         from blackbox_mpc_tpu.ops.pallas_cem import make_fused_cem
         from blackbox_mpc_tpu.solvers.cem import CEMConfig
 
         cem_cfg = CEMConfig(**solver_kw)
         make_fused = lambda dp: make_fused_cem(  # noqa: E731
-            cem_cfg, bounds, cfg, dp, reward_fn, streamed=(backend == "fused_cem")
+            cem_cfg, bounds, cfg, dp, reward_fn,
+            streamed=(backend == "fused_cem_streamed"),
+        )
+        make_ev = None
+    elif backend == "fused_pi2":
+        from blackbox_mpc_tpu.ops.pallas_cem import make_fused_pi2
+        from blackbox_mpc_tpu.solvers.pi2 import PI2Config
+
+        pi2_kw = {k: v for k, v in solver_kw.items() if k != "num_elite"}
+        make_fused = lambda dp: make_fused_pi2(  # noqa: E731
+            PI2Config(**pi2_kw), bounds, cfg, dp, reward_fn
+        )
+        make_ev = None
+    elif backend == "fused_random_search":
+        from blackbox_mpc_tpu.ops.pallas_cem import make_fused_random_search
+        from blackbox_mpc_tpu.solvers.random_search import RandomSearchConfig
+
+        rs_kw = {k: v for k, v in solver_kw.items()
+                 if k not in ("num_elite", "max_iterations")}
+        make_fused = lambda dp: make_fused_random_search(  # noqa: E731
+            RandomSearchConfig(**rs_kw), bounds, cfg, dp, reward_fn
         )
         make_ev = None
     else:
@@ -123,16 +144,18 @@ def main():
     grid = [
         # (population, hidden, agents, ensemble, chain, backends)
         (128, (64, 64), 1, 1, 64, ("xla", "pallas")),
-        (4096, (64, 64), 1, 1, 32, ("xla", "pallas", "fused_cem")),
+        (4096, (64, 64), 1, 1, 32, ("xla", "pallas", "fused_cem")),  # fused = block kernel
         (1000, (200, 200), 1, 1, 16, ("xla", "pallas")),
         (1000, (200, 200), 16, 1, 8, ("xla", "pallas")),
-        # flagship (chain 11 matches bench.py's cache) + the fused-CEM A/B: streamed
-        # (per-step in-kernel generation) vs the round-1 block kernel.
-        (1000, (500, 500, 500), 1, 5, 11, ("xla", "pallas", "fused_cem", "fused_cem_block")),
+        # flagship (chain 11 matches bench.py's cache) + the fused-CEM A/B: block
+        # (default) vs the streamed per-step-generation variant.
+        (1000, (500, 500, 500), 1, 5, 11,
+         ("xla", "pallas", "fused_cem", "fused_cem_streamed")),
         # beyond-HBM: the [P, A, H, U] candidate tensor alone is 4.8 GB (x2 with the XLA
-        # path's workspace copies on a 16 GB v5e) — only the generate-in-kernel fused CEM
-        # can run this shape; measured here so the capacity claim carries a current number.
-        (4_000_000, (64, 64), 1, 1, 3, ("fused_cem",)),
+        # path's workspace copies on a 16 GB v5e) — only the generate-in-kernel fused
+        # family can run this shape; measured so the capacity claims carry current numbers.
+        (4_000_000, (64, 64), 1, 1, 3,
+         ("fused_cem", "fused_cem_streamed", "fused_pi2", "fused_random_search")),
     ]
     if args.quick:
         grid = grid[:1]

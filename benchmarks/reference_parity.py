@@ -262,8 +262,13 @@ def judge(ref_rows, our_rows):
             r["episode_reward"]
         )
     for opt, sides in sorted(by_opt.items()):
-        ref = float(np.mean(sides.get("reference", [np.nan])))
         ours = float(np.mean(sides.get("blackbox_mpc_tpu", [np.nan])))
+        if "reference" not in sides:
+            # --skip-reference mode: nothing to compare against — report, don't fail.
+            table.append(dict(optimizer=opt, ref_reward=None,
+                              ours_reward=round(ours, 1), tol=None, passed=None))
+            continue
+        ref = float(np.mean(sides["reference"]))
         tol = max(PASS_ABS_TOL, PASS_REL_TOL * abs(ref))
         ok = bool(ours >= ref - tol)
         table.append(dict(optimizer=opt, ref_reward=round(ref, 1),
@@ -303,8 +308,10 @@ def main(argv=None):
     print("\n== parity table (mean episode reward, higher is better) ==")
     for row in table:
         print(json.dumps(row))
-    failed = [r for r in table if not r["passed"]]
-    print(f"\n{len(table) - len(failed)}/{len(table)} optimizers within tolerance")
+    failed = [r for r in table if r["passed"] is False]
+    judged = [r for r in table if r["passed"] is not None]
+    print(f"\n{len(judged) - len(failed)}/{len(judged)} judged optimizers within tolerance"
+          + ("" if judged else " (reference side skipped; nothing judged)"))
     return 1 if failed else 0
 
 

@@ -177,6 +177,7 @@ def make_fused_cem_kernels(
     extra_slots: int = 0,
     sampling: str = "normal",
     aux_dot: bool = False,
+    clip_bounds=None,
 ):
     """Builds (rollout_rewards, elite_moments) for the fused solver iterations.
 
@@ -214,14 +215,13 @@ def make_fused_cem_kernels(
     The new features run on the BLOCK kernels only (the measured-default path —
     backend_regimes_r3.jsonl); ``streamed=True`` with any feature raises.
 
-    ``streamed=True`` (default): the rollout kernel runs on a (tiles, horizon) grid and
-    synthesizes step h's actions *inside* step h from the counter-based RNG — the [T, H*U]
-    action block never exists, so tiles grow 2-4x (``_streamed_tile``), the per-step
-    ``pltpu.roll`` disappears, and Mosaic pipelines the tiny per-step mean/std blocks while
-    the weights stay VMEM-resident across the entire grid. Candidate streams are
-    bit-identical to the block kernel's (same global (row, col) counters), so kernel B's
-    regeneration keeps matching either way. ``streamed=False`` keeps the round-1 block
-    kernel (one grid dim, whole action block in VMEM) for A/B comparison.
+    ``streamed=False`` (default — the r3-measured winner, backend_regimes_r3.jsonl): one
+    grid dim, the whole [T, H*U] action block in VMEM. ``streamed=True`` keeps the
+    per-step-generation variant for A/B comparison: a (tiles, horizon) grid synthesizing
+    step h's actions inside step h (bigger tiles, no roll) — measured SLOWER everywhere
+    because the per-step [T, U] noise block lane-pads U to 128 on the VPU. Candidate
+    streams are bit-identical between the two (same global (row, col) counters), so
+    kernel B's regeneration matches either way.
     """
     kc.check_kernel_support(config, "fused CEM", allow_ts1=True)
     dim_s, dim_u = config.dim_s, config.dim_u
@@ -240,11 +240,26 @@ def make_fused_cem_kernels(
     fresh_pop = population - extra_slots
     if extra_slots and fresh_pop < 1:
         raise ValueError(f"extra_slots ({extra_slots}) must leave >= 1 fresh candidate")
-    if streamed and (colored or extra_slots or ts1 or aux_dot or sampling != "normal"):
+    # clip_bounds=(lower [U], upper [U]) numpy: clip candidates to bounds in BOTH kernels
+    # and subtract the squared-violation penalty from kernel A's rewards — exactly
+    # solvers.base.bound_violation_penalty, used by the fused PI2/MPPI (whose mean, unlike
+    # CEM's variance-constrained one, would otherwise drift out of the action space).
+    if clip_bounds is not None:
+        if extra_slots:
+            raise ValueError("clip_bounds and extra_slots are mutually exclusive (no "
+                             "current solver needs both; the penalty would be wrong on "
+                             "injected rows)")
+        # [2, n_flat] kernel operand (Mosaic rejects captured array constants)
+        clip_arr = jnp.asarray(np.stack([
+            np.tile(np.asarray(clip_bounds[0], np.float32), horizon),
+            np.tile(np.asarray(clip_bounds[1], np.float32), horizon),
+        ]))
+    if streamed and (colored or extra_slots or ts1 or aux_dot or sampling != "normal"
+                     or clip_bounds is not None):
         raise ValueError(
-            "colored noise / injected candidates / ts1 / aux_dot / uniform sampling run on "
-            "the block fused kernels (the measured default); streamed=True supports the "
-            "plain white-noise path only"
+            "colored noise / injected candidates / ts1 / aux_dot / uniform sampling / "
+            "clip_bounds run on the block fused kernels (the measured default); "
+            "streamed=True supports the plain white-noise path only"
         )
     if rows * n_cols >= 2**32:
         # The counter-based RNG indexes elements with int32 arithmetic (uint32 wrap);
@@ -312,6 +327,7 @@ def make_fused_cem_kernels(
         s0_ref, mean_ref, std_ref, *refs = refs
         basis_ref = refs.pop(0) if colored else None
         extra_ref = refs.pop(0) if extra_slots else None
+        clip_ref = refs.pop(0) if clip_bounds is not None else None
         gvec_ref = refs.pop(0) if aux_dot else None
         stats_ref, *wb_refs = refs
         out_ref = wb_refs[-1]
@@ -322,6 +338,12 @@ def make_fused_cem_kernels(
         mean_rows, std_rows, onehot = _row_stats(mean_ref, std_ref, tile_id)
         centered0 = std_rows * z
         actions0 = mean_rows + centered0  # [T, H*U]
+        penalty = None
+        if clip_bounds is not None:
+            raw = actions0
+            actions0 = jnp.clip(actions0, clip_ref[0], clip_ref[1])
+            penalty = jnp.sum(jnp.square(raw - actions0), axis=1)  # [T]
+            centered0 = actions0 - mean_rows  # post-clip perturbation (XLA pi2.py:96)
         if extra_slots:
             inj_vals, inj_mask = _inject_lookup(tile_id, extra_ref)
             actions0 = jnp.where(inj_mask, inj_vals, actions0)
@@ -349,6 +371,8 @@ def make_fused_cem_kernels(
         s0 = s0_ref[:]
         total0 = jnp.zeros((tile,), jnp.float32)
         _, total, _ = jax.lax.fori_loop(0, horizon, step, (s0, total0, actions0))
+        if penalty is not None:
+            total = total - penalty  # rewards = evaluate(clipped) - penalty (pi2.py:92)
         out_ref[:, 0] = total
         if aux_dot:
             out_ref[:, 1] = dot
@@ -445,6 +469,8 @@ def make_fused_cem_kernels(
         refs = refs[1:] if colored else refs
         extra_ref = refs[0] if extra_slots else None
         refs = refs[1:] if extra_slots else refs
+        clip_ref = refs[0] if clip_bounds is not None else None
+        refs = refs[1:] if clip_bounds is not None else refs
         mask_ref, sum_ref, sumsq_ref = refs
         tile_id = pl.program_id(0)
         counter = _tile_counter(tile_id * tile, tile, n_cols)
@@ -454,6 +480,10 @@ def make_fused_cem_kernels(
         # samples cancels catastrophically in fp32 for large-magnitude action bounds, while
         # centered values are O(2 sigma). The caller reconstructs mean/var from these.
         centered = std_rows * z  # [T, H*U]
+        if clip_bounds is not None:
+            # post-clip perturbation: the weighted mean then reduces over CLIPPED samples
+            # (a convex combination that stays in bounds, matching the XLA PI2 update).
+            centered = jnp.clip(mean_rows + centered, clip_ref[0], clip_ref[1]) - mean_rows
         if extra_slots:
             inj_vals, inj_mask = _inject_lookup(tile_id, extra_ref)
             centered = jnp.where(inj_mask, inj_vals - mean_rows, centered)
@@ -476,7 +506,7 @@ def make_fused_cem_kernels(
     basis2 = jnp.asarray(basis2_np) if colored else None
 
     def _feature_operands(extra):
-        """The optional [basis], [extra] operands + their (full-array) specs, in order."""
+        """The optional [basis], [extra], [clip] operands + their specs, in order."""
         ops, specs = [], []
         if colored:
             ops.append(basis2)
@@ -485,6 +515,9 @@ def make_fused_cem_kernels(
             if extra is None:
                 raise ValueError("extra_slots > 0: pass extra [extra_slots*agents, H*U]")
             ops.append(extra.reshape(extra_slots * agents, n_flat).astype(jnp.float32))
+            specs.append(pl.BlockSpec(memory_space=pltpu.VMEM))
+        if clip_bounds is not None:
+            ops.append(clip_arr)
             specs.append(pl.BlockSpec(memory_space=pltpu.VMEM))
         return ops, specs
 
@@ -574,7 +607,9 @@ def make_fused_cem_kernels(
         )(seed_arr, mean_f, std_f, *feat_ops, mask_rows)
         return sums, sumsq
 
-    return (rollout_rewards_streamed if streamed else rollout_rewards), elite_moments
+    rollout = rollout_rewards_streamed if streamed else rollout_rewards
+    rollout.basis2 = basis2  # the exact matrix the kernels color with (None if white)
+    return rollout, elite_moments
 
 
 def make_fused_cem(
@@ -621,12 +656,14 @@ def make_fused_cem(
     n_flat = horizon * bounds.dim
     extra_slots = keep + (1 if mean_as_candidate else 0)
     fresh_pop = pop - extra_slots
-    basis2 = jnp.asarray(_colored_basis2(horizon, bounds.dim, beta)) if beta > 0 else None
     rollout_rewards, elite_moments = make_fused_cem_kernels(
         dyn_config, reward_fn,
         horizon=horizon, agents=agents, population=pop, tile=tile, streamed=streamed,
         interpret=interpret, colored_noise_beta=beta, extra_slots=extra_slots,
     )
+    # The kernels expose the spectral basis they generate with; the jnp mirror MUST use
+    # the identical matrix or extracted values desynchronize from the in-kernel stream.
+    basis2 = getattr(rollout_rewards, "basis2", None)
     n_extract = max(keep, 1 if execute_best else 0)
 
     def init(key: jax.Array) -> CEMState:
@@ -760,19 +797,21 @@ def make_fused_pi2(
     (PI2-CMA's weighted variance) without ever materializing the candidates. MPPI's
     control cost is kernel A's ``aux_dot`` output (``<mean/variance, std z>`` per row).
 
-    Fused-path conventions (documented deviations from the XLA solver): candidates are
-    mean + std * clipped(+/-2) z with NO bounds clip or violation penalty (the fused
-    CEM convention — with the default bounds-derived variance the samples stay feasible),
-    and colored noise clips z rather than the sample.
+    Bounds handling matches the XLA solver: candidates are clipped to bounds in-kernel
+    with the squared-violation penalty subtracted from each row's reward
+    (``solvers/base.py`` ``bound_violation_penalty``), so the weighted mean — a convex
+    combination of clipped samples — always stays inside the action space. Remaining
+    deviation: the underlying z is clipped at +/-2 sigma (fused-family convention) rather
+    than resampled-truncated.
     """
     horizon, agents, pop = config.planning_horizon, config.num_agents, config.population
     lamda = config.lamda
     beta_cn = getattr(config, "colored_noise_beta", 0.0)
-    n_flat = horizon * bounds.dim
     rollout_rewards, weighted_moments = make_fused_cem_kernels(
         dyn_config, reward_fn,
         horizon=horizon, agents=agents, population=pop, tile=tile, interpret=interpret,
         colored_noise_beta=beta_cn, aux_dot=config.control_cost,
+        clip_bounds=(bounds.lower, bounds.upper),
     )
 
     def init(key: jax.Array) -> PI2State:

@@ -154,6 +154,11 @@ class MPCPolicy(ModelBasedPolicy):
                 "action_smoothness_weight needs the candidate tensor; the fused CEM never "
                 "materializes it — use the 'xla' or 'pallas' backend"
             )
+        if rollout_backend == "fused_cem" and discount != 1.0:
+            raise ValueError(
+                "the fused solver kernels sum undiscounted rewards; discount != 1.0 would "
+                "be silently ignored — use the 'xla' or 'pallas' backend"
+            )
         self._smoothness = float(action_smoothness_weight)
         self._solver_kwargs = dict(solver_kwargs)
         self._act_counter = 0
@@ -236,6 +241,12 @@ class MPCPolicy(ModelBasedPolicy):
                     "rollout_backend='auto' selected the fused CEM (beyond-HBM population) "
                     "but action_smoothness_weight needs the candidate tensor; pick a "
                     "population that fits HBM or drop the smoothness cost"
+                )
+            if resolved == "fused_cem" and self._discount != 1.0:
+                raise ValueError(
+                    "rollout_backend='auto' selected the fused solver (beyond-HBM "
+                    "population) but the fused kernels sum undiscounted rewards; pick a "
+                    "population that fits HBM or set discount=1.0"
                 )
             self._rollout_backend = resolved
         if self._rollout_backend == "fused_cem" and solver_name not in (

@@ -91,6 +91,11 @@ class CMAESState:
     p_cov: jax.Array  # [A, n]
     chol: jax.Array  # [A, n, n] lower Cholesky of cov; diagonal mode: [A, n] (sqrt(C))
     inv_sqrt: jax.Array  # [A, n, n] C^(-1/2); diagonal mode: [A, n]
+    # Hansen generation counter g since the adaptation state was (re)initialized — the
+    # adaptive_h_sigma warm-up factor must track the TRUE age of p_sigma, which with
+    # persist_across_solves=True spans solves (a per-solve loop index would spuriously
+    # reset the warm-up and fire h=0 on every MPC step's first iterations).
+    gen: jax.Array = struct.field(default_factory=lambda: jnp.zeros((), jnp.int32))
 
 
 def make_cma_es(config: CMAESConfig, bounds: Bounds, evaluate: TrajectoryEvaluator) -> Solver:
@@ -216,7 +221,9 @@ def make_cma_es(config: CMAESConfig, bounds: Bounds, evaluate: TrajectoryEvaluat
                 # scaled by the warm-up factor sqrt(1-(1-c_sigma)^(2(g+1))); a path much
                 # longer than that signals sigma is still catching up and the rank-one
                 # update would imprint the (transient) path direction into C.
-                warmup = 1.0 - (1.0 - c_sigma) ** (2.0 * (jnp.asarray(i, jnp.float32) + 1.0))
+                warmup = 1.0 - (1.0 - c_sigma) ** (
+                    2.0 * (s.gen.astype(jnp.float32) + 1.0)
+                )
                 h = (
                     jnp.linalg.norm(p_sigma, axis=-1) / jnp.sqrt(warmup)
                     < (1.4 + 2.0 / (nf + 1.0)) * expectation_of_normal
@@ -288,6 +295,7 @@ def make_cma_es(config: CMAESConfig, bounds: Bounds, evaluate: TrajectoryEvaluat
                 p_cov=p_cov,
                 chol=chol,
                 inv_sqrt=inv_sqrt,
+                gen=s.gen + 1,
             )
             return new_s, key, jnp.max(rewards, axis=0)
 

@@ -516,3 +516,61 @@ def test_backend_auto_routes_fused_family_beyond_hbm():
         **common,
     ) == "fused_cem"
     assert choose_backend(cfg, solver_name="SPSA", **common) == "xla"
+
+
+def test_fused_pi2_clips_to_bounds_and_penalizes(setup):
+    """Review fix: fused PI2 must clip candidates to bounds in-kernel (subtracting the
+    squared-violation penalty, solvers/base.bound_violation_penalty) so the weighted mean
+    — a convex combination of clipped samples — can never leave the action space."""
+    from blackbox_mpc_tpu.ops.pallas_cem import _mirror_z, make_fused_pi2
+    from blackbox_mpc_tpu.solvers.pi2 import PI2Config
+
+    dyn_cfg, dyn, dp, _, (H, A, P) = setup
+    bounds = Bounds.of(-0.3, 0.3, dim=2)  # tight bounds: sigma = range/4 clips often
+    # kernel-level: rewards == evaluate(clipped extracted) - penalty(raw)
+    rr, em = make_fused_cem_kernels(
+        dyn_cfg, reward_fn, horizon=H, agents=A, population=P, tile=8, interpret=True,
+        clip_bounds=(bounds.lower, bounds.upper),
+    )
+    mean = jnp.full((A, H, 2), 0.25)  # near the upper bound -> frequent clipping
+    std = jnp.full((A, H, 2), 0.15)
+    s0 = jnp.asarray([[0.3, -0.2, 0.1], [0.0, 0.5, -0.5]])
+    seed = 55
+    rewards = np.asarray(rr(dp, s0, mean, std, seed))
+    clipped = _extract_all(em, mean, std, seed, P, A, H, 2)  # kernel B returns CLIPPED
+    assert np.asarray(clipped).max() <= 0.3 + 1e-6 and np.asarray(clipped).min() >= -0.3 - 1e-6
+    rows = jnp.arange(P * A)
+    z = np.asarray(_mirror_z(seed, rows, H * 2)).reshape(P, A, H, 2)
+    raw = np.asarray(mean)[None] + np.asarray(std)[None] * z
+    assert (np.abs(raw) > 0.3).any()  # clipping actually exercised
+    penalty = np.square(raw - np.clip(raw, -0.3, 0.3)).reshape(P, A, -1).sum(-1)
+    evaluate = make_trajectory_evaluator(partial(dyn, dp), reward_fn)
+    np.testing.assert_allclose(
+        rewards, np.asarray(evaluate(s0, clipped)) - penalty, rtol=1e-3, atol=1e-3
+    )
+    # solver-level: the plan mean never drifts out of bounds, even over many iterations
+    cfg = PI2Config(planning_horizon=H, num_agents=A, population=64, max_iterations=10)
+    solver = make_fused_pi2(cfg, bounds, dyn_cfg, dp, reward_fn, tile=8, interpret=True)
+    obs = jnp.asarray([[0.5, 0.5, 0.5], [-0.5, -0.5, 0.5]])
+    action, next_state, _ = jax.jit(solver.solve)(
+        solver.init(jax.random.PRNGKey(0)), obs, jnp.asarray(0), jax.random.PRNGKey(1)
+    )
+    assert np.abs(np.asarray(action)).max() <= 0.3 + 1e-5
+    assert np.abs(np.asarray(next_state.mean)).max() <= 0.3 + 1e-5
+
+
+def test_fused_backend_rejects_discount():
+    from blackbox_mpc_tpu.core.spaces import BoxSpace
+    from blackbox_mpc_tpu.learning import DynamicsHandler
+    from blackbox_mpc_tpu.models import pendulum_reward
+    from blackbox_mpc_tpu.policies import MPCPolicy
+
+    handler = DynamicsHandler(config=LearnedDynamicsConfig(dim_s=3, dim_u=1, hidden=(16,)))
+    with pytest.raises(ValueError, match="discount"):
+        MPCPolicy(
+            action_space=BoxSpace(low=np.asarray([-2.0]), high=np.asarray([2.0])),
+            reward_function=pendulum_reward,
+            dynamics_handler=handler,
+            solver_name="CEM", planning_horizon=5, population=32, num_elite=4,
+            discount=0.95, rollout_backend="fused",
+        )
