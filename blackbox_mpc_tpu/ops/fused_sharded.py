@@ -1,0 +1,335 @@
+"""Pod-scale fused solvers: generate-in-kernel CEM/PI2/MPPI/RandomSearch sharded over a mesh.
+
+The single-chip fused solvers (:mod:`~blackbox_mpc_tpu.ops.pallas_cem`) remove the candidate
+tensor from HBM; this module removes the single-chip ceiling. The population is sharded over
+the ``"pop"`` mesh axis (``parallel/mesh.py``) and each device runs the SAME Mosaic kernels
+on its local shard with a device-offset RNG seed — so a D-chip slice plans over D× the
+beyond-HBM population (e.g. 32M candidates on an 8-chip v5e slice, none of them ever
+materialized). The structure is a hybrid of ``jax.shard_map`` (the pallas calls, which need
+per-device seed/row logic) and global XLA ops (top-k / softmax / argmax over the sharded
+reward vector, where the SPMD partitioner inserts the gather/psum collectives):
+
+* kernel A runs per device → a row-sharded ``[P, A]`` reward vector (the ONLY cross-device
+  tensor; tiny — 4 bytes/candidate);
+* elite selection / softmax weighting happens on that global vector;
+* kernel B reduces moments per device from each device's own regenerated stream, followed
+  by a ``psum`` — the update state (mean/variance) stays replicated.
+
+Per-device streams use ``seed + device * _SEED_STRIDE`` so candidates are independent across
+devices; any candidate can still be regenerated anywhere from its owner's seed (RandomSearch
+argmax extraction). Reference baseline being scaled: the reference's optimizers are strictly
+single-device (SURVEY §2.2 — no distributed layer exists there at all).
+"""
+from __future__ import annotations
+
+from functools import partial
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import PartitionSpec as P
+
+from blackbox_mpc_tpu.core.types import Bounds, Solver, SolverAux
+from blackbox_mpc_tpu.models.dynamics import DynamicsParams, LearnedDynamicsConfig
+from blackbox_mpc_tpu.ops.pallas_cem import _mirror_z, make_fused_cem_kernels
+from blackbox_mpc_tpu.parallel.mesh import POP_AXIS
+from blackbox_mpc_tpu.solvers import base
+from blackbox_mpc_tpu.solvers.cem import CEMConfig, CEMState
+from blackbox_mpc_tpu.solvers.pi2 import PI2Config, PI2State
+from blackbox_mpc_tpu.solvers.random_search import RandomSearchConfig, RandomSearchState
+
+__all__ = [
+    "make_sharded_fused_cem",
+    "make_sharded_fused_pi2",
+    "make_sharded_fused_random_search",
+]
+
+# Large odd stride decorrelates per-device counter streams after the murmur3 mix.
+_SEED_STRIDE = 0x7F4A7C15
+
+
+def _mesh_size(mesh) -> int:
+    return int(mesh.shape[POP_AXIS])
+
+
+def _local_population(population: int, mesh) -> int:
+    d = _mesh_size(mesh)
+    if population % d:
+        raise ValueError(
+            f"population ({population}) must divide the mesh's {POP_AXIS} axis ({d})"
+        )
+    return population // d
+
+
+def _reject_injection(config, what: str):
+    if getattr(config, "keep_elites", 0) or getattr(config, "mean_as_candidate", False) \
+            or getattr(config, "execute_best", False):
+        raise ValueError(
+            f"{what} does not support keep_elites/mean_as_candidate/execute_best yet — "
+            "use the single-chip fused solver or the XLA path"
+        )
+    if getattr(config, "population_decay", 1.0) != 1.0:
+        raise ValueError(f"{what} compiles fixed-population kernels; population_decay "
+                         "is not supported")
+
+
+def make_sharded_fused_cem(
+    config: CEMConfig,
+    bounds: Bounds,
+    dyn_config: LearnedDynamicsConfig,
+    dp: DynamicsParams,
+    reward_fn: Callable,
+    mesh,
+    *,
+    tile: int = 256,
+    interpret: bool = False,
+) -> Solver:
+    """CEM over per-device fused kernels, population sharded over ``mesh``'s pop axis.
+
+    Same update rules as :func:`~blackbox_mpc_tpu.ops.pallas_cem.make_fused_cem` (colored
+    noise and ts1 supported; injected-candidate features not yet). Per iteration the only
+    cross-device communication is the [P, A] reward vector's top-k and one psum of the
+    [A, H*U] centered moments.
+    """
+    horizon, agents, pop, k = (
+        config.planning_horizon, config.num_agents, config.population, config.num_elite,
+    )
+    if k > pop:
+        raise ValueError(f"num_elite ({k}) must be <= population ({pop})")
+    _reject_injection(config, "sharded fused CEM")
+    alpha = config.alpha
+    beta = getattr(config, "colored_noise_beta", 0.0)
+    p_loc = _local_population(pop, mesh)
+    rollout_rewards, elite_moments = make_fused_cem_kernels(
+        dyn_config, reward_fn,
+        horizon=horizon, agents=agents, population=p_loc, tile=tile, interpret=interpret,
+        colored_noise_beta=beta,
+    )
+
+    def _dev_rewards(dp, obs, mean, std, seed):
+        dev = jax.lax.axis_index(POP_AXIS)
+        return rollout_rewards(dp, obs, mean, std, seed + dev * _SEED_STRIDE)
+
+    def _dev_moments(mean, std, seed, mask_loc):
+        dev = jax.lax.axis_index(POP_AXIS)
+        csum, csumsq = elite_moments(mean, std, seed + dev * _SEED_STRIDE, mask_loc)
+        return (
+            jax.lax.psum(csum, POP_AXIS),
+            jax.lax.psum(csumsq, POP_AXIS),
+        )
+
+    shard_rewards = jax.shard_map(
+        _dev_rewards, mesh=mesh,
+        in_specs=(P(), P(), P(), P(), P()), out_specs=P(POP_AXIS), check_vma=False,
+    )
+    shard_moments = jax.shard_map(
+        _dev_moments, mesh=mesh,
+        in_specs=(P(), P(), P(), P(POP_AXIS)), out_specs=(P(), P()), check_vma=False,
+    )
+
+    def init(key: jax.Array) -> CEMState:
+        del key
+        return CEMState(
+            mean=base.init_solution_mean(bounds, horizon, agents),
+            variance=base.init_solution_variance(bounds, horizon, agents),
+        )
+
+    def solve(state: CEMState, obs: jax.Array, t: jax.Array, key: jax.Array):
+        del t
+
+        def iteration(_, carry):
+            mean, var, key, _ = carry
+            key, seed_key = jax.random.split(key)
+            seed = jax.random.randint(seed_key, (), 0, jnp.iinfo(jnp.int32).max)
+            constrained = base.constrain_variance(mean, var, bounds)
+            std = jnp.sqrt(constrained)
+            rewards = shard_rewards(dp, obs, mean, std, seed)  # [P, A], row-sharded
+            rewards = jnp.where(jnp.isnan(rewards), jnp.float32(-1e6), rewards)
+            elite_vals, elite_idx = jax.lax.top_k(rewards.T, k)  # [A, k]
+            mask = jnp.zeros((pop, agents), jnp.float32).at[
+                elite_idx.T, jnp.arange(agents)[None, :]
+            ].set(1.0)
+            csum, csumsq = shard_moments(mean, std, seed, mask)
+            delta = (csum / k).reshape(agents, horizon, bounds.dim)
+            new_mean = mean + delta
+            new_var = (csumsq / k).reshape(agents, horizon, bounds.dim) - jnp.square(delta)
+            new_var = jnp.maximum(new_var, 0.0)
+            mean = alpha * mean + (1.0 - alpha) * new_mean
+            var = alpha * var + (1.0 - alpha) * new_var
+            return mean, var, key, jnp.mean(elite_vals, axis=1)
+
+        best0 = jnp.full((agents,), -jnp.inf, dtype=state.mean.dtype)
+        mean, var, _, elite_reward = jax.lax.fori_loop(
+            0, config.max_iterations, iteration, (state.mean, state.variance, key, best0)
+        )
+        action = mean[:, 0]
+        if config.warm_start:
+            next_state = CEMState(mean=base.shift_time(mean), variance=state.variance)
+        else:
+            next_state = state
+        return action, next_state, SolverAux(expected_reward=elite_reward, plan=mean)
+
+    def reset(state: CEMState, key: jax.Array) -> CEMState:
+        del state
+        return init(key)
+
+    return Solver(init=init, solve=solve, reset=reset, name="CEM-Fused-Sharded",
+                  plan_field="mean")
+
+
+def make_sharded_fused_pi2(
+    config: PI2Config,
+    bounds: Bounds,
+    dyn_config: LearnedDynamicsConfig,
+    dp: DynamicsParams,
+    reward_fn: Callable,
+    mesh,
+    *,
+    tile: int = 256,
+    interpret: bool = False,
+) -> Solver:
+    """PI2/MPPI over per-device fused kernels (softmax over the sharded reward vector,
+    weighted moments psum-reduced; in-kernel bounds clip + violation penalty as in
+    :func:`~blackbox_mpc_tpu.ops.pallas_cem.make_fused_pi2`)."""
+    horizon, agents, pop = config.planning_horizon, config.num_agents, config.population
+    lamda = config.lamda
+    beta_cn = getattr(config, "colored_noise_beta", 0.0)
+    p_loc = _local_population(pop, mesh)
+    rollout_rewards, weighted_moments = make_fused_cem_kernels(
+        dyn_config, reward_fn,
+        horizon=horizon, agents=agents, population=p_loc, tile=tile, interpret=interpret,
+        colored_noise_beta=beta_cn, aux_dot=config.control_cost,
+        clip_bounds=(bounds.lower, bounds.upper),
+    )
+
+    def _dev_rewards(dp, obs, mean, std, seed, gvec):
+        dev = jax.lax.axis_index(POP_AXIS)
+        if config.control_cost:
+            return rollout_rewards(dp, obs, mean, std, seed + dev * _SEED_STRIDE, gvec=gvec)
+        return rollout_rewards(dp, obs, mean, std, seed + dev * _SEED_STRIDE), jnp.zeros(())
+
+    def _dev_moments(mean, std, seed, omega_loc):
+        dev = jax.lax.axis_index(POP_AXIS)
+        wsum, wsumsq = weighted_moments(mean, std, seed + dev * _SEED_STRIDE, omega_loc)
+        return jax.lax.psum(wsum, POP_AXIS), jax.lax.psum(wsumsq, POP_AXIS)
+
+    shard_rewards = jax.shard_map(
+        _dev_rewards, mesh=mesh,
+        in_specs=(P(), P(), P(), P(), P(), P()),
+        out_specs=(P(POP_AXIS), P(POP_AXIS) if config.control_cost else P()),
+        check_vma=False,
+    )
+    shard_moments = jax.shard_map(
+        _dev_moments, mesh=mesh,
+        in_specs=(P(), P(), P(), P(POP_AXIS)), out_specs=(P(), P()), check_vma=False,
+    )
+
+    def init(key: jax.Array) -> PI2State:
+        del key
+        return PI2State(mean=base.init_solution_mean(bounds, horizon, agents))
+
+    def solve(state: PI2State, obs: jax.Array, t: jax.Array, key: jax.Array):
+        del t
+        variance0 = base.init_solution_variance(bounds, horizon, agents)
+
+        def iteration(_, carry):
+            mean, variance, key, _ = carry
+            key, seed_key = jax.random.split(key)
+            seed = jax.random.randint(seed_key, (), 0, jnp.iinfo(jnp.int32).max)
+            std = jnp.sqrt(variance)
+            gvec = mean / variance if config.control_cost else jnp.zeros_like(mean)
+            rewards, dots = shard_rewards(dp, obs, mean, std, seed, gvec)
+            rewards = jnp.where(jnp.isnan(rewards), jnp.float32(-1e6), rewards)
+            costs = -rewards
+            if config.control_cost:
+                costs = costs + lamda * dots
+            cbeta = jnp.min(costs, axis=0, keepdims=True)
+            prob = jnp.exp(-(costs - cbeta) / lamda)
+            omega = prob / jnp.sum(prob, axis=0, keepdims=True)  # [P, A]
+            wsum, wsumsq = shard_moments(mean, std, seed, omega)
+            delta = wsum.reshape(agents, horizon, bounds.dim)
+            new_mean = mean + delta
+            if config.adapt_variance:
+                new_var = wsumsq.reshape(agents, horizon, bounds.dim) - jnp.square(delta)
+                variance = jnp.maximum(new_var, config.variance_floor_frac * variance0)
+            return new_mean, variance, key, jnp.max(rewards, axis=0)
+
+        best0 = jnp.full((agents,), -jnp.inf, dtype=state.mean.dtype)
+        mean, _, _, best_reward = jax.lax.fori_loop(
+            0, config.max_iterations, iteration, (state.mean, variance0, key, best0)
+        )
+        action = mean[:, 0]
+        next_state = PI2State(mean=base.shift_time(mean))
+        return action, next_state, SolverAux(expected_reward=best_reward, plan=mean)
+
+    def reset(state: PI2State, key: jax.Array) -> PI2State:
+        del state
+        return init(key)
+
+    name = "MPPI-Fused-Sharded" if config.control_cost else "PI2-Fused-Sharded"
+    return Solver(init=init, solve=solve, reset=reset, name=name, plan_field="mean")
+
+
+def make_sharded_fused_random_search(
+    config: RandomSearchConfig,
+    bounds: Bounds,
+    dyn_config: LearnedDynamicsConfig,
+    dp: DynamicsParams,
+    reward_fn: Callable,
+    mesh,
+    *,
+    tile: int = 256,
+    interpret: bool = False,
+) -> Solver:
+    """Single-shot RandomSearch over per-device fused kernels: a global argmax over the
+    sharded reward vector, the winning candidate regenerated from its OWNER device's seed
+    by the jnp RNG mirror (any device can regenerate any row)."""
+    horizon, agents, pop = config.planning_horizon, config.num_agents, config.population
+    n_flat = horizon * bounds.dim
+    p_loc = _local_population(pop, mesh)
+    mid = base.init_solution_mean(bounds, horizon, agents)
+    half = jnp.broadcast_to(
+        (bounds.upper - bounds.lower).astype(jnp.float32) / 2.0, mid.shape
+    )
+    rollout_rewards, _ = make_fused_cem_kernels(
+        dyn_config, reward_fn,
+        horizon=horizon, agents=agents, population=p_loc, tile=tile, interpret=interpret,
+        sampling="uniform",
+    )
+
+    def _dev_rewards(dp, obs, mean, std, seed):
+        dev = jax.lax.axis_index(POP_AXIS)
+        return rollout_rewards(dp, obs, mean, std, seed + dev * _SEED_STRIDE)
+
+    shard_rewards = jax.shard_map(
+        _dev_rewards, mesh=mesh,
+        in_specs=(P(), P(), P(), P(), P()), out_specs=P(POP_AXIS), check_vma=False,
+    )
+
+    def init(key: jax.Array) -> RandomSearchState:
+        del key
+        return RandomSearchState()
+
+    def solve(state: RandomSearchState, obs: jax.Array, t: jax.Array, key: jax.Array):
+        del t
+        seed = jax.random.randint(key, (), 0, jnp.iinfo(jnp.int32).max)
+        rewards = shard_rewards(dp, obs, mid, half, seed)  # [P, A]
+        rewards = jnp.where(jnp.isnan(rewards), jnp.float32(-1e6), rewards)
+        best_idx = jnp.argmax(rewards, axis=0)  # [A] global candidate index
+        dev = best_idx // p_loc  # owner device
+        local_row = (best_idx % p_loc) * agents + jnp.arange(agents)
+        owner_seed = seed + dev * _SEED_STRIDE  # [A]
+        z = jax.vmap(
+            lambda s, r: _mirror_z(s, r[None], n_flat, sampling="uniform")[0]
+        )(owner_seed, local_row)  # [A, n_flat]
+        best_plan = (
+            mid.reshape(agents, n_flat) + half.reshape(agents, n_flat) * z
+        ).reshape(agents, horizon, bounds.dim)
+        best_reward = jnp.take_along_axis(rewards, best_idx[None, :], axis=0)[0]
+        return best_plan[:, 0], state, SolverAux(expected_reward=best_reward, plan=best_plan)
+
+    def reset(state: RandomSearchState, key: jax.Array) -> RandomSearchState:
+        del key
+        return state
+
+    return Solver(init=init, solve=solve, reset=reset, name="RandomSearch-Fused-Sharded")

@@ -133,10 +133,11 @@ class MPCPolicy(ModelBasedPolicy):
                 f"{dynamics_handler.config.propagation!r} "
                 "(the fused kernels are deterministic); use the XLA backend"
             )
-        if kernel_backend and mesh is not None:
+        if rollout_backend == "pallas" and mesh is not None:
             raise ValueError(
-                f"rollout_backend={rollout_backend!r} and mesh= are mutually exclusive for now "
-                "(the fused kernels are single-chip; shard with the XLA backend)"
+                "rollout_backend='pallas' and mesh= are mutually exclusive (the rollout "
+                "kernel is single-chip; shard with the XLA backend, or use "
+                "rollout_backend='fused' whose solver family shards over the mesh)"
             )
         # "auto" resolves per solver config in _build (needs the population size); the
         # measured decision rule lives in ops/backend_select.py.
@@ -287,22 +288,41 @@ class MPCPolicy(ModelBasedPolicy):
                 self._handler.config, reward_fn, discount=discount, interpret=interpret
             )
         elif self._rollout_backend == "fused_cem":
-            from blackbox_mpc_tpu.ops.pallas_cem import (
-                make_fused_cem,
-                make_fused_pi2,
-                make_fused_random_search,
-            )
-
-            fused_factory_fn = {
-                "CEM": make_fused_cem,
-                "PI2": make_fused_pi2,
-                "MPPI": make_fused_pi2,
-                "RandomSearch": make_fused_random_search,
-            }[solver_name]
             dyn_cfg = self._handler.config
-            fused_cem_factory = lambda dp: fused_factory_fn(  # noqa: E731
-                config, bounds, dyn_cfg, dp, reward_fn, interpret=interpret
-            )
+            if mesh is not None:
+                # Pod-scale fused family: per-device kernels on the population shard,
+                # top-k/softmax over the sharded reward vector (ops/fused_sharded.py).
+                from blackbox_mpc_tpu.ops.fused_sharded import (
+                    make_sharded_fused_cem,
+                    make_sharded_fused_pi2,
+                    make_sharded_fused_random_search,
+                )
+
+                fused_factory_fn = {
+                    "CEM": make_sharded_fused_cem,
+                    "PI2": make_sharded_fused_pi2,
+                    "MPPI": make_sharded_fused_pi2,
+                    "RandomSearch": make_sharded_fused_random_search,
+                }[solver_name]
+                fused_cem_factory = lambda dp: fused_factory_fn(  # noqa: E731
+                    config, bounds, dyn_cfg, dp, reward_fn, mesh, interpret=interpret
+                )
+            else:
+                from blackbox_mpc_tpu.ops.pallas_cem import (
+                    make_fused_cem,
+                    make_fused_pi2,
+                    make_fused_random_search,
+                )
+
+                fused_factory_fn = {
+                    "CEM": make_fused_cem,
+                    "PI2": make_fused_pi2,
+                    "MPPI": make_fused_pi2,
+                    "RandomSearch": make_fused_random_search,
+                }[solver_name]
+                fused_cem_factory = lambda dp: fused_factory_fn(  # noqa: E731
+                    config, bounds, dyn_cfg, dp, reward_fn, interpret=interpret
+                )
 
         stochastic = self._stochastic
         num_particles = (

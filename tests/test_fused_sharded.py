@@ -1,0 +1,198 @@
+"""Pod-scale fused solvers: per-device kernels + global collectives, on the virtual
+8-device CPU mesh (kernels in TPU-semantics interpreter mode)."""
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from blackbox_mpc_tpu.core.types import Bounds
+from blackbox_mpc_tpu.models.dynamics import LearnedDynamicsConfig, make_learned_dynamics
+from blackbox_mpc_tpu.ops.fused_sharded import (
+    _SEED_STRIDE,
+    make_sharded_fused_cem,
+    make_sharded_fused_pi2,
+    make_sharded_fused_random_search,
+)
+from blackbox_mpc_tpu.ops.pallas_cem import make_fused_cem, make_fused_cem_kernels
+from blackbox_mpc_tpu.parallel import make_pop_mesh
+from blackbox_mpc_tpu.solvers.cem import CEMConfig
+from blackbox_mpc_tpu.solvers.pi2 import MPPIConfig, PI2Config
+from blackbox_mpc_tpu.solvers.random_search import RandomSearchConfig
+
+
+def reward_fn(s, a, ns):
+    return -jnp.sum(jnp.square(ns), axis=-1) - 0.01 * jnp.sum(jnp.square(a), axis=-1)
+
+
+@pytest.fixture(scope="module")
+def setup():
+    assert len(jax.devices()) >= 8, "conftest must provide 8 virtual CPU devices"
+    dyn_cfg = LearnedDynamicsConfig(dim_s=3, dim_u=2, hidden=(16,), ensemble_size=2)
+    init_model, dyn = make_learned_dynamics(dyn_cfg)
+    dp = init_model(jax.random.PRNGKey(0))
+    return dyn_cfg, dyn, dp
+
+
+OBS = jnp.asarray([[0.5, 0.5, 0.5], [-0.5, -0.5, 0.5]])
+H, A = 5, 2
+BOUNDS = Bounds.of(-1.0, 1.0, dim=2)
+
+
+def test_one_device_mesh_bitmatches_single_chip_fused_cem(setup):
+    """D=1: device 0's seed offset is zero, so the sharded solver must reproduce the
+    single-chip fused CEM bit-for-bit (same key-split structure, same kernels)."""
+    dyn_cfg, dyn, dp = setup
+    cfg = CEMConfig(planning_horizon=H, num_agents=A, population=32, num_elite=4,
+                    max_iterations=3)
+    mesh1 = make_pop_mesh(1)
+    a = make_fused_cem(cfg, BOUNDS, dyn_cfg, dp, reward_fn, tile=8, interpret=True)
+    b = make_sharded_fused_cem(cfg, BOUNDS, dyn_cfg, dp, reward_fn, mesh1, tile=8,
+                               interpret=True)
+    key = jax.random.PRNGKey(3)
+    act_a, _, aux_a = jax.jit(a.solve)(a.init(jax.random.PRNGKey(0)), OBS, jnp.asarray(0), key)
+    act_b, _, aux_b = jax.jit(b.solve)(b.init(jax.random.PRNGKey(0)), OBS, jnp.asarray(0), key)
+    np.testing.assert_array_equal(np.asarray(act_a), np.asarray(act_b))
+    np.testing.assert_array_equal(np.asarray(aux_a.plan), np.asarray(aux_b.plan))
+
+
+def test_sharded_rewards_match_per_device_recompute(setup):
+    """8 devices: the sharded reward vector must equal each device's kernel run with its
+    own offset seed — proving the row partitioning and the seed-offset convention."""
+    dyn_cfg, dyn, dp = setup
+    mesh = make_pop_mesh(8)
+    pop = 64  # 8 rows per device
+    cfg = CEMConfig(planning_horizon=H, num_agents=A, population=pop, num_elite=4,
+                    max_iterations=1)
+    solver = make_sharded_fused_cem(cfg, BOUNDS, dyn_cfg, dp, reward_fn, mesh, tile=8,
+                                    interpret=True)
+    key = jax.random.PRNGKey(7)
+    state = solver.init(jax.random.PRNGKey(0))
+    # replicate the solve's seed derivation for its single iteration
+    _, seed_key = jax.random.split(key)
+    seed = jax.random.randint(seed_key, (), 0, jnp.iinfo(jnp.int32).max)
+    # per-device recompute with the single-chip kernels at the local population
+    from blackbox_mpc_tpu.solvers import base as sbase
+
+    std = jnp.sqrt(sbase.constrain_variance(state.mean, state.variance, BOUNDS))
+    rr, em = make_fused_cem_kernels(dyn_cfg, reward_fn, horizon=H, agents=A,
+                                    population=pop // 8, tile=8, interpret=True)
+    expected = jnp.concatenate([
+        # int32 arithmetic wraps exactly like the in-solver dev offset (python-int math
+        # would overflow the jit argument parser at d >= 2)
+        rr(dp, OBS, state.mean, std, seed + jnp.int32(d) * jnp.int32(_SEED_STRIDE))
+        for d in range(8)
+    ], axis=0)  # [pop, A]
+    # extract the sharded path's rewards by reproducing the masked-moment identity:
+    # easier — run the full solve and check the ELITE reward it reports is consistent
+    # with expected's top-k (elite means over the recomputed global vector).
+    _, _, aux = jax.jit(solver.solve)(state, OBS, jnp.asarray(0), key)
+    k = 4
+    elite_vals, _ = jax.lax.top_k(expected.T, k)
+    np.testing.assert_allclose(
+        np.asarray(aux.expected_reward), np.asarray(jnp.mean(elite_vals, axis=1)),
+        rtol=1e-4, atol=1e-4,
+    )
+
+
+@pytest.mark.parametrize("features", [dict(), dict(colored_noise_beta=2.0)])
+def test_sharded_fused_cem_solves(setup, features):
+    dyn_cfg, dyn, dp = setup
+    mesh = make_pop_mesh(8)
+    cfg = CEMConfig(planning_horizon=H, num_agents=A, population=64, num_elite=8,
+                    max_iterations=5, **features)
+    solver = make_sharded_fused_cem(cfg, BOUNDS, dyn_cfg, dp, reward_fn, mesh, tile=8,
+                                    interpret=True)
+    action, _, aux = jax.jit(solver.solve)(
+        solver.init(jax.random.PRNGKey(0)), OBS, jnp.asarray(0), jax.random.PRNGKey(1)
+    )
+    assert np.all(np.isfinite(np.asarray(action)))
+    assert np.all(np.isfinite(np.asarray(aux.expected_reward)))
+
+
+def test_sharded_fused_pi2_and_mppi_solve(setup):
+    dyn_cfg, dyn, dp = setup
+    mesh = make_pop_mesh(8)
+    for cfg in (
+        PI2Config(planning_horizon=H, num_agents=A, population=64, max_iterations=3,
+                  adapt_variance=True),
+        MPPIConfig(planning_horizon=H, num_agents=A, population=64, max_iterations=3),
+    ):
+        solver = make_sharded_fused_pi2(cfg, BOUNDS, dyn_cfg, dp, reward_fn, mesh, tile=8,
+                                        interpret=True)
+        action, next_state, aux = jax.jit(solver.solve)(
+            solver.init(jax.random.PRNGKey(0)), OBS, jnp.asarray(0), jax.random.PRNGKey(1)
+        )
+        assert np.all(np.isfinite(np.asarray(action))), solver.name
+        # bounds respected (in-kernel clip: convex-combination mean stays feasible)
+        assert np.abs(np.asarray(next_state.mean)).max() <= 1.0 + 1e-5, solver.name
+
+
+def test_sharded_fused_random_search_argmax_extraction(setup):
+    """The global argmax winner must be regenerated exactly from its owner device's
+    stream: re-evaluating the returned plan reproduces the reported best reward."""
+    dyn_cfg, dyn, dp = setup
+    from blackbox_mpc_tpu.rollout import make_trajectory_evaluator
+
+    mesh = make_pop_mesh(8)
+    cfg = RandomSearchConfig(planning_horizon=H, num_agents=A, population=64)
+    solver = make_sharded_fused_random_search(cfg, BOUNDS, dyn_cfg, dp, reward_fn, mesh,
+                                              tile=8, interpret=True)
+    action, _, aux = jax.jit(solver.solve)(
+        solver.init(jax.random.PRNGKey(0)), OBS, jnp.asarray(0), jax.random.PRNGKey(4)
+    )
+    evaluate = make_trajectory_evaluator(partial(dyn, dp), reward_fn)
+    re_reward = evaluate(OBS, jnp.asarray(aux.plan)[None])[0]  # [A]
+    np.testing.assert_allclose(
+        np.asarray(aux.expected_reward), np.asarray(re_reward), rtol=1e-3, atol=1e-3
+    )
+    np.testing.assert_allclose(np.asarray(action), np.asarray(aux.plan)[:, 0])
+    assert np.abs(np.asarray(aux.plan)).max() <= 1.0 + 1e-6  # uniform-in-bounds
+
+
+def test_sharded_fused_validations(setup):
+    dyn_cfg, dyn, dp = setup
+    mesh = make_pop_mesh(8)
+    with pytest.raises(ValueError, match="divide"):
+        make_sharded_fused_cem(
+            CEMConfig(planning_horizon=H, num_agents=A, population=30, num_elite=4),
+            BOUNDS, dyn_cfg, dp, reward_fn, mesh, tile=8, interpret=True)
+    with pytest.raises(ValueError, match="keep_elites"):
+        make_sharded_fused_cem(
+            CEMConfig(planning_horizon=H, num_agents=A, population=64, num_elite=8,
+                      keep_elites=2),
+            BOUNDS, dyn_cfg, dp, reward_fn, mesh, tile=8, interpret=True)
+
+
+def test_mpc_policy_fused_with_mesh(setup):
+    """rollout_backend='fused' + mesh: the policy routes to the sharded fused family."""
+    from blackbox_mpc_tpu.core.spaces import BoxSpace
+    from blackbox_mpc_tpu.learning import DynamicsHandler
+    from blackbox_mpc_tpu.models import pendulum_reward
+    from blackbox_mpc_tpu.policies import MPCPolicy
+
+    mesh = make_pop_mesh(8)
+    handler = DynamicsHandler(config=LearnedDynamicsConfig(dim_s=3, dim_u=1, hidden=(16,)))
+    for solver_name in ("CEM", "PI2"):
+        policy = MPCPolicy(
+            action_space=BoxSpace(low=np.asarray([-2.0]), high=np.asarray([2.0])),
+            reward_function=pendulum_reward,
+            dynamics_handler=handler,
+            solver_name=solver_name,
+            planning_horizon=5, population=64, max_iterations=2,
+            **(dict(num_elite=8) if solver_name == "CEM" else {}),
+            rollout_backend="fused", mesh=mesh,
+        )
+        action, _, pred = policy.act(np.asarray([1.0, 0.0, 0.0], np.float32))
+        assert action.shape == (1,) and np.isfinite(action).all(), solver_name
+        assert np.isfinite(pred), solver_name
+    # the single-chip-only pallas rollout kernel still rejects a mesh
+    with pytest.raises(ValueError, match="pallas"):
+        MPCPolicy(
+            action_space=BoxSpace(low=np.asarray([-2.0]), high=np.asarray([2.0])),
+            reward_function=pendulum_reward,
+            dynamics_handler=handler,
+            solver_name="CEM", planning_horizon=5, population=64, num_elite=8,
+            rollout_backend="pallas", mesh=mesh,
+        )
