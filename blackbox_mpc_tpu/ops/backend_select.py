@@ -88,8 +88,12 @@ def choose_backend(
         if getattr(solver_config, "colored_noise_beta", 0.0) > 0.0
         else horizon * dim_u
     )
+    fused_family = ("CEM", "PI2", "MPPI", "RandomSearch")
+    # sep-CMA (diagonal) fuses; full-covariance CMA-ES needs the [n, n] rank-mu reduction.
+    if solver_name == "CMA-ES" and getattr(solver_config, "diagonal", False):
+        fused_family = fused_family + ("CMA-ES",)
     if (
-        solver_name in ("CEM", "PI2", "MPPI", "RandomSearch")
+        solver_name in fused_family
         and candidate_bytes >= FUSED_CEM_MIN_BYTES
         and config.propagation in ("mean", "ts1")
         and rows * rng_cols < 2**32  # in-kernel RNG counter range

@@ -42,6 +42,7 @@ from blackbox_mpc_tpu.models.dynamics import DynamicsParams, LearnedDynamicsConf
 from blackbox_mpc_tpu.ops import _kernel_common as kc
 from blackbox_mpc_tpu.solvers import base
 from blackbox_mpc_tpu.solvers.cem import CEMConfig, CEMState
+from blackbox_mpc_tpu.solvers.cma_es import CMAESConfig, CMAESState, cma_constants
 from blackbox_mpc_tpu.solvers.pi2 import PI2Config, PI2State
 from blackbox_mpc_tpu.solvers.random_search import RandomSearchConfig, RandomSearchState
 
@@ -50,6 +51,7 @@ __all__ = [
     "make_fused_cem",
     "make_fused_pi2",
     "make_fused_random_search",
+    "make_fused_sep_cma",
 ]
 
 _TWO_PI = 2.0 * np.pi
@@ -918,3 +920,138 @@ def make_fused_random_search(
         return state
 
     return Solver(init=init, solve=solve, reset=reset, name="RandomSearch-Fused")
+
+
+def make_fused_sep_cma(
+    config: CMAESConfig,
+    bounds: Bounds,
+    dyn_config: LearnedDynamicsConfig,
+    dp: DynamicsParams,
+    reward_fn: Callable,
+    *,
+    tile: int = 256,
+    interpret: bool = False,
+) -> Solver:
+    """sep-CMA-ES over the fused kernels — beyond-HBM covariance-adaptive planning.
+
+    The diagonal-covariance CMA update (``solvers/cma_es.py`` diagonal branch) needs only
+    two weighted moments of the population: ``sum w (x - mean)`` (the recombination step,
+    whitened into the sigma/covariance paths) and ``sum w (x - mean)^2`` (the diagonal
+    rank-mu update) — exactly kernel B's weight-agnostic reduction with the log-rank
+    recombination weights scattered by reward order. Sampling runs in kernel A with the
+    per-coordinate effective std ``sigma * sqrt(diag C)`` and the in-kernel bounds clip +
+    violation penalty (``bound_violation_penalty`` semantics, matching the XLA solver);
+    strategy constants come from :func:`~blackbox_mpc_tpu.solvers.cma_es.cma_constants`,
+    shared with the XLA solver so the two cannot drift. Full-covariance mode cannot fuse
+    (the rank-mu update needs the [n, n] outer-product reduction): requires
+    ``config.diagonal=True``.
+
+    Fused-family conventions: z clipped at +/-2 sigma (not resampled-truncated); no lazy
+    eigen machinery (the diagonal model has no factorization at all).
+    """
+    if not config.diagonal:
+        raise ValueError(
+            "the fused CMA-ES is sep-CMA only (diagonal=True): the full-covariance rank-mu "
+            "update needs the [n, n] outer-product reduction, which does not fit the "
+            "moment-regeneration scheme — use the XLA solver for full CMA-ES"
+        )
+    horizon, agents, pop, k = (
+        config.planning_horizon, config.num_agents, config.population, config.num_elite,
+    )
+    C = cma_constants(config, bounds, horizon, pop, k)
+    n = C.n
+    rollout_rewards, weighted_moments = make_fused_cem_kernels(
+        dyn_config, reward_fn,
+        horizon=horizon, agents=agents, population=pop, tile=tile, interpret=interpret,
+        clip_bounds=(bounds.lower, bounds.upper),
+    )
+
+    def init(key: jax.Array) -> CMAESState:
+        del key
+        dt = jnp.float32
+        mean = base.init_solution_mean(bounds, horizon, agents, dt).reshape(agents, n)
+        var = base.init_solution_variance(bounds, horizon, agents, dt).reshape(agents, n)
+        eye = jnp.ones((agents, n), dt)
+        return CMAESState(
+            mean=mean, sigma=jnp.sqrt(var), cov=eye,
+            p_sigma=jnp.zeros((agents, n), dt), p_cov=jnp.zeros((agents, n), dt),
+            chol=eye, inv_sqrt=eye,
+        )
+
+    def solve(state: CMAESState, obs: jax.Array, t: jax.Array, key: jax.Array):
+        del t
+        if not config.persist_across_solves:
+            fresh = init(jax.random.PRNGKey(0))
+            state = fresh.replace(mean=state.mean)
+
+        def iteration(i, carry):
+            s, key, _ = carry
+            key, seed_key = jax.random.split(key)
+            seed = jax.random.randint(seed_key, (), 0, jnp.iinfo(jnp.int32).max)
+            std_eff = s.sigma * s.chol  # per-coordinate sigma * sqrt(diag C), [A, n]
+            rewards = rollout_rewards(dp, obs, s.mean, std_eff, seed)  # incl. -penalty
+            rewards = jnp.where(jnp.isnan(rewards), jnp.float32(-1e6), rewards)
+            # Log-rank recombination weights scattered to each row by reward order.
+            order = jnp.argsort(-rewards.T, axis=1)  # [A, P], best first
+            omega = jnp.zeros((pop, agents), jnp.float32).at[
+                order.T, jnp.arange(agents)[None, :]
+            ].set(jnp.asarray(C.weights)[:, None])
+            csum, csumsq = weighted_moments(s.mean, std_eff, seed, omega)  # [A, n]
+            x_mean = csum  # sum w (x_sorted - mean), post-clip (cma_es.py x_diff)
+            new_mean = s.mean + x_mean
+            y_mean = x_mean / s.sigma
+            whitened = s.inv_sqrt * y_mean
+            p_sigma = (1.0 - C.c_sigma) * s.p_sigma + jnp.sqrt(
+                C.c_sigma * (2.0 - C.c_sigma) * C.mu_eff
+            ) * whitened
+            sigma = s.sigma * jnp.exp(
+                (C.c_sigma / C.d_sigma)
+                * (jnp.linalg.norm(p_sigma, axis=-1) / C.expectation_of_normal - 1.0)
+            )[:, None]
+            sigma = jnp.clip(
+                sigma, config.sigma_floor * C.sigma0, config.sigma_ceil * C.sigma0
+            )
+            if config.adaptive_h_sigma:
+                warmup = 1.0 - (1.0 - C.c_sigma) ** (
+                    2.0 * (s.gen.astype(jnp.float32) + 1.0)
+                )
+                h = (
+                    jnp.linalg.norm(p_sigma, axis=-1) / jnp.sqrt(warmup)
+                    < (1.4 + 2.0 / (C.nf + 1.0)) * C.expectation_of_normal
+                ).astype(s.mean.dtype)[:, None]
+                delta = (1.0 - h) * C.cc * (2.0 - C.cc)
+            else:
+                h = config.h_sigma
+                delta = None
+            p_cov = (1.0 - C.cc) * s.p_cov + h * jnp.sqrt(
+                C.cc * (2.0 - C.cc) * C.mu_eff
+            ) * y_mean
+            rank_mu_d = csumsq / jnp.square(s.sigma)  # sum w ((x-mean)/sigma)^2
+            rank_one_d = jnp.square(p_cov)
+            if delta is not None:
+                rank_one_d = rank_one_d + delta * s.cov
+            cov = (1.0 - C.c1 - C.c_mu) * s.cov + C.c1 * rank_one_d + C.c_mu * rank_mu_d
+            cov = jnp.maximum(cov, 1e-20)
+            chol = jnp.sqrt(cov)
+            new_s = CMAESState(
+                mean=new_mean, sigma=sigma, cov=cov, p_sigma=p_sigma, p_cov=p_cov,
+                chol=chol, inv_sqrt=1.0 / chol, gen=s.gen + 1,
+            )
+            return new_s, key, jnp.max(rewards, axis=0)
+
+        best0 = jnp.full((agents,), -jnp.inf, dtype=state.mean.dtype)
+        state, _, best_reward = jax.lax.fori_loop(
+            0, config.max_iterations, iteration, (state, key, best0)
+        )
+        plan = state.mean.reshape(agents, horizon, bounds.dim)
+        action = plan[:, 0]
+        if not config.persist_across_solves:
+            state = state.replace(mean=base.shift_time(plan).reshape(agents, n))
+        return action, state, SolverAux(expected_reward=best_reward, plan=plan)
+
+    def reset(state: CMAESState, key: jax.Array) -> CMAESState:
+        del state
+        return init(key)
+
+    return Solver(init=init, solve=solve, reset=reset, name="sep-CMA-Fused",
+                  plan_field="mean")

@@ -251,11 +251,12 @@ class MPCPolicy(ModelBasedPolicy):
                 )
             self._rollout_backend = resolved
         if self._rollout_backend == "fused_cem" and solver_name not in (
-            "CEM", "PI2", "MPPI", "RandomSearch"
+            "CEM", "PI2", "MPPI", "RandomSearch", "CMA-ES"
         ):
             raise ValueError(
                 "rollout_backend='fused' backs the generate-in-kernel solver family "
-                f"(CEM, PI2, MPPI, RandomSearch), not {solver_name}"
+                f"(CEM, PI2, MPPI, RandomSearch, CMA-ES with diagonal=True), not "
+                f"{solver_name}"
             )
         if self._rollout_backend == "pallas" and solver_name in ("Gradient", "CEM-GD"):
             raise ValueError(
@@ -303,7 +304,12 @@ class MPCPolicy(ModelBasedPolicy):
                     "PI2": make_sharded_fused_pi2,
                     "MPPI": make_sharded_fused_pi2,
                     "RandomSearch": make_sharded_fused_random_search,
-                }[solver_name]
+                }.get(solver_name)
+                if fused_factory_fn is None:
+                    raise ValueError(
+                        f"{solver_name} has no SHARDED fused path yet; use the single-chip "
+                        "fused solver (no mesh) or the XLA backend"
+                    )
                 fused_cem_factory = lambda dp: fused_factory_fn(  # noqa: E731
                     config, bounds, dyn_cfg, dp, reward_fn, mesh, interpret=interpret
                 )
@@ -312,6 +318,7 @@ class MPCPolicy(ModelBasedPolicy):
                     make_fused_cem,
                     make_fused_pi2,
                     make_fused_random_search,
+                    make_fused_sep_cma,
                 )
 
                 fused_factory_fn = {
@@ -319,6 +326,7 @@ class MPCPolicy(ModelBasedPolicy):
                     "PI2": make_fused_pi2,
                     "MPPI": make_fused_pi2,
                     "RandomSearch": make_fused_random_search,
+                    "CMA-ES": make_fused_sep_cma,  # requires diagonal=True (factory checks)
                 }[solver_name]
                 fused_cem_factory = lambda dp: fused_factory_fn(  # noqa: E731
                     config, bounds, dyn_cfg, dp, reward_fn, interpret=interpret

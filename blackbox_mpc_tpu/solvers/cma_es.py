@@ -98,19 +98,20 @@ class CMAESState:
     gen: jax.Array = struct.field(default_factory=lambda: jnp.zeros((), jnp.int32))
 
 
-def make_cma_es(config: CMAESConfig, bounds: Bounds, evaluate: TrajectoryEvaluator) -> Solver:
-    horizon, agents, pop = config.planning_horizon, config.num_agents, config.population
+def cma_constants(config: CMAESConfig, bounds: Bounds, horizon: int, pop: int, k: int):
+    """Hansen strategy constants, all numpy/python (they bake into the program as HLO
+    literals — jnp closure constants become per-execution bound buffers on remote TPU
+    frontends). Shared by :func:`make_cma_es` and the fused sep-CMA solver
+    (``ops.pallas_cem.make_fused_sep_cma``) so the two cannot drift."""
+    import types
+
     dim_u = bounds.dim
     n = horizon * dim_u
-    k = config.num_elite
-
     # Recombination weights (cma_es.py:62-68): log-rank weights for the top-k, zero after.
     w = np.concatenate(
         [np.log(k + 0.5) - np.log(np.arange(1, k + 1)), np.zeros(pop - k)]
     ).astype(np.float32)
     w = w / w.sum()
-    weights = w  # [P] — kept as numpy so it bakes into the program as a literal
-    # (jnp closure constants become per-execution bound buffers on remote TPU frontends)
     mu_eff = float(1.0 / np.sum(w**2))
     nf = float(n)
     c_sigma = (mu_eff + 2.0) / (nf + mu_eff + 5.0)
@@ -122,8 +123,7 @@ def make_cma_es(config: CMAESConfig, bounds: Bounds, evaluate: TrajectoryEvaluat
         config.alpha_cov * (mu_eff - 2.0 + 1.0 / mu_eff)
         / ((nf + 2.0) ** 2 + config.alpha_cov * mu_eff / 2.0),
     )
-    diagonal = config.diagonal
-    if diagonal:
+    if config.diagonal:
         # sep-CMA-ES: the diagonal model has n (not n^2/2) free parameters, so the
         # covariance learning rates can be ~(n+2)/3 times larger (Ros & Hansen 2008, eq. 4).
         scale = (nf + 2.0) / 3.0
@@ -137,15 +137,31 @@ def make_cma_es(config: CMAESConfig, bounds: Bounds, evaluate: TrajectoryEvaluat
     # factorization error reaches the adaptation noise floor (~3 for the flagship
     # n=300, pop=1000 shape).
     eigen_gap = config.eigen_update_every or max(1, int(0.5 / (nf * (c1 + c_mu))))
-    # Initial per-coordinate sigma as a numpy closure constant (bakes to an HLO literal),
-    # used for the relative sigma floor/ceiling.
-    # Computed with numpy from the numpy bound fields — NOT via the jnp-backed
-    # ``bounds.default_variance`` property, which becomes a tracer when this factory runs
-    # inside a jitted step (MPCPolicy builds the solver per solve) and cannot np.asarray.
+    # Initial per-coordinate sigma. Computed with numpy from the numpy bound fields — NOT
+    # via the jnp-backed ``bounds.default_variance`` property, which becomes a tracer when
+    # this factory runs inside a jitted step (MPCPolicy builds the solver per solve).
     sigma0 = np.tile(
         (np.asarray(bounds.upper, np.float32) - np.asarray(bounds.lower, np.float32))
         .reshape(-1) / 4.0, horizon
     )  # [n] — sqrt((range/4)^2) = range/4, the reference init sigma
+    return types.SimpleNamespace(
+        n=n, weights=w, mu_eff=mu_eff, nf=nf, c_sigma=c_sigma, d_sigma=d_sigma, cc=cc,
+        c1=c1, c_mu=c_mu, expectation_of_normal=expectation_of_normal,
+        eigen_gap=eigen_gap, sigma0=sigma0,
+    )
+
+
+def make_cma_es(config: CMAESConfig, bounds: Bounds, evaluate: TrajectoryEvaluator) -> Solver:
+    horizon, agents, pop = config.planning_horizon, config.num_agents, config.population
+    dim_u = bounds.dim
+    k = config.num_elite
+    C = cma_constants(config, bounds, horizon, pop, k)
+    n, weights, mu_eff, nf = C.n, C.weights, C.mu_eff, C.nf
+    c_sigma, d_sigma, cc, c1, c_mu = C.c_sigma, C.d_sigma, C.cc, C.c1, C.c_mu
+    expectation_of_normal, eigen_gap, sigma0 = (
+        C.expectation_of_normal, C.eigen_gap, C.sigma0,
+    )
+    diagonal = config.diagonal
 
     def init(key: jax.Array) -> CMAESState:
         del key
