@@ -90,6 +90,14 @@ def build_chain(N, backend, population, hidden, agents, ensemble, horizon=50, it
             RandomSearchConfig(**rs_kw), bounds, cfg, dp, reward_fn
         )
         make_ev = None
+    elif backend == "fused_sep_cma":
+        from blackbox_mpc_tpu.ops.pallas_cem import make_fused_sep_cma
+        from blackbox_mpc_tpu.solvers.cma_es import CMAESConfig
+
+        make_fused = lambda dp: make_fused_sep_cma(  # noqa: E731
+            CMAESConfig(**solver_kw, diagonal=True), bounds, cfg, dp, reward_fn
+        )
+        make_ev = None
     else:
         make_ev = lambda dp: make_trajectory_evaluator(partial(dyn, dp), reward_fn)  # noqa: E731
 
@@ -155,7 +163,8 @@ def main():
         # path's workspace copies on a 16 GB v5e) — only the generate-in-kernel fused
         # family can run this shape; measured so the capacity claims carry current numbers.
         (4_000_000, (64, 64), 1, 1, 3,
-         ("fused_cem", "fused_cem_streamed", "fused_pi2", "fused_random_search")),
+         ("fused_cem", "fused_cem_streamed", "fused_pi2", "fused_random_search",
+          "fused_sep_cma")),
     ]
     if args.quick:
         grid = grid[:1]
