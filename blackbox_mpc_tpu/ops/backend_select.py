@@ -60,7 +60,7 @@ def choose_backend(
         import jax
 
         platform = jax.default_backend()
-    if platform != "tpu" or config is None or mesh is not None:
+    if platform != "tpu" or config is None:
         return "xla"
     if getattr(config, "probabilistic", False):
         return "xla"
@@ -70,7 +70,8 @@ def choose_backend(
         return "xla"
     rows = population * num_agents
     if (
-        PALLAS_MAX_WIDTH
+        mesh is None
+        and PALLAS_MAX_WIDTH
         and max(config.hidden) <= PALLAS_MAX_WIDTH
         and rows <= PALLAS_MAX_ROWS
         # the rollout kernel's ts1 member-major permutation needs rows % E == 0
@@ -78,11 +79,22 @@ def choose_backend(
                  and rows % config.ensemble_size)
     ):
         return "pallas"
-    # Beyond-HBM populations: only the generate-in-kernel fused CEM can run them at all.
-    # iCEM colored noise, keep_elites, mean-as-candidate, execute-best, and ts1 are
+    # Beyond-HBM populations: only the generate-in-kernel fused family can run them at
+    # all. iCEM colored noise, keep_elites, mean-as-candidate, execute-best, and ts1 are
     # in-kernel features since round 3 (ops/pallas_cem.py); the counter budget for colored
-    # noise is (H+2)*U per row (the spectral G block) instead of H*U.
-    candidate_bytes = rows * horizon * dim_u * 4
+    # noise is (H+2)*U per row (the spectral G block) instead of H*U. With a mesh the
+    # capacity threshold is PER DEVICE (ops/fused_sharded.py: each chip runs the kernels
+    # on its population shard), so "beyond-HBM" means beyond D x HBM.
+    n_devices = 1
+    if mesh is not None:
+        try:
+            n_devices = int(mesh.shape.get("pop", 1))
+        except Exception:  # noqa: BLE001 — unknown mesh types fall back to XLA below
+            return "xla"
+        if population % n_devices:
+            return "xla"
+    local_rows = rows // n_devices
+    candidate_bytes = local_rows * horizon * dim_u * 4
     rng_cols = (
         ((horizon // 2 + 1) * 2) * dim_u
         if getattr(solver_config, "colored_noise_beta", 0.0) > 0.0
@@ -92,11 +104,20 @@ def choose_backend(
     # sep-CMA (diagonal) fuses; full-covariance CMA-ES needs the [n, n] rank-mu reduction.
     if solver_name == "CMA-ES" and getattr(solver_config, "diagonal", False):
         fused_family = fused_family + ("CMA-ES",)
+    if mesh is not None and (
+        solver_name == "CMA-ES"
+        or getattr(solver_config, "keep_elites", 0)
+        or getattr(solver_config, "mean_as_candidate", False)
+        or getattr(solver_config, "execute_best", False)
+    ):
+        # the SHARDED fused path does not support injected-candidate features or sep-CMA
+        # yet (ops/fused_sharded.py) — never auto-route what the factory would reject.
+        return "xla"
     if (
         solver_name in fused_family
         and candidate_bytes >= FUSED_CEM_MIN_BYTES
         and config.propagation in ("mean", "ts1")
-        and rows * rng_cols < 2**32  # in-kernel RNG counter range
+        and local_rows * rng_cols < 2**32  # in-kernel RNG counter range (per device)
         # population_decay needs per-iteration kernel shapes — still XLA-only.
         and getattr(solver_config, "population_decay", 1.0) == 1.0
     ):

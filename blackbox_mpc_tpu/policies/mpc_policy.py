@@ -139,6 +139,11 @@ class MPCPolicy(ModelBasedPolicy):
                 "kernel is single-chip; shard with the XLA backend, or use "
                 "rollout_backend='fused' whose solver family shards over the mesh)"
             )
+        if rollout_backend == "fused_cem" and mesh is not None and shard_axis != "population":
+            raise ValueError(
+                "the sharded fused solvers shard the POPULATION axis by construction; "
+                "shard_axis='agents' is an XLA-backend layout choice"
+            )
         # "auto" resolves per solver config in _build (needs the population size); the
         # measured decision rule lives in ops/backend_select.py.
         self._requested_backend = rollout_backend

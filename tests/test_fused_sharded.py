@@ -196,3 +196,34 @@ def test_mpc_policy_fused_with_mesh(setup):
             solver_name="CEM", planning_horizon=5, population=64, num_elite=8,
             rollout_backend="pallas", mesh=mesh,
         )
+
+
+def test_backend_auto_is_mesh_aware():
+    """auto routing accounts for the mesh: capacity threshold is per DEVICE, and
+    sharded-unsupported features (sep-CMA, injected candidates) fall back to XLA."""
+    from blackbox_mpc_tpu.ops.backend_select import choose_backend
+    from blackbox_mpc_tpu.solvers.cem import CEMConfig
+    from blackbox_mpc_tpu.solvers.cma_es import CMAESConfig
+
+    dyn = LearnedDynamicsConfig(dim_s=17, dim_u=6, hidden=(200, 200))
+    mesh = make_pop_mesh(8)
+    common = dict(num_agents=1, platform="tpu", horizon=50, dim_u=6, solver_name="CEM")
+    # 32M candidates / 8 devices = 4M per chip: beyond per-chip HBM -> sharded fused
+    assert choose_backend(dyn, 32_000_000, mesh=mesh, **common) == "fused_cem"
+    # 8M / 8 = 1M per chip = 1.2 GB candidate tensor: fits per-chip HBM -> XLA sharding
+    assert choose_backend(dyn, 8_000_000, mesh=mesh, **common) == "xla"
+    # population not divisible by the mesh -> XLA
+    assert choose_backend(dyn, 32_000_001, mesh=mesh, **common) == "xla"
+    # features the sharded factory rejects never auto-route with a mesh...
+    kept = CEMConfig(planning_horizon=50, population=32_000_000, num_elite=50,
+                     keep_elites=5)
+    assert choose_backend(dyn, 32_000_000, mesh=mesh, solver_config=kept,
+                          **common) == "xla"
+    sep = CMAESConfig(planning_horizon=50, population=32_000_000, num_elite=50,
+                      diagonal=True)
+    assert choose_backend(dyn, 32_000_000, mesh=mesh,
+                          solver_config=sep,
+                          **{**common, "solver_name": "CMA-ES"}) == "xla"
+    # ...but still do WITHOUT a mesh (the single-chip fused solver supports them)
+    assert choose_backend(dyn, 8_000_000, solver_config=kept, **common) == "fused_cem"
+    assert choose_backend(dyn, 8_000_000, **common) == "fused_cem"
