@@ -29,6 +29,7 @@ TUTORIALS = {
     "tutorials/gradient_planning/tutorial_one.py": ["--steps", "40"],
     "tutorials/proposer/tutorial_one.py": ["--steps", "30", "--refinements", "1"],
     "tutorials/record_videos/tutorial_one.py": [],
+    "tutorials/beyond_hbm/tutorial_one.py": ["--population", "256"],
 }
 
 MUJOCO_TUTORIALS = {
