@@ -87,10 +87,12 @@ def choose_backend(
     # on its population shard), so "beyond-HBM" means beyond D x HBM.
     n_devices = 1
     if mesh is not None:
+        from blackbox_mpc_tpu.parallel.mesh import POP_AXIS
+
         try:
-            n_devices = int(mesh.shape.get("pop", 1))
-        except Exception:  # noqa: BLE001 — unknown mesh types fall back to XLA below
-            return "xla"
+            n_devices = int(mesh.shape[POP_AXIS])
+        except Exception:  # noqa: BLE001 — meshes without a pop axis cannot back the
+            return "xla"   # sharded fused path (fused_sharded._mesh_size would raise)
         if population % n_devices:
             return "xla"
     local_rows = rows // n_devices

@@ -15,10 +15,13 @@ reward vector, where the SPMD partitioner inserts the gather/psum collectives):
 * kernel B reduces moments per device from each device's own regenerated stream, followed
   by a ``psum`` — the update state (mean/variance) stays replicated.
 
-Per-device streams use ``seed + device * _SEED_STRIDE`` so candidates are independent across
-devices; any candidate can still be regenerated anywhere from its owner's seed (RandomSearch
-argmax extraction). Reference baseline being scaled: the reference's optimizers are strictly
-single-device (SURVEY §2.2 — no distributed layer exists there at all).
+Per-device streams use ``seed + device * _SEED_STRIDE`` as distinct KEYS of the keyed
+counter RNG (``ops.pallas_cem._uniform`` mixes the seed before xor-combining with the
+counter, so distinct seeds' streams share no contiguous runs at any scale — each device's
+counter budget is the full 2^32 elements); any candidate can still be regenerated anywhere
+from its owner's seed (RandomSearch argmax extraction). Reference baseline being scaled:
+the reference's optimizers are strictly single-device (SURVEY §2.2 — no distributed layer
+exists there at all).
 """
 from __future__ import annotations
 
@@ -44,8 +47,17 @@ __all__ = [
     "make_sharded_fused_random_search",
 ]
 
-# Large odd stride decorrelates per-device counter streams after the murmur3 mix.
+# Per-device seed offset. Stream independence does NOT come from this stride — it comes
+# from the keyed mix in ops.pallas_cem._uniform (key = mix(seed), xor-combined with the
+# counter): any two distinct per-device seeds give streams with no contiguous overlap, at
+# any scale. The stride only needs to make the D seeds distinct (int32 wraparound is fine).
 _SEED_STRIDE = 0x7F4A7C15
+
+
+def _device_seed(seed):
+    """THE per-device key derivation — every kernel call and every mirror regeneration
+    must use this one function or streams desynchronize across rollout/moments/extraction."""
+    return seed + jax.lax.axis_index(POP_AXIS) * _SEED_STRIDE
 
 
 def _mesh_size(mesh) -> int:
@@ -107,12 +119,10 @@ def make_sharded_fused_cem(
     )
 
     def _dev_rewards(dp, obs, mean, std, seed):
-        dev = jax.lax.axis_index(POP_AXIS)
-        return rollout_rewards(dp, obs, mean, std, seed + dev * _SEED_STRIDE)
+        return rollout_rewards(dp, obs, mean, std, _device_seed(seed))
 
     def _dev_moments(mean, std, seed, mask_loc):
-        dev = jax.lax.axis_index(POP_AXIS)
-        csum, csumsq = elite_moments(mean, std, seed + dev * _SEED_STRIDE, mask_loc)
+        csum, csumsq = elite_moments(mean, std, _device_seed(seed), mask_loc)
         return (
             jax.lax.psum(csum, POP_AXIS),
             jax.lax.psum(csumsq, POP_AXIS),
@@ -203,14 +213,12 @@ def make_sharded_fused_pi2(
     )
 
     def _dev_rewards(dp, obs, mean, std, seed, gvec):
-        dev = jax.lax.axis_index(POP_AXIS)
         if config.control_cost:
-            return rollout_rewards(dp, obs, mean, std, seed + dev * _SEED_STRIDE, gvec=gvec)
-        return rollout_rewards(dp, obs, mean, std, seed + dev * _SEED_STRIDE), jnp.zeros(())
+            return rollout_rewards(dp, obs, mean, std, _device_seed(seed), gvec=gvec)
+        return rollout_rewards(dp, obs, mean, std, _device_seed(seed)), jnp.zeros(())
 
     def _dev_moments(mean, std, seed, omega_loc):
-        dev = jax.lax.axis_index(POP_AXIS)
-        wsum, wsumsq = weighted_moments(mean, std, seed + dev * _SEED_STRIDE, omega_loc)
+        wsum, wsumsq = weighted_moments(mean, std, _device_seed(seed), omega_loc)
         return jax.lax.psum(wsum, POP_AXIS), jax.lax.psum(wsumsq, POP_AXIS)
 
     shard_rewards = jax.shard_map(
@@ -298,8 +306,7 @@ def make_sharded_fused_random_search(
     )
 
     def _dev_rewards(dp, obs, mean, std, seed):
-        dev = jax.lax.axis_index(POP_AXIS)
-        return rollout_rewards(dp, obs, mean, std, seed + dev * _SEED_STRIDE)
+        return rollout_rewards(dp, obs, mean, std, _device_seed(seed))
 
     shard_rewards = jax.shard_map(
         _dev_rewards, mesh=mesh,

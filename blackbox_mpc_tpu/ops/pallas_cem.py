@@ -71,8 +71,21 @@ def _mix(x: jax.Array) -> jax.Array:
 
 
 def _uniform(counter: jax.Array, seed: jax.Array) -> jax.Array:
-    """Counter-based uniform in (0, 1) from int32 element indices + scalar seed."""
-    x = _mix(counter.astype(jnp.uint32) * jnp.uint32(0x9E3779B1) + seed.astype(jnp.uint32))
+    """Counter-based uniform in (0, 1) from int32 element indices + scalar seed.
+
+    The seed is mixed into a KEY and xor-combined with the scaled counter. A raw additive
+    seed (``mix(c*PHI + s)``) makes every seed's stream a shifted WINDOW of one global
+    sequence — a seed shift is exactly a counter shift through the bijective mix — so two
+    seeds whose windows overlap produce wholesale-identical runs (at pod scale the
+    per-device streams of ``ops/fused_sharded.py`` provably overlapped: 8 devices x 1.2e9
+    counters > 2^32). With ``key = mix(seed)`` xor'd in, two distinct seeds' streams are
+    related only by the scattered permutation ``c -> ((c*PHI) ^ dkey) * PHI^-1`` — single
+    elements may coincide at unrelated positions (birthday-level, statistically benign),
+    but contiguous runs cannot. This also decorrelates the u1/u2 Box-Muller pair below,
+    whose additive ``seed + K`` offset had the same window-overlap hazard.
+    """
+    key = _mix(jnp.asarray(seed).astype(jnp.uint32))
+    x = _mix((counter.astype(jnp.uint32) * jnp.uint32(0x9E3779B1)) ^ key)
     # Mosaic has no uint32->f32 cast; the top-24-bit value fits exactly in (positive) int32.
     top24 = jax.lax.shift_right_logical(x, jnp.uint32(8)).astype(jnp.int32).astype(jnp.float32)
     return (top24 + 0.5) * (1.0 / 16777216.0)

@@ -254,6 +254,13 @@ class MPCPolicy(ModelBasedPolicy):
                     "population) but the fused kernels sum undiscounted rewards; pick a "
                     "population that fits HBM or set discount=1.0"
                 )
+            if (resolved == "fused_cem" and self._mesh is not None
+                    and self._shard_axis != "population"):
+                # same constraint the explicit fused+mesh path enforces in __init__:
+                # the sharded fused solvers shard the population axis by construction.
+                resolved = "xla"
+                logger.info("rollout_backend auto -> xla (shard_axis=%r needs the XLA "
+                            "sharded evaluator)", self._shard_axis)
             self._rollout_backend = resolved
         if self._rollout_backend == "fused_cem" and solver_name not in (
             "CEM", "PI2", "MPPI", "RandomSearch", "CMA-ES"

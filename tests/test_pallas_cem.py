@@ -650,3 +650,27 @@ def test_fused_sep_cma_update_matches_xla_math(setup):
     np.testing.assert_allclose(
         np.asarray(aux.expected_reward), rewards.max(axis=0), rtol=1e-5, atol=1e-5
     )
+
+
+def test_rng_seed_is_a_key_not_a_counter_offset():
+    """Review regression: with an ADDITIVE seed, mix(c*PHI + s) satisfies the window
+    identity stream(s + d, c) == stream(s, c + d*PHI^-1 mod 2^32) for every c — so two
+    per-device seeds were shifted windows of ONE sequence and overlapped wholesale at pod
+    scale. The keyed mix (key = mix(seed), xor-combined) must break that identity."""
+    from blackbox_mpc_tpu.ops.pallas_cem import _uniform
+
+    PHI = 0x9E3779B1
+    phi_inv = pow(PHI, -1, 2**32)
+    seed = jnp.int32(12345)
+    delta = 0x7F4A7C15  # the sharded-fused per-device stride
+    shift = (delta * phi_inv) % 2**32
+    c = jnp.arange(1000, dtype=jnp.int32)
+    lhs = np.asarray(_uniform(c, seed + jnp.int32(delta)))
+    # counter + shift with int32 wraparound (shift may exceed int32 max: split it)
+    c_shifted = (c.astype(jnp.uint32) + jnp.uint32(shift)).astype(jnp.int32)
+    rhs = np.asarray(_uniform(c_shifted, seed))
+    matches = (lhs == rhs).mean()
+    assert matches < 0.01, (
+        f"{matches:.1%} of elements satisfy the additive-seed window identity — the seed "
+        "is acting as a counter offset again; per-device streams would overlap"
+    )

@@ -59,7 +59,9 @@ mesh = make_pop_mesh()
 sharded = MPCPolicy(
     action_space=space, reward_function=pendulum_reward, dynamics_handler=handler,
     solver_name="CEM", planning_horizon=10,
-    population=(args.population // len(jax.devices())) * len(jax.devices()),
+    # round DOWN to a multiple of the device count, but never below num_elite (32)
+    population=max(args.population // len(jax.devices()),
+                   32 // len(jax.devices()) + 1) * len(jax.devices()),
     num_elite=32, max_iterations=3, seed=args.seed, rollout_backend="fused", mesh=mesh,
 )
 action, _, predicted = sharded.act(obs, 0)
