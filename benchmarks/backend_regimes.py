@@ -115,9 +115,9 @@ def build_chain(N, backend, population, hidden, agents, ensemble, horizon=50, it
         (_, _), rs = jax.lax.scan(body, (state, obs), jax.random.split(key, N))
         return rs[-1]
 
-    if backend == "fused_sep_cma":
-        # CMAESState, not CEMState: the sep-CMA solver carries sigma/cov/paths and a
-        # flattened [A, n] mean — feeding it a CEM state crashes at trace time.
+    if make_fused is not None:
+        # Every fused solver carries its OWN state type (CEMState / PI2State /
+        # RandomSearchState / CMAESState) — always init through the solver itself.
         state = jax.jit(make_fused(dp).init)(jax.random.PRNGKey(1))
     else:
         s0 = make_solver("CEM", bounds, lambda a, b: jnp.zeros(()), **solver_kw)
