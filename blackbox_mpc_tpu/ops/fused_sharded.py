@@ -22,6 +22,15 @@ counter budget is the full 2^32 elements); any candidate can still be regenerate
 from its owner's seed (RandomSearch argmax extraction). Reference baseline being scaled:
 the reference's optimizers are strictly single-device (SURVEY §2.2 — no distributed layer
 exists there at all).
+
+Verification boundary: the D>1 capacity claim above is a composition of two verified
+pieces, not a single measured run. Evidence on record: (a) a D=1-mesh sharded solve on the
+real chip is bit-identical to the single-chip fused CEM (docs/performance.md, r3 commit
+16c762d), and (b) the 8-device dryrun executes the full shard_map + collectives path in
+Mosaic INTERPRET mode on a virtual CPU mesh (``__graft_entry__.dryrun_multichip``,
+``tests/test_fused_sharded.py``). Multi-device fused-on-TPU has never been executed — this
+environment has exactly one physical chip — so treat the 32M-candidate figure as designed
+capacity, hardware-verified per device and interpreter-verified across devices.
 """
 from __future__ import annotations
 

@@ -57,6 +57,12 @@ __all__ = [
 _TWO_PI = 2.0 * np.pi
 _round_up = kc.round_up
 
+# E[clip(z, -2, 2)^2] for z ~ N(0, 1): the fused family samples CLIPPED (not
+# resampled-truncated) normals, so raw second moments of the candidate distribution are
+# deflated by this factor relative to the unclipped N(0,1) the Hansen strategy constants
+# assume (integral_{-2}^{2} z^2 phi(z) dz + 2 * 4 * Phi(-2) = 0.73854 + 0.18200).
+_CLIPPED_Z_SECOND_MOMENT = 0.9205369256363231
+
 
 def _mix(x: jax.Array) -> jax.Array:
     """murmur3 finalizer: a high-quality 32-bit mix (counter-based RNG core)."""
@@ -961,6 +967,16 @@ def make_fused_sep_cma(
 
     Fused-family conventions: z clipped at +/-2 sigma (not resampled-truncated); no lazy
     eigen machinery (the diagonal model has no factorization at all).
+
+    Clipped-sampling bias accounting: the Hansen constants (``mu_eff``, ``c_mu``,
+    ``expectation_of_normal``) assume unclipped N(0,1) draws, while the fused kernels clip
+    z at +/-2, deflating second moments by E[clip(z)^2] = 0.9205. The rank-mu term is
+    rescaled by 1/0.9205 in the iteration below (first-order correction). A residual bias
+    remains on the step-size path: each coordinate of the recombination mean has its
+    variance deflated by the same 0.9205, so ``|p_sigma|`` runs ~sqrt(0.9205) = 0.959 of
+    the unclipped expectation and the CSA rule applies ~4.1% x (c_sigma/d_sigma) per-gen
+    downward pressure on sigma (bounded below by ``sigma_floor``); left uncorrected
+    because selection dominates the path statistics after the first few generations.
     """
     if not config.diagonal:
         raise ValueError(
@@ -1039,7 +1055,13 @@ def make_fused_sep_cma(
             p_cov = (1.0 - C.cc) * s.p_cov + h * jnp.sqrt(
                 C.cc * (2.0 - C.cc) * C.mu_eff
             ) * y_mean
-            rank_mu_d = csumsq / jnp.square(s.sigma)  # sum w ((x-mean)/sigma)^2
+            # sum w ((x-mean)/sigma)^2, rescaled by 1/E[clip(z)^2]: the clipped sampling
+            # deflates second moments by 0.9205 vs the unclipped N(0,1) that c_mu/c_1
+            # assume, which would bias the diagonal covariance (and hence sigma*chol)
+            # systematically downward across generations. The rescale is the first-order
+            # correction (elite selection reweights the distribution, so the residual is
+            # second-order); see the docstring for the remaining p_sigma-path bias.
+            rank_mu_d = csumsq / jnp.square(s.sigma) / _CLIPPED_Z_SECOND_MOMENT
             rank_one_d = jnp.square(p_cov)
             if delta is not None:
                 rank_one_d = rank_one_d + delta * s.cov
@@ -1066,5 +1088,10 @@ def make_fused_sep_cma(
         del state
         return init(key)
 
-    return Solver(init=init, solve=solve, reset=reset, name="sep-CMA-Fused",
-                  plan_field="mean")
+    # Same storage-dtype contract as the XLA make_cma_es (cma_es.py): a non-default
+    # config.dtype stores the persistent state in that dtype between solves.
+    return base.with_state_dtype(
+        Solver(init=init, solve=solve, reset=reset, name="sep-CMA-Fused",
+               plan_field="mean"),
+        config.dtype,
+    )

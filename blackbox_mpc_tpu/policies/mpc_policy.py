@@ -242,6 +242,15 @@ class MPCPolicy(ModelBasedPolicy):
             ) if not (self._stochastic or self._penalized) else "xla"
             if resolved != self._rollout_backend:
                 logger.info("rollout_backend auto -> %s", resolved)
+            if resolved == "fused_cem":
+                # The fused family samples clipped (not resampled-truncated) normals —
+                # a silent sampling-distribution change when a population crosses the
+                # beyond-HBM threshold; surface it (ops/pallas_cem.py module docstring).
+                logger.info(
+                    "auto-routing %s onto the fused generate-in-kernel backend: "
+                    "candidates are clipped normals (+/-2 sigma), not the XLA path's "
+                    "resampled-truncated normals", solver_name,
+                )
             if resolved == "fused_cem" and self._smoothness > 0:
                 raise ValueError(
                     "rollout_backend='auto' selected the fused CEM (beyond-HBM population) "
@@ -258,9 +267,23 @@ class MPCPolicy(ModelBasedPolicy):
                     and self._shard_axis != "population"):
                 # same constraint the explicit fused+mesh path enforces in __init__:
                 # the sharded fused solvers shard the population axis by construction.
+                # This is a loud downgrade, not an info line: fused was selected because
+                # the candidate tensor is beyond per-device HBM, and the XLA sharded
+                # evaluator it falls back to MUST materialize exactly that tensor — the
+                # solve will likely OOM at compile/run time.
                 resolved = "xla"
-                logger.info("rollout_backend auto -> xla (shard_axis=%r needs the XLA "
-                            "sharded evaluator)", self._shard_axis)
+                import warnings
+
+                warnings.warn(
+                    f"rollout_backend='auto' selected the fused generate-in-kernel "
+                    f"backend (candidate tensor beyond per-device HBM) but "
+                    f"shard_axis={self._shard_axis!r} forces the XLA sharded evaluator, "
+                    f"which materializes that tensor and will likely OOM. Use "
+                    f"shard_axis='population' to keep the fused path, or shrink the "
+                    f"population.",
+                    RuntimeWarning,
+                    stacklevel=3,
+                )
             self._rollout_backend = resolved
         if self._rollout_backend == "fused_cem" and solver_name not in (
             "CEM", "PI2", "MPPI", "RandomSearch", "CMA-ES"

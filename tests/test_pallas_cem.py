@@ -607,6 +607,25 @@ def test_fused_sep_cma_solves_and_respects_bounds(setup):
             bounds, dyn_cfg, dp, reward_fn, tile=8, interpret=True)
 
 
+def test_fused_sep_cma_respects_state_dtype(setup):
+    """Advisor r3: a non-default CMAESConfig.dtype was silently ignored on the fused path
+    (the XLA make_cma_es wraps with with_state_dtype; the fused factory returned bare)."""
+    from blackbox_mpc_tpu.ops.pallas_cem import make_fused_sep_cma
+    from blackbox_mpc_tpu.solvers.cma_es import CMAESConfig
+
+    dyn_cfg, dyn, dp, _, (H, A, P) = setup
+    bounds = Bounds.of(-1.0, 1.0, dim=2)
+    cfg = CMAESConfig(planning_horizon=H, num_agents=A, population=64, num_elite=16,
+                      max_iterations=2, diagonal=True, dtype=jnp.bfloat16)
+    solver = make_fused_sep_cma(cfg, bounds, dyn_cfg, dp, reward_fn, tile=8, interpret=True)
+    state = solver.init(jax.random.PRNGKey(0))
+    assert state.mean.dtype == jnp.bfloat16 and state.cov.dtype == jnp.bfloat16
+    obs = jnp.asarray([[0.5, 0.5, 0.5], [-0.5, -0.5, 0.5]])
+    action, ns, _ = jax.jit(solver.solve)(state, obs, jnp.asarray(0), jax.random.PRNGKey(1))
+    # actions stay f32 at the boundary; persistent state is stored back in bf16
+    assert action.dtype == jnp.float32 and ns.mean.dtype == jnp.bfloat16
+
+
 def test_fused_sep_cma_update_matches_xla_math(setup):
     """One fused sep-CMA iteration must reproduce the XLA solver's update computed by hand
     from the extracted candidates (same weights, same clipped x_diff, same constants)."""
