@@ -20,13 +20,28 @@ same numpy pendulum simulator, one episode per (optimizer, seed), at MATCHED con
 
 Scoring is done by the harness env with the true gym pendulum cost (independent of either
 planner's internal objective). RNG streams cannot be matched bitwise across TF and JAX, so
-parity is judged on episode returns at fixed initial states: PASS iff
-``ours >= ref - max(abs_tol, rel_tol * |ref|)``.
+parity is judged per (optimizer, num_agents) on episode returns at fixed initial states.
+Hardened in round 4 (r3 verdict weak-spot #3 — the r3 gate was one-sided, reward-only,
+3-seed, agents=1-only):
+
+* 5 seeds by default, reported PER SEED in the summary table;
+* the reward gate anchors on the MEDIAN reference return, so one reference outlier (e.g.
+  the r3 CEM seed-2 blowup: -361.7 vs -123/-125) can neither widen nor shrink the gate:
+  reward PASS iff ``median(ours) >= median(ref) - max(abs_tol, rel_tol * |median(ref)|)``;
+* a TWO-SIDED action-statistics equivalence check: mean |action| and action std (over each
+  episode's executed actions, averaged over seeds) must satisfy
+  ``|ours - ref| <= max(0.10, 0.25 * |ref|)`` — differing too much in either direction
+  fails, so "never fails for being different" no longer holds (bands calibrated on the r3
+  data, where the max observed gap was CMA-ES abs-mean at +20 %);
+* a second matched config at ``num_agents=5`` — the reference CEM's own default
+  (``/root/reference/blackbox_mpc/optimizers/cem.py:8``; agent tiling
+  ``policies/mpc_policy.py:149-152``) — with per-agent independent simulators and the
+  episode return averaged over agents.
 
 Usage:
-  python benchmarks/reference_parity.py [--episodes 3] [--steps 200]
-      [--optimizers CEM,CMA-ES,PI2,PSO,RandomSearch,SPSA]
-      [--out benchmarks/reference_parity_r3.jsonl]
+  python benchmarks/reference_parity.py [--episodes 5] [--episodes-multi 3] [--steps 200]
+      [--agents 1,5] [--optimizers CEM,CMA-ES,PI2,PSO,RandomSearch,SPSA]
+      [--out benchmarks/reference_parity_r4.jsonl]
 """
 from __future__ import annotations
 
@@ -67,6 +82,9 @@ _REF_KWARG_DROP = {
 
 PASS_ABS_TOL = 50.0
 PASS_REL_TOL = 0.20
+# Two-sided action-statistic equivalence bands (see module docstring; r3-calibrated).
+ACTION_STAT_ABS_TOL = 0.10
+ACTION_STAT_REL_TOL = 0.25
 
 
 def _angle_normalize(x):
@@ -133,7 +151,22 @@ def _install_reference():
     return RefMPCPolicy, PendulumTrueModel, pendulum_reward_function
 
 
-def run_reference_episode(optimizer: str, seed: int, steps: int) -> dict:
+def _reset_envs(num_agents: int, seed: int):
+    """One independent simulator per agent; distinct but seed-deterministic initial states
+    (agent 0 reproduces the single-agent initial state for the same seed)."""
+    envs = [PendulumSim() for _ in range(num_agents)]
+    obs = np.stack([env.reset(seed + 7919 * a) for a, env in enumerate(envs)])
+    return envs, obs
+
+
+def _step_envs(envs, actions):
+    out = [env.step(actions[a][0]) for a, env in enumerate(envs)]
+    obs = np.stack([o for o, _ in out])
+    rewards = np.asarray([r for _, r in out])
+    return obs, rewards
+
+
+def run_reference_episode(optimizer: str, seed: int, steps: int, num_agents: int = 1) -> dict:
     import tensorflow as tf
 
     RefMPCPolicy, PendulumTrueModel, pendulum_reward_function = _install_reference()
@@ -151,24 +184,26 @@ def run_reference_episode(optimizer: str, seed: int, steps: int) -> dict:
         true_model=True,
         dynamics_function=PendulumTrueModel(),
         optimizer_name=optimizer,
-        num_agents=1,
+        num_agents=num_agents,
         **kwargs,
     )
-    env = PendulumSim()
-    obs = env.reset(seed)
+    envs, obs = _reset_envs(num_agents, seed)
     policy.reset()
-    total, actions = 0.0, []
+    totals = np.zeros(num_agents)
+    actions = []
     t0 = time.perf_counter()
     for t in range(steps):
-        action, _, _ = policy.act(obs, t)
-        obs, reward = env.step(action[0])
-        total += reward
-        actions.append(float(action[0]))
+        action, _, _ = policy.act(obs if num_agents > 1 else obs[0], t)
+        action = np.asarray(action).reshape(num_agents, -1)
+        obs, rewards = _step_envs(envs, action)
+        totals += rewards
+        actions.append(action[:, 0])
     wall = time.perf_counter() - t0
     a = np.asarray(actions)
     return dict(
         framework="reference", optimizer=optimizer, seed=seed, steps=steps,
-        episode_reward=float(total), action_mean=float(a.mean()),
+        num_agents=num_agents,
+        episode_reward=float(totals.mean()), action_mean=float(a.mean()),
         action_abs_mean=float(np.abs(a).mean()), action_std=float(a.std()),
         wall_s=round(wall, 2),
     )
@@ -217,7 +252,7 @@ def _angle_normalize_jnp(x):
     return ((x + math.pi) % (2.0 * math.pi)) - math.pi
 
 
-def run_ours_episode(optimizer: str, seed: int, steps: int) -> dict:
+def run_ours_episode(optimizer: str, seed: int, steps: int, num_agents: int = 1) -> dict:
     from blackbox_mpc_tpu.core.spaces import BoxSpace
     from blackbox_mpc_tpu.learning.handler import DynamicsHandler
     from blackbox_mpc_tpu.policies.mpc_policy import MPCPolicy
@@ -228,77 +263,107 @@ def run_ours_episode(optimizer: str, seed: int, steps: int) -> dict:
         reward_function=_reference_called_reward(),
         dynamics_handler=handler,
         solver_name=optimizer,
-        num_agents=1,
+        num_agents=num_agents,
         planning_horizon=50,
         seed=seed,
         **MATCHED_CONFIGS[optimizer],
     )
-    env = PendulumSim()
-    obs = env.reset(seed)
+    envs, obs = _reset_envs(num_agents, seed)
     policy.reset()
-    total, actions = 0.0, []
+    totals = np.zeros(num_agents)
+    actions = []
     t0 = time.perf_counter()
     for t in range(steps):
-        action, _, _ = policy.act(obs, t)
-        obs, reward = env.step(action[0])
-        total += reward
-        actions.append(float(action[0]))
+        action, _, _ = policy.act(obs if num_agents > 1 else obs[0], t)
+        action = np.asarray(action).reshape(num_agents, -1)
+        obs, rewards = _step_envs(envs, action)
+        totals += rewards
+        actions.append(action[:, 0])
     wall = time.perf_counter() - t0
     a = np.asarray(actions)
     return dict(
         framework="blackbox_mpc_tpu", optimizer=optimizer, seed=seed, steps=steps,
-        episode_reward=float(total), action_mean=float(a.mean()),
+        num_agents=num_agents,
+        episode_reward=float(totals.mean()), action_mean=float(a.mean()),
         action_abs_mean=float(np.abs(a).mean()), action_std=float(a.std()),
         wall_s=round(wall, 2),
     )
 
 
+def _stat_equiv(ours: float, ref: float) -> bool:
+    return abs(ours - ref) <= max(ACTION_STAT_ABS_TOL, ACTION_STAT_REL_TOL * abs(ref))
+
+
 def judge(ref_rows, our_rows):
-    """Per-optimizer pass table on mean episode reward across seeds."""
+    """Per-(optimizer, num_agents) pass table: median-anchored reward gate + two-sided
+    action-statistic equivalence, with per-seed rewards reported (module docstring)."""
     table = []
-    by_opt = {}
-    for r in ref_rows + our_rows:
-        by_opt.setdefault(r["optimizer"], {}).setdefault(r["framework"], []).append(
-            r["episode_reward"]
-        )
-    for opt, sides in sorted(by_opt.items()):
-        ours = float(np.mean(sides.get("blackbox_mpc_tpu", [np.nan])))
+    by_key = {}
+    for r in sorted(ref_rows + our_rows, key=lambda r: r["seed"]):
+        key = (r["optimizer"], r.get("num_agents", 1))
+        by_key.setdefault(key, {}).setdefault(r["framework"], []).append(r)
+    for (opt, agents), sides in sorted(by_key.items()):
+        ours_rows = sides.get("blackbox_mpc_tpu", [])
+        ours_rewards = [r["episode_reward"] for r in ours_rows]
+        ours_med = float(np.median(ours_rewards)) if ours_rows else float("nan")
         if "reference" not in sides:
             # --skip-reference mode: nothing to compare against — report, don't fail.
-            table.append(dict(optimizer=opt, ref_reward=None,
-                              ours_reward=round(ours, 1), tol=None, passed=None))
+            table.append(dict(optimizer=opt, num_agents=agents, ref_reward=None,
+                              ours_reward=round(ours_med, 1), tol=None, passed=None))
             continue
-        ref = float(np.mean(sides["reference"]))
-        tol = max(PASS_ABS_TOL, PASS_REL_TOL * abs(ref))
-        ok = bool(ours >= ref - tol)
-        table.append(dict(optimizer=opt, ref_reward=round(ref, 1),
-                          ours_reward=round(ours, 1), tol=round(tol, 1),
-                          passed=ok))
+        rrows = sides["reference"]
+        ref_rewards = [r["episode_reward"] for r in rrows]
+        ref_med = float(np.median(ref_rewards))
+        tol = max(PASS_ABS_TOL, PASS_REL_TOL * abs(ref_med))
+        reward_ok = bool(ours_med >= ref_med - tol)
+        stats_ok = True
+        stat_detail = {}
+        for field in ("action_abs_mean", "action_std"):
+            r_val = float(np.mean([r[field] for r in rrows]))
+            o_val = float(np.mean([r[field] for r in ours_rows])) if ours_rows else np.nan
+            ok = _stat_equiv(o_val, r_val)
+            stats_ok = stats_ok and ok
+            stat_detail[field] = dict(ref=round(r_val, 3), ours=round(o_val, 3), ok=ok)
+        table.append(dict(
+            optimizer=opt, num_agents=agents,
+            ref_reward=round(ref_med, 1), ours_reward=round(ours_med, 1),
+            ref_rewards_per_seed=[round(v, 1) for v in ref_rewards],
+            ours_rewards_per_seed=[round(v, 1) for v in ours_rewards],
+            tol=round(tol, 1), reward_passed=reward_ok,
+            action_stats=stat_detail, action_stats_passed=bool(stats_ok),
+            passed=bool(reward_ok and stats_ok),
+        ))
     return table
 
 
 def main(argv=None):
     p = argparse.ArgumentParser()
-    p.add_argument("--episodes", type=int, default=3)
+    p.add_argument("--episodes", type=int, default=5)
+    p.add_argument("--episodes-multi", type=int, default=3,
+                   help="seeds for the num_agents>1 configs (each episode is ~A x the work)")
     p.add_argument("--steps", type=int, default=200)
+    p.add_argument("--agents", default="1,5",
+                   help="comma list of num_agents configs (reference CEM default is 5)")
     p.add_argument("--optimizers", default="CEM,CMA-ES,PI2,PSO,RandomSearch,SPSA")
-    p.add_argument("--out", default="benchmarks/reference_parity_r3.jsonl")
+    p.add_argument("--out", default="benchmarks/reference_parity_r4.jsonl")
     p.add_argument("--skip-reference", action="store_true",
                    help="only run our side (e.g. no TF available)")
     args = p.parse_args(argv)
 
     optimizers = [s.strip() for s in args.optimizers.split(",") if s.strip()]
-    seeds = list(range(args.episodes))
+    agent_configs = [int(a) for a in args.agents.split(",") if a.strip()]
     ref_rows, our_rows = [], []
-    for opt in optimizers:
-        for seed in seeds:
-            if not args.skip_reference:
-                row = run_reference_episode(opt, seed, args.steps)
+    for num_agents in agent_configs:
+        n_seeds = args.episodes if num_agents == 1 else args.episodes_multi
+        for opt in optimizers:
+            for seed in range(n_seeds):
+                if not args.skip_reference:
+                    row = run_reference_episode(opt, seed, args.steps, num_agents)
+                    print(json.dumps(row), flush=True)
+                    ref_rows.append(row)
+                row = run_ours_episode(opt, seed, args.steps, num_agents)
                 print(json.dumps(row), flush=True)
-                ref_rows.append(row)
-            row = run_ours_episode(opt, seed, args.steps)
-            print(json.dumps(row), flush=True)
-            our_rows.append(row)
+                our_rows.append(row)
 
     table = judge(ref_rows, our_rows)
     with open(args.out, "w") as f:

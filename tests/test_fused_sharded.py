@@ -7,6 +7,10 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
+# Gated out of the default fast run (pyproject addopts -m 'not slow'); run the full
+# suite with `pytest -m ""` (see README).
+pytestmark = pytest.mark.slow
+
 from blackbox_mpc_tpu.core.types import Bounds
 from blackbox_mpc_tpu.models.dynamics import LearnedDynamicsConfig, make_learned_dynamics
 from blackbox_mpc_tpu.ops.fused_sharded import (

@@ -17,6 +17,10 @@ import sys
 import numpy as np
 import pytest
 
+# Gated out of the default fast run (pyproject addopts -m 'not slow'); run the full
+# suite with `pytest -m ""` (see README).
+pytestmark = pytest.mark.slow
+
 
 def _free_port() -> int:
     with socket.socket() as s:

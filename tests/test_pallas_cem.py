@@ -30,6 +30,7 @@ def setup():
     return dyn_cfg, dyn, dp, kernels, (horizon, agents, pop)
 
 
+@pytest.mark.slow
 def test_kernel_streams_match_and_rollout_correct(setup):
     dyn_cfg, dyn, dp, (rollout_rewards, elite_moments), (H, A, P) = setup
     mean = jnp.full((A, H, 2), 0.3)  # nonzero: exercises the centered-moment contract
@@ -168,6 +169,7 @@ def _extract_all(elite_moments, mean, std, seed, P, A, H, U, extra=None):
     return jnp.asarray(vals)
 
 
+@pytest.mark.slow
 def test_colored_noise_stream_matches_and_is_temporally_smooth(setup):
     """Colored generation: kernels A and B share one stream (extracted candidates
     re-evaluate to identical rewards on the XLA evaluator) and the candidates are
@@ -221,6 +223,7 @@ def test_colored_mirror_matches_reference_sampler_statistics():
     assert 0.9 < z_k.std() < 1.15 and 0.95 < z_r.std() < 1.2, (z_k.std(), z_r.std())
 
 
+@pytest.mark.slow
 def test_injected_candidates_roundtrip(setup):
     """extra_slots: the last population indices read their actions from the extra buffer —
     kernel A must score exactly those actions and kernel B must return them verbatim."""
@@ -257,6 +260,7 @@ def test_injected_candidates_roundtrip(setup):
     )
 
 
+@pytest.mark.slow
 def test_ts1_runs_one_member_per_tile(setup):
     """ts1 fused CEM: each tile's rewards must equal the XLA rollout under exactly the
     ensemble member named by rollout_rewards.tile_member_ids."""
@@ -362,6 +366,7 @@ def test_backend_auto_allows_icem_features_beyond_hbm():
 # --- fused PI2/MPPI and RandomSearch (beyond-HBM solver family) ------------------------------
 
 
+@pytest.mark.slow
 def test_fused_weighted_moments_match_einsum(setup):
     """kernel B is weight-agnostic: arbitrary softmax-style weights must reduce to exactly
     einsum('pa,pax->ax', w, centered) over the extracted candidates — the fused-PI2 update."""
@@ -385,6 +390,7 @@ def test_fused_weighted_moments_match_einsum(setup):
     )
 
 
+@pytest.mark.slow
 def test_fused_mppi_dot_output_matches_einsum(setup):
     """aux_dot: kernel A's second output column is <g_row, std*z> per row — the MPPI
     control-cost inner product against the extracted perturbations."""
@@ -518,6 +524,7 @@ def test_backend_auto_routes_fused_family_beyond_hbm():
     assert choose_backend(cfg, solver_name="SPSA", **common) == "xla"
 
 
+@pytest.mark.slow
 def test_fused_pi2_clips_to_bounds_and_penalizes(setup):
     """Review fix: fused PI2 must clip candidates to bounds in-kernel (subtracting the
     squared-violation penalty, solvers/base.bound_violation_penalty) so the weighted mean
@@ -626,6 +633,7 @@ def test_fused_sep_cma_respects_state_dtype(setup):
     assert action.dtype == jnp.float32 and ns.mean.dtype == jnp.bfloat16
 
 
+@pytest.mark.slow
 def test_fused_sep_cma_update_matches_xla_math(setup):
     """One fused sep-CMA iteration must reproduce the XLA solver's update computed by hand
     from the extracted candidates (same weights, same clipped x_diff, same constants)."""

@@ -165,6 +165,7 @@ def test_mpc_policy_ts_inf_acts():
         )
 
 
+@pytest.mark.slow
 def test_ts_inf_particle_averaging_reduces_variance():
     """K-particle evaluation: reward estimates are averaged over K independent rollouts, so
     their spread across keys shrinks (PETS estimator); K>1 without a key is a no-op."""

@@ -19,9 +19,13 @@ import pytest
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "benchmarks"))
 
 tf = pytest.importorskip("tensorflow")
-pytestmark = pytest.mark.skipif(
-    not os.path.isdir("/root/reference/blackbox_mpc"), reason="reference tree unavailable"
-)
+pytestmark = [
+    pytest.mark.tf,
+    pytest.mark.skipif(
+        not os.path.isdir("/root/reference/blackbox_mpc"),
+        reason="reference tree unavailable",
+    ),
+]
 
 from reference_parity import (  # noqa: E402
     MATCHED_CONFIGS,

@@ -8,6 +8,10 @@ import sys
 
 import pytest
 
+# Gated out of the default fast run (pyproject addopts -m 'not slow'); run the full
+# suite with `pytest -m ""` (see README).
+pytestmark = pytest.mark.slow
+
 ROOT = pathlib.Path(__file__).resolve().parents[1]
 
 # script -> extra CLI args (every tutorial accepts the _common.setup() flags)
