@@ -114,26 +114,30 @@ def _build(variant: str, n_chain: int, evaluator_only: bool = False):
 
     if evaluator_only:
         # ITERS evaluations of a fixed candidate tensor, chained by a data dependency
-        # through the initial state — the rollout cost with zero solver overhead.
+        # through the initial state — the rollout cost with zero solver overhead. The
+        # candidate tensor rides in the "state" argument slot: closing over a 307 MB
+        # jnp constant embeds it in the compile payload (HTTP 413 on the axon tunnel)
+        # AND degrades every later dispatch (see .claude/skills/verify gotchas).
         acts = jax.random.uniform(
             jax.random.PRNGKey(7), (POP, AGENTS, HORIZON, DIM_U), minval=-1, maxval=1
         )
 
-        def chained_ev(state, dp_, obs, key):
+        def chained_ev(acts_, dp_, obs, key):
             ev = make_ev(dp_)
 
             def body(ob, _):
-                r = None
+                # data dependency BETWEEN the ITERS evals (ob update feeds the next one),
+                # or XLA CSE collapses identical calls into a single evaluation.
                 for _ in range(ITERS):
-                    r = ev(ob, acts)
-                ob = ob + 1e-6 * jnp.mean(r, axis=0, keepdims=True).T[:, :1]
+                    r = ev(ob, acts_)
+                    ob = ob + 1e-6 * jnp.mean(r, axis=0, keepdims=True).T[:, :1]
                 return ob, jnp.max(r)
 
             ob, rs = jax.lax.scan(body, obs, jnp.arange(n_chain))
             return rs[-1]
 
         obs = jnp.zeros((AGENTS, DIM_S))
-        return jax.jit(chained_ev), (jnp.zeros(()), dp, obs)
+        return jax.jit(chained_ev), (acts, dp, obs)
 
     def chained(state, dp_, obs, key):
         s = make_solver("CEM", bounds, make_ev(dp_), **solver_kw)

@@ -120,8 +120,11 @@ def choose_backend(
         and candidate_bytes >= FUSED_CEM_MIN_BYTES
         and config.propagation in ("mean", "ts1")
         and local_rows * rng_cols < 2**32  # in-kernel RNG counter range (per device)
-        # population_decay needs per-iteration kernel shapes — still XLA-only.
-        and getattr(solver_config, "population_decay", 1.0) == 1.0
+        # population_decay fuses single-device since r4 (per-iteration kernel grids,
+        # unrolled — ops/pallas_cem.py make_fused_cem); the SHARDED fused path still
+        # compiles one fixed per-device grid (fused_sharded.py:92), so decay + mesh
+        # stays on XLA.
+        and (mesh is None or getattr(solver_config, "population_decay", 1.0) == 1.0)
     ):
         return "fused_cem"
     return "xla"

@@ -19,9 +19,10 @@ Round-3 feature parity with the XLA CEM (``solvers/cem.py``), all in-kernel: TS-
 propagation (one member per tile, scalar-prefetched), iCEM colored noise (white gaussians
 pushed through a fixed spectral basis — one extra MXU matmul), keep_elites and
 mean-as-candidate (the last population slots read from a tiny injected-candidate buffer),
-and execute-best (elite values regenerated outside the kernels by the jnp mirror of the
-counter RNG, :func:`_mirror_z`). Only ``population_decay`` stays XLA-only (per-iteration
-kernel shapes).
+execute-best (elite values regenerated outside the kernels by the jnp mirror of the
+counter RNG, :func:`_mirror_z`), and — since round 4 — ``population_decay`` (per-iteration
+populations are static at trace time, so the solver instantiates one kernel pair per
+distinct decayed population and unrolls the iteration loop, completing the iCEM set).
 
 ``make_fused_cem`` wraps both into a CEM solver with the same update rules/state as
 :mod:`blackbox_mpc_tpu.solvers.cem`. It is not in ``SOLVER_REGISTRY`` (its factory needs the
@@ -41,7 +42,7 @@ from blackbox_mpc_tpu.core.types import Bounds, Solver, SolverAux
 from blackbox_mpc_tpu.models.dynamics import DynamicsParams, LearnedDynamicsConfig
 from blackbox_mpc_tpu.ops import _kernel_common as kc
 from blackbox_mpc_tpu.solvers import base
-from blackbox_mpc_tpu.solvers.cem import CEMConfig, CEMState
+from blackbox_mpc_tpu.solvers.cem import CEMConfig, CEMState, iteration_populations
 from blackbox_mpc_tpu.solvers.cma_es import CMAESConfig, CMAESState, cma_constants
 from blackbox_mpc_tpu.solvers.pi2 import PI2Config, PI2State
 from blackbox_mpc_tpu.solvers.random_search import RandomSearchConfig, RandomSearchState
@@ -668,19 +669,34 @@ def make_fused_cem(
         raise ValueError(
             f"keep_elites ({keep}) must be in [0, min(num_elite, population - {reserved})]"
         )
-    if getattr(config, "population_decay", 1.0) != 1.0:
+    if not 0.0 < getattr(config, "population_decay", 1.0) <= 1.0:
         raise ValueError(
-            "fused CEM compiles one fixed-population kernel; population_decay is not "
-            "supported — use the standard CEM solver"
+            f"population_decay ({config.population_decay}) must be in (0, 1]"
         )
     alpha = config.alpha
     n_flat = horizon * bounds.dim
     extra_slots = keep + (1 if mean_as_candidate else 0)
     fresh_pop = pop - extra_slots
-    rollout_rewards, elite_moments = make_fused_cem_kernels(
-        dyn_config, reward_fn,
-        horizon=horizon, agents=agents, population=pop, tile=tile, streamed=streamed,
-        interpret=interpret, colored_noise_beta=beta, extra_slots=extra_slots,
+
+    def build_kernels(pop_i: int):
+        return make_fused_cem_kernels(
+            dyn_config, reward_fn,
+            horizon=horizon, agents=agents, population=pop_i, tile=tile,
+            streamed=streamed, interpret=interpret, colored_noise_beta=beta,
+            extra_slots=extra_slots,
+        )
+
+    rollout_rewards, elite_moments = build_kernels(pop)
+    # iCEM population decay (Pinneri §4.2): per-iteration populations are STATIC at trace
+    # time (same rule as the XLA solver, solvers/cem.py iteration_populations) — so the
+    # fused path simply instantiates one kernel pair per DISTINCT per-iteration population
+    # and unrolls the iteration loop. Kernel A/B shapes are compile-time grids anyway;
+    # decay just means several grids instead of one.
+    decay_pops = iteration_populations(config)
+    kernels_by_pop = (
+        {p_i: (rollout_rewards, elite_moments) if p_i == pop else build_kernels(p_i)
+         for p_i in set(decay_pops)}
+        if decay_pops is not None else None
     )
     # The kernels expose the spectral basis they generate with; the jnp mirror MUST use
     # the identical matrix or extracted values desynchronize from the in-kernel stream.
@@ -694,72 +710,81 @@ def make_fused_cem(
             variance=base.init_solution_variance(bounds, horizon, agents),
         )
 
-    def extract_values(seed, mean_f, std_f, elite_idx_cols, extra_flat):
+    def extract_values(seed, mean_f, std_f, elite_idx_cols, extra_flat, fresh_i=fresh_pop):
         """Elite VALUES [A, n, H*U] for population indices elite_idx_cols [A, n] — the jnp
-        mirror regenerates just those rows; injected slots read the extra buffer back."""
+        mirror regenerates just those rows; injected slots (p >= ``fresh_i``, this
+        iteration's fresh-sample count) read the extra buffer back."""
         p = elite_idx_cols  # [A, n]
         row_ids = (p * agents + jnp.arange(agents)[:, None]).reshape(-1)  # row = p*A + a
         z = _mirror_z(seed, row_ids, n_flat, basis2).reshape(agents, -1, n_flat)
         vals = mean_f[:, None, :] + std_f[:, None, :] * z
         if extra_slots:
-            slot = jnp.clip(p - fresh_pop, 0, extra_slots - 1)  # [A, n]
+            slot = jnp.clip(p - fresh_i, 0, extra_slots - 1)  # [A, n]
             inj = jnp.take_along_axis(
                 extra_flat.reshape(extra_slots, agents, n_flat).transpose(1, 0, 2),
                 slot[:, :, None], axis=1,
             )
-            vals = jnp.where((p >= fresh_pop)[:, :, None], inj, vals)
+            vals = jnp.where((p >= fresh_i)[:, :, None], inj, vals)
         return vals
 
     def solve(state: CEMState, obs: jax.Array, t: jax.Array, key: jax.Array):
         del t
 
-        def iteration(_, carry):
-            mean, var, key, _, best_val, best_plan, carried = carry
-            key, seed_key = jax.random.split(key)
-            seed = jax.random.randint(seed_key, (), 0, jnp.iinfo(jnp.int32).max)
-            constrained = base.constrain_variance(mean, var, bounds)
-            std = jnp.sqrt(constrained)
-            mean_f = mean.reshape(agents, n_flat)
-            std_f = std.reshape(agents, n_flat)
-            extra = None
-            if extra_slots:
-                # Injected slots, [extra_slots, A, n_flat]: mean-as-candidate first, then
-                # the carried elites (order is arbitrary but fixed).
-                parts = []
-                if mean_as_candidate:
-                    parts.append(bounds.clip(mean).reshape(agents, n_flat)[None])
-                if keep:
-                    parts.append(jnp.swapaxes(carried, 0, 1))
-                extra = jnp.concatenate(parts, axis=0) if len(parts) > 1 else parts[0]
-            rewards = rollout_rewards(dp, obs, mean, std, seed, *(
-                (extra,) if extra_slots else ()))  # [P, A]
-            rewards = jnp.where(jnp.isnan(rewards), jnp.float32(-1e6), rewards)
-            elite_vals, elite_idx = jax.lax.top_k(rewards.T, k)  # [A, k]
-            mask = jnp.zeros((pop, agents), jnp.float32).at[
-                elite_idx.T, jnp.arange(agents)[None, :]
-            ].set(1.0)
-            csum, csumsq = elite_moments(mean, std, seed, mask, *(
-                (extra,) if extra_slots else ()))  # centered moments
-            delta = (csum / k).reshape(agents, horizon, bounds.dim)
-            new_mean = mean + delta  # sampling mean + mean of centered elite offsets
-            new_var = (csumsq / k).reshape(agents, horizon, bounds.dim) - jnp.square(delta)
-            new_var = jnp.maximum(new_var, 0.0)
-            if n_extract:
-                vals = extract_values(
-                    seed, mean_f, std_f, elite_idx[:, :n_extract],
-                    extra.reshape(extra_slots * agents, n_flat) if extra_slots else None,
-                )  # [A, n_extract, n_flat] ranked best-first
-                if keep:
-                    carried = vals[:, :keep]
-                if execute_best:
-                    top_val = elite_vals[:, 0]
-                    improve = top_val > best_val
-                    best_val = jnp.where(improve, top_val, best_val)
-                    best_plan = jnp.where(improve[:, None], vals[:, 0], best_plan)
-            mean = alpha * mean + (1.0 - alpha) * new_mean
-            var = alpha * var + (1.0 - alpha) * new_var
-            return mean, var, key, jnp.mean(elite_vals, axis=1), best_val, best_plan, carried
+        def make_iteration(rollout_rewards_i, elite_moments_i, pop_i):
+            fresh_i = pop_i - extra_slots
 
+            def iteration(_, carry):
+                mean, var, key, _, best_val, best_plan, carried = carry
+                key, seed_key = jax.random.split(key)
+                seed = jax.random.randint(seed_key, (), 0, jnp.iinfo(jnp.int32).max)
+                constrained = base.constrain_variance(mean, var, bounds)
+                std = jnp.sqrt(constrained)
+                mean_f = mean.reshape(agents, n_flat)
+                std_f = std.reshape(agents, n_flat)
+                extra = None
+                if extra_slots:
+                    # Injected slots, [extra_slots, A, n_flat]: mean-as-candidate first,
+                    # then the carried elites (order is arbitrary but fixed).
+                    parts = []
+                    if mean_as_candidate:
+                        parts.append(bounds.clip(mean).reshape(agents, n_flat)[None])
+                    if keep:
+                        parts.append(jnp.swapaxes(carried, 0, 1))
+                    extra = jnp.concatenate(parts, axis=0) if len(parts) > 1 else parts[0]
+                rewards = rollout_rewards_i(dp, obs, mean, std, seed, *(
+                    (extra,) if extra_slots else ()))  # [P_i, A]
+                rewards = jnp.where(jnp.isnan(rewards), jnp.float32(-1e6), rewards)
+                elite_vals, elite_idx = jax.lax.top_k(rewards.T, k)  # [A, k]
+                mask = jnp.zeros((pop_i, agents), jnp.float32).at[
+                    elite_idx.T, jnp.arange(agents)[None, :]
+                ].set(1.0)
+                csum, csumsq = elite_moments_i(mean, std, seed, mask, *(
+                    (extra,) if extra_slots else ()))  # centered moments
+                delta = (csum / k).reshape(agents, horizon, bounds.dim)
+                new_mean = mean + delta  # sampling mean + mean of centered elite offsets
+                new_var = (csumsq / k).reshape(agents, horizon, bounds.dim) - jnp.square(delta)
+                new_var = jnp.maximum(new_var, 0.0)
+                if n_extract:
+                    vals = extract_values(
+                        seed, mean_f, std_f, elite_idx[:, :n_extract],
+                        extra.reshape(extra_slots * agents, n_flat) if extra_slots else None,
+                        fresh_i,
+                    )  # [A, n_extract, n_flat] ranked best-first
+                    if keep:
+                        carried = vals[:, :keep]
+                    if execute_best:
+                        top_val = elite_vals[:, 0]
+                        improve = top_val > best_val
+                        best_val = jnp.where(improve, top_val, best_val)
+                        best_plan = jnp.where(improve[:, None], vals[:, 0], best_plan)
+                mean = alpha * mean + (1.0 - alpha) * new_mean
+                var = alpha * var + (1.0 - alpha) * new_var
+                return (mean, var, key, jnp.mean(elite_vals, axis=1), best_val,
+                        best_plan, carried)
+
+            return iteration
+
+        iteration = make_iteration(rollout_rewards, elite_moments, pop)
         best0 = jnp.full((agents,), -jnp.inf, dtype=state.mean.dtype)
         if keep:
             # Initial carried elites: init-sampled placeholders around the incoming plan
@@ -775,10 +800,16 @@ def make_fused_cem(
         else:
             carried0 = jnp.zeros((agents, 0, n_flat), state.mean.dtype)
         plan0 = state.mean.reshape(agents, n_flat)
-        mean, var, _, elite_reward, best_val, best_plan, _ = jax.lax.fori_loop(
-            0, config.max_iterations, iteration,
-            (state.mean, state.variance, key, best0, best0, plan0, carried0),
-        )
+        carry = (state.mean, state.variance, key, best0, best0, plan0, carried0)
+        if kernels_by_pop is None:
+            carry = jax.lax.fori_loop(0, config.max_iterations, iteration, carry)
+        else:
+            # Population decay: distinct static kernel grids per iteration — unrolled at
+            # trace time, exactly like the XLA solver's decayed path (solvers/cem.py).
+            for pop_i in decay_pops:
+                rr_i, em_i = kernels_by_pop[pop_i]
+                carry = make_iteration(rr_i, em_i, pop_i)(0, carry)
+        mean, var, _, elite_reward, best_val, best_plan, _ = carry
         if execute_best:
             best_plan = best_plan.reshape(agents, horizon, bounds.dim)
             action = best_plan[:, 0]

@@ -1,4 +1,5 @@
 """Fused CEM kernels: stream consistency + solver behavior (interpreter mode)."""
+import dataclasses
 from functools import partial
 
 import jax
@@ -305,7 +306,10 @@ def test_ts1_runs_one_member_per_tile(setup):
     dict(mean_as_candidate=True),
     dict(execute_best=True),
     dict(colored_noise_beta=2.0),
+    dict(population_decay=0.7),
     dict(keep_elites=4, mean_as_candidate=True, execute_best=True, colored_noise_beta=2.0),
+    dict(keep_elites=4, mean_as_candidate=True, execute_best=True, colored_noise_beta=2.0,
+         population_decay=0.7),
 ])
 def test_fused_cem_feature_matrix_solves(setup, features):
     """Every iCEM feature combination must run through the fused solver and still drive
@@ -323,6 +327,40 @@ def test_fused_cem_feature_matrix_solves(setup, features):
     if features.get("execute_best"):
         # action is the best plan's first step, and the plan rides in aux
         np.testing.assert_allclose(np.asarray(action), np.asarray(aux.plan)[:, 0])
+
+
+def test_fused_cem_population_decay_schedule_and_quality(setup):
+    """r4: population_decay fuses (per-iteration kernel grids, unrolled). The fused
+    schedule must be the XLA solver's iteration_populations rule, and the decayed solve
+    must still contract the mean toward the task optimum (actions near 0)."""
+    from blackbox_mpc_tpu.solvers.cem import iteration_populations
+
+    dyn_cfg, dyn, dp, _, (H, A, P) = setup
+    bounds = Bounds.of(-1.0, 1.0, dim=2)
+    cfg = CEMConfig(planning_horizon=H, num_agents=A, population=64, num_elite=8,
+                    max_iterations=4, population_decay=0.5)
+    # Pinneri rule with the 2k floor: 64, 32, 16, 16
+    assert iteration_populations(cfg) == [64, 32, 16, 16]
+    solver = make_fused_cem(cfg, bounds, dyn_cfg, dp, reward_fn, tile=8, interpret=True)
+    state = solver.init(jax.random.PRNGKey(0))
+    obs = jnp.asarray([[0.5, 0.5, 0.5], [-0.5, -0.5, 0.5]])
+    action, _, aux = jax.jit(solver.solve)(state, obs, jnp.asarray(0), jax.random.PRNGKey(1))
+    assert np.all(np.isfinite(np.asarray(action)))
+    # the decayed solve (128 total samples vs 256) stays close to full-budget quality
+    full = make_fused_cem(
+        dataclasses.replace(cfg, population_decay=1.0),
+        bounds, dyn_cfg, dp, reward_fn, tile=8, interpret=True)
+    _, _, aux_full = jax.jit(full.solve)(
+        full.init(jax.random.PRNGKey(0)), obs, jnp.asarray(0), jax.random.PRNGKey(1))
+    r_d = np.asarray(aux.expected_reward)
+    r_f = np.asarray(aux_full.expected_reward)
+    assert np.all(r_d >= r_f - np.maximum(0.5, 0.5 * np.abs(r_f)))
+    # invalid decay rejected like the XLA solver
+    with pytest.raises(ValueError, match="population_decay"):
+        make_fused_cem(
+            CEMConfig(planning_horizon=H, num_agents=A, population=64, num_elite=8,
+                      population_decay=0.0),
+            bounds, dyn_cfg, dp, reward_fn, tile=8, interpret=True)
 
 
 def test_fused_cem_ts1_solver(setup):
@@ -358,8 +396,19 @@ def test_backend_auto_allows_icem_features_beyond_hbm():
                      mean_as_candidate=True, execute_best=True)
     assert choose_backend(cfg, 8_000_000, 1, platform="tpu", horizon=50, dim_u=6,
                           solver_name="CEM", solver_config=icem) == "fused_cem"
+    # population_decay fuses single-device since r4 (per-iteration kernel grids) ...
     decay = CEMConfig(population=8_000_000, population_decay=0.5)
     assert choose_backend(cfg, 8_000_000, 1, platform="tpu", horizon=50, dim_u=6,
+                          solver_name="CEM", solver_config=decay) == "fused_cem"
+    # ... but the SHARDED fused path still compiles one fixed per-device grid, so
+    # decay + mesh routes to XLA (fused_sharded.py rejects it).
+    import jax as _jax
+
+    from blackbox_mpc_tpu.parallel import make_pop_mesh
+
+    mesh = make_pop_mesh(len(_jax.devices()))
+    assert choose_backend(cfg, 8_000_000 * len(_jax.devices()), 1, platform="tpu",
+                          horizon=50, dim_u=6, mesh=mesh,
                           solver_name="CEM", solver_config=decay) == "xla"
 
 
