@@ -126,12 +126,17 @@ def build_multi_agent_chain(N: int, solver: str):
     return jax.jit(chained), (state, dp, obs)
 
 
-def _timed_repeats(jfn, args, repeats: int) -> list[float]:
-    """Wall times of ``repeats`` scalar-readback dispatches (post compile+warm)."""
+def _timed_repeats(jfn, args, repeats: int, rng_impl: str | None = None) -> list[float]:
+    """Wall times of ``repeats`` scalar-readback dispatches (post compile+warm).
+
+    ``rng_impl``: PRNG implementation for the keys threaded into the chain (typed keys
+    carry the impl through every downstream split/sample). "rbg" = hardware RNG.
+    """
     state, dp, obs = args
-    float(jfn(state, dp, obs, jax.random.PRNGKey(9)))  # compile + warm
+    mk = (lambda s: jax.random.key(s, impl=rng_impl)) if rng_impl else jax.random.PRNGKey
+    float(jfn(state, dp, obs, mk(9)))  # compile + warm
     lat = []
-    for k in jax.random.split(jax.random.PRNGKey(5), repeats):
+    for k in jax.random.split(mk(5), repeats):
         t0 = time.perf_counter()
         float(jfn(state, dp, obs, k))
         lat.append(time.perf_counter() - t0)
@@ -160,11 +165,18 @@ def _differential(lat_1: list[float], lat_n: list[float], n_chain: int) -> dict:
 
 
 def measure_multi_agent(n_chain: int, repeats: int, solver: str) -> dict:
+    # Hardware RNG ("rbg") for the sampling-heavy multi-agent shape: the r4 per-op
+    # profile (benchmarks/multiagent_profile_r4.jsonl, docs/performance.md) measured
+    # threefry spending ~2.7 ms/iteration generating the 76.8M-element candidate
+    # tensor's random bits — rbg recovers it with identical sampling distributions.
+    rng_impl = os.environ.get("BENCH_MA_PRNG", "rbg") or None
     lats = {}
     for N in (1, n_chain):
         jfn, args = build_multi_agent_chain(N, solver)
-        lats[N] = _timed_repeats(jfn, args, repeats)
-    return _differential(lats[1], lats[n_chain], n_chain)
+        lats[N] = _timed_repeats(jfn, args, repeats, rng_impl=rng_impl)
+    out = _differential(lats[1], lats[n_chain], n_chain)
+    out["prng"] = rng_impl or "threefry2x32"
+    return out
 
 
 def measure(backend: str, n_chain: int, repeats: int, solver: str = "CEM",
@@ -266,6 +278,7 @@ def main():
                 ma = measure_multi_agent(max(3, n_chain // 3), repeats, ma_solver)
                 p = ma["per_solve"]
                 lo = ma_solver.lower()
+                multi_agent["prng"] = ma["prng"]
                 multi_agent[f"{lo}_per_solve_ms"] = round(p * 1e3, 3)
                 multi_agent[f"{lo}_per_solve_ms_mean"] = round(ma["per_solve_mean"] * 1e3, 3)
                 multi_agent[f"{lo}_per_solve_ms_std"] = round(ma["per_solve_std"] * 1e3, 3)

@@ -24,7 +24,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 def main():
     p = argparse.ArgumentParser()
     p.add_argument("--propagation", choices=["mean", "ts1", "ts_inf", "mm"], default="ts_inf")
-    p.add_argument("--solver", choices=["CEM", "Gradient", "CEM-GD"], default="CEM")
+    p.add_argument("--solver", choices=["CEM", "Gradient", "CEM-GD", "PI2"], default="CEM")
     p.add_argument("--members", type=int, default=5)
     p.add_argument("--refinements", type=int, default=30)
     p.add_argument("--initial-rollouts", type=int, default=5)
@@ -102,6 +102,11 @@ def main():
         # Adam step size is forwarded via solver_learning_rate= (the workflow's learning_rate
         # kwarg is the model-training LR).
         solver_kwargs = dict(population=args.population or 32, max_iterations=20)
+    elif args.solver == "PI2":
+        # BASELINE config #3's second half: PI2 over the NN ensemble — same sampled budget
+        # as CEM, softmax path-integral weighting instead of elite moments (reference
+        # semantics: /root/reference/blackbox_mpc/optimizers/pi2.py:58-96, lamda=1.0).
+        solver_kwargs = dict(population=args.population or 510, max_iterations=5)
     else:
         # CEM and CEM-GD share the sampled budget; CEM-GD adds the default 9x10 Adam polish
         solver_kwargs = dict(population=args.population or 510, num_elite=50,
@@ -111,8 +116,8 @@ def main():
     if args.warm_start is not None and args.solver in ("Gradient", "CEM-GD"):
         solver_kwargs["warm_start"] = bool(args.warm_start)
     if args.icem:
-        if args.solver == "Gradient":
-            raise SystemExit("--icem applies to the CEM-family solvers, not Gradient")
+        if args.solver not in ("CEM", "CEM-GD"):
+            raise SystemExit("--icem applies to the CEM-family solvers (CEM, CEM-GD)")
         solver_kwargs.update(colored_noise_beta=2.0, keep_elites=5,
                              mean_as_candidate=True, population_decay=0.7)
         if args.solver == "CEM":  # CEM-GD's final argmax subsumes execute_best

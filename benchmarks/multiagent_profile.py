@@ -77,8 +77,12 @@ def _build(variant: str, n_chain: int, evaluator_only: bool = False):
         from blackbox_mpc_tpu.ops.pallas_cem import make_fused_cem
         from blackbox_mpc_tpu.solvers.cem import CEMConfig
 
+        # variant may carry a tile override: "fused-f32-t1024"
+        tile = 256
+        if "-t" in variant:
+            tile = int(variant.rsplit("-t", 1)[1])
         ccfg = CEMConfig(**solver_kw)
-        solver = make_fused_cem(ccfg, bounds, cfg, dp, reward_fn,
+        solver = make_fused_cem(ccfg, bounds, cfg, dp, reward_fn, tile=tile,
                                 interpret=jax.default_backend() != "tpu")
 
         def chained(state, dp_, obs, key):

@@ -54,6 +54,7 @@ class MPCPolicy(ModelBasedPolicy):
         proposer=None,
         remat_rollout: bool = False,
         action_smoothness_weight: float = 0.0,
+        rng_impl: str | None = None,
         **solver_kwargs,
     ):
         """``solver_kwargs`` are forwarded into the solver's config dataclass
@@ -93,7 +94,16 @@ class MPCPolicy(ModelBasedPolicy):
         :func:`~blackbox_mpc_tpu.rollout.evaluator.make_trajectory_evaluator`). Works with
         every solver and the XLA/pallas backends (the term is computed on the candidate
         tensor outside the kernel); incompatible with ``fused_cem``, whose candidates are
-        never materialized."""
+        never materialized.
+
+        ``rng_impl``: JAX PRNG implementation for the policy's key stream (``None`` =
+        the process default, normally threefry2x32). ``"rbg"`` uses the hardware
+        random-bit generator: at sampling-heavy shapes this is measured real time — the
+        256-agent x 1k-candidate CEM solve drops ~8 % end to end (threefry spends
+        ~2.7 ms per iteration generating the 76.8M-element candidate tensor's bits,
+        docs/performance.md r4 profile). Trade-off: rbg streams are
+        not reproducible across compiler versions/topologies (threefry is), so keep the
+        default for golden-reproducibility workflows."""
         self._space = as_box_space(action_space)
         self._bounds = Bounds.from_space(self._space)
         self._reward_fn = reward_function
@@ -148,7 +158,14 @@ class MPCPolicy(ModelBasedPolicy):
         # measured decision rule lives in ops/backend_select.py.
         self._requested_backend = rollout_backend
         self._rollout_backend = rollout_backend
-        self._key = jax.random.PRNGKey(seed)
+        if rng_impl is None:
+            self._key = jax.random.PRNGKey(seed)
+        else:
+            # TYPED key (jax.random.key): the impl rides IN the key, so every split/
+            # fold_in/sample downstream (solver sampling included) inherits it —
+            # per-policy choice, no global config. (A legacy uint32 PRNGKey would lose
+            # the impl tag at the first split.)
+            self._key = jax.random.key(seed, impl=rng_impl)
         self._proposer = proposer
         self._remat_rollout = bool(remat_rollout)
         if action_smoothness_weight < 0:

@@ -101,7 +101,7 @@ def make_cem_gd(config: CEMGDConfig, bounds: Bounds, evaluate: TrajectoryEvaluat
         def cem_iter(i, carry):
             mean, var, key, carried, _ = carry
             mean, var, key, carried, elites, _ = cem.cem_iteration(
-                config, bounds, evaluate, obs, mean, var, key, carried
+                config, bounds, evaluate, obs, mean, var, key, carried, n_extract=m
             )
             return (mean, var, key, carried, elites[:, :m])
 
@@ -121,7 +121,7 @@ def make_cem_gd(config: CEMGDConfig, bounds: Bounds, evaluate: TrajectoryEvaluat
             for pop_i in cem_pops:
                 mean, var, key, carried, elites, _ = cem.cem_iteration(
                     config, bounds, evaluate, obs, mean, var, key, carried,
-                    population=pop_i,
+                    population=pop_i, n_extract=m,
                 )
                 top_elites = elites[:, :m]
 

@@ -134,8 +134,8 @@ def test_cem_gd_supports_decay_and_rejects_execute_best():
 
 def test_fused_cem_auto_routes_icem_flags_and_rejects_decay():
     """Round 3: the fused CEM supports the iCEM feature set in-kernel, so the auto route
-    keeps beyond-HBM populations on the fused path; only population_decay (per-iteration
-    kernel shapes) still falls back to XLA."""
+    keeps beyond-HBM populations on the fused path. Round 4: population_decay fuses too
+    (per-iteration kernel grids, unrolled) — single-device decay now routes fused."""
     from blackbox_mpc_tpu.models.dynamics import LearnedDynamicsConfig
     from blackbox_mpc_tpu.ops.backend_select import choose_backend
 
@@ -150,4 +150,4 @@ def test_fused_cem_auto_routes_icem_flags_and_rejects_decay():
         ) == "fused_cem", flag
     assert choose_backend(
         dyn, solver_config=CEMConfig(**base_kw, population_decay=0.5), **common
-    ) == "xla"
+    ) == "fused_cem"

@@ -109,10 +109,10 @@ def test_fused_cem_validates_config():
     with pytest.raises(ValueError, match="num_elite"):
         make_fused_cem(CEMConfig(population=8, num_elite=64), bounds, dyn_cfg, dp,
                        lambda s, a, ns: ns[:, 0])
-    # colored_noise_beta is SUPPORTED since round 3; population_decay still rejects
-    # (per-iteration kernel shapes).
+    # colored_noise_beta is SUPPORTED since round 3; population_decay since round 4
+    # (per-iteration kernel grids, unrolled) — only an INVALID decay value rejects.
     with pytest.raises(ValueError, match="population_decay"):
-        make_fused_cem(CEMConfig(population=64, num_elite=8, population_decay=0.5),
+        make_fused_cem(CEMConfig(population=64, num_elite=8, population_decay=1.5),
                        bounds, dyn_cfg, dp, lambda s, a, ns: ns[:, 0])
     with pytest.raises(ValueError, match="2\\^32"):
         make_fused_cem_kernels(dyn_cfg, lambda s, a, ns: ns[:, 0], horizon=50,
