@@ -58,14 +58,20 @@ def build_chain(N, backend, population, hidden, agents, ensemble, horizon=50, it
         # so it picks 512-1024 rows from the VMEM budget.
         pal = make_pallas_rollout_evaluator(cfg, reward_fn)
         make_ev = lambda dp: partial(pal, dp)  # noqa: E731
-    elif backend in ("fused_cem", "fused_cem_streamed", "fused_cem_block"):
+    elif backend in ("fused_cem", "fused_cem_streamed", "fused_cem_block",
+                     "fused_cem_decay"):
         # Generate-in-kernel CEM. Since r3 the BLOCK kernel is the library default
         # ("fused_cem" here now means block; pre-r3 jsonl rows used "fused_cem" for the
         # streamed variant and "fused_cem_block" for block — kept accepted for re-runs).
+        # "fused_cem_decay": the r4 fused population_decay path — iCEM's Pinneri 0.7
+        # schedule instantiates one kernel grid per decayed per-iteration population
+        # (4M, 2.8M, 1.96M, 1.37M, 0.96M at the beyond-HBM point: a 45 % rollout-budget
+        # cut that previously forced decayed users back onto the (OOM) XLA path).
         from blackbox_mpc_tpu.ops.pallas_cem import make_fused_cem
         from blackbox_mpc_tpu.solvers.cem import CEMConfig
 
-        cem_cfg = CEMConfig(**solver_kw)
+        cem_cfg = CEMConfig(**solver_kw,
+                            population_decay=0.7 if backend == "fused_cem_decay" else 1.0)
         make_fused = lambda dp: make_fused_cem(  # noqa: E731
             cem_cfg, bounds, cfg, dp, reward_fn,
             streamed=(backend == "fused_cem_streamed"),
@@ -148,7 +154,11 @@ def main():
     p.add_argument("--out", default=None)
     p.add_argument("--quick", action="store_true")
     p.add_argument("--repeats", type=int, default=3)
+    p.add_argument("--only", default=None,
+                   help="comma list of backends: restrict the sweep (e.g. re-measure one "
+                        "new backend without paying the full grid's compile time)")
     args = p.parse_args()
+    only = set(args.only.split(",")) if args.only else None
 
     # The sweep: small-model regimes where the fused kernel's VMEM residency can win, up to
     # the flagship shape where XLA's big-matmul pipeline is near roofline. Chain length
@@ -169,7 +179,7 @@ def main():
         # family can run this shape; measured so the capacity claims carry current numbers.
         (4_000_000, (64, 64), 1, 1, 3,
          ("fused_cem", "fused_cem_streamed", "fused_pi2", "fused_random_search",
-          "fused_sep_cma")),
+          "fused_sep_cma", "fused_cem_decay")),
     ]
     if args.quick:
         grid = grid[:1]
@@ -178,6 +188,7 @@ def main():
         (population, hidden, agents, ensemble, chain, backend)
         for population, hidden, agents, ensemble, chain, backends in grid
         for backend in backends
+        if only is None or backend in only
     ]
     rows = []
     for population, hidden, agents, ensemble, chain, backend in sweep:

@@ -65,8 +65,10 @@ def test_shm_close_with_pending_step_exits_workers_cleanly():
 
 def test_backend_auto_routes_only_what_make_fused_cem_accepts():
     """auto must never route a config that make_fused_cem rejects — it would crash at the
-    first act(). Round 3: keep_elites/colored noise are in-kernel features (stay fused);
-    population_decay is still rejected by the factory, so auto must fall back to XLA."""
+    first act(). Round 3: keep_elites/colored noise are in-kernel features (stay fused).
+    Round 4: population_decay fuses single-device (per-iteration kernel grids), so it now
+    stays fused — but the SHARDED factory still compiles one fixed per-device grid, so
+    decay + mesh must fall back to XLA."""
     from blackbox_mpc_tpu.ops.backend_select import choose_backend
     from blackbox_mpc_tpu.solvers.cem import CEMConfig
 
@@ -89,7 +91,26 @@ def test_backend_auto_routes_only_what_make_fused_cem_accepts():
     decay = choose_backend(
         dyn, solver_config=CEMConfig(**base, population_decay=0.5), **common
     )
-    assert decay == "xla"
+    assert decay == "fused_cem"
+
+    import jax
+    from blackbox_mpc_tpu.parallel.mesh import make_pop_mesh
+
+    # With a mesh the fused capacity threshold is PER DEVICE, so scale the population by
+    # the mesh size to stay beyond-HBM on each shard (8 devices under the test conftest).
+    mesh = make_pop_mesh(devices=jax.devices("cpu"))
+    n_dev = len(jax.devices("cpu"))
+    sharded_kw = {**common, "population": 8_000_000 * n_dev}
+    sharded_base = {**base, "population": 8_000_000 * n_dev}
+    sharded = choose_backend(
+        dyn, mesh=mesh, solver_config=CEMConfig(**sharded_base), **sharded_kw
+    )
+    assert sharded == "fused_cem"
+    sharded_decay = choose_backend(
+        dyn, mesh=mesh,
+        solver_config=CEMConfig(**sharded_base, population_decay=0.5), **sharded_kw
+    )
+    assert sharded_decay == "xla"
 
 
 def test_fused_cem_honors_state_dtype_contract():
