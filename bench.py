@@ -77,13 +77,17 @@ def build_chain(N: int, backend: str, solver: str = "CEM", solver_kw: dict | Non
     return jax.jit(chained), (state, dp, obs)
 
 
-def build_multi_agent_chain(N: int, solver: str):
+def build_multi_agent_chain(N: int, solver: str, time_major: bool = False):
     """BASELINE.json config #4: 256 parallel agents x 1k samples on a learned model.
 
     Exercises the agent-sharded evaluator path (``shard_axis="agents"``: each device owns
     whole agents, zero solve collectives — parallel/sharding.py) over the device mesh; on
     one chip the constraint is a layout no-op but the full sharded code path compiles/runs.
     Model matches the prior multi_agent rows in benchmarks/results_r1.jsonl (MLP 200^2).
+
+    ``time_major`` (CEM only): sample/evaluate candidates as [H, P, A, U] — no relayout
+    before the horizon scan (CEMConfig.time_major; the r4 profile measured the default
+    layout's transpose at 13.6 ms/solve on this shape).
     """
     from functools import partial as _partial
 
@@ -100,6 +104,8 @@ def build_multi_agent_chain(N: int, solver: str):
     )
     if solver == "CEM":
         solver_kw["num_elite"] = 50
+        if time_major:
+            solver_kw["time_major"] = True
     cfg = LearnedDynamicsConfig(dim_s=17, dim_u=6, hidden=(200, 200), ensemble_size=1)
     init_model, dyn = make_learned_dynamics(cfg)
     dp = init_model(jax.random.PRNGKey(0))
@@ -107,7 +113,8 @@ def build_multi_agent_chain(N: int, solver: str):
 
     def chained(state, dp, obs, key):
         evaluate = make_sharded_evaluator(
-            _partial(dyn, dp), reward_fn, mesh, shard_axis="agents"
+            _partial(dyn, dp), reward_fn, mesh, shard_axis="agents",
+            time_major=time_major and solver == "CEM",
         )
         s = make_solver(solver, bounds, evaluate, **solver_kw)
 
@@ -170,12 +177,17 @@ def measure_multi_agent(n_chain: int, repeats: int, solver: str) -> dict:
     # threefry spending ~2.7 ms/iteration generating the 76.8M-element candidate
     # tensor's random bits — rbg recovers it with identical sampling distributions.
     rng_impl = os.environ.get("BENCH_MA_PRNG", "rbg") or None
+    # Time-major candidate layout (CEM only): kills the 13.6 ms pre-scan transpose at
+    # this shape (r4 measured A/B in docs/performance.md). BENCH_MA_TIME_MAJOR="" to
+    # restore the default [P, A, H, U] layout.
+    time_major = solver == "CEM" and bool(os.environ.get("BENCH_MA_TIME_MAJOR", "1"))
     lats = {}
     for N in (1, n_chain):
-        jfn, args = build_multi_agent_chain(N, solver)
+        jfn, args = build_multi_agent_chain(N, solver, time_major=time_major)
         lats[N] = _timed_repeats(jfn, args, repeats, rng_impl=rng_impl)
     out = _differential(lats[1], lats[n_chain], n_chain)
     out["prng"] = rng_impl or "threefry2x32"
+    out["layout"] = "time_major" if time_major else "standard"
     return out
 
 
@@ -279,6 +291,7 @@ def main():
                 p = ma["per_solve"]
                 lo = ma_solver.lower()
                 multi_agent["prng"] = ma["prng"]
+                multi_agent[f"{lo}_layout"] = ma["layout"]
                 multi_agent[f"{lo}_per_solve_ms"] = round(p * 1e3, 3)
                 multi_agent[f"{lo}_per_solve_ms_mean"] = round(ma["per_solve_mean"] * 1e3, 3)
                 multi_agent[f"{lo}_per_solve_ms_std"] = round(ma["per_solve_std"] * 1e3, 3)

@@ -45,8 +45,13 @@ def make_sharded_evaluator(
     remat: bool = False,
     action_smoothness_weight: float = 0.0,
     dynamics_returns_penalty: bool = False,
+    time_major: bool = False,
 ) -> TrajectoryEvaluator:
     """A trajectory evaluator sharded over ``mesh``.
+
+    ``time_major``: candidates arrive ``[H, P, A, U]`` (see
+    :func:`~blackbox_mpc_tpu.rollout.evaluator.make_trajectory_evaluator`) — the shard
+    axis moves one position right on the candidate tensor; rewards stay ``[P, A]``.
 
     Drop-in for :func:`make_trajectory_evaluator`; the input/output constraints are what let
     XLA partition the *producer* (the solver's sampling) and *consumer* (elite selection /
@@ -60,11 +65,13 @@ def make_sharded_evaluator(
     if shard_axis not in ("population", "agents"):
         raise ValueError(f"shard_axis must be 'population' or 'agents', got {shard_axis!r}")
     axis = 0 if shard_axis == "population" else 1
+    cand_axis = axis + 1 if time_major else axis
     base = make_trajectory_evaluator(
         dynamics_fn, reward_fn, discount=discount, nan_guard=nan_guard,
         num_particles=num_particles, remat=remat,
         action_smoothness_weight=action_smoothness_weight,
         dynamics_returns_penalty=dynamics_returns_penalty,
+        time_major=time_major,
     )
 
     def evaluate(
@@ -72,7 +79,7 @@ def make_sharded_evaluator(
         action_sequences: jax.Array,
         key: Optional[jax.Array] = None,
     ) -> jax.Array:
-        action_sequences = shard_population(mesh, action_sequences, axis=axis)
+        action_sequences = shard_population(mesh, action_sequences, axis=cand_axis)
         rewards = base(initial_states, action_sequences, key)
         return shard_population(mesh, rewards, axis=axis)
 

@@ -315,6 +315,13 @@ class MPCPolicy(ModelBasedPolicy):
                 f"rollout_backend='pallas' cannot back the first-order {solver_name} solver "
                 "(the Mosaic rollout kernel has no VJP); use the XLA backend"
             )
+        time_major = bool(getattr(config, "time_major", False))
+        if time_major and self._rollout_backend != "xla":
+            raise ValueError(
+                f"time_major=True requires the XLA evaluator — the "
+                f"{self._rollout_backend!r} kernel backend's candidate contract is "
+                f"[P, A, H, U]"
+            )
         bounds = self._bounds
         reward_fn = self._reward_fn
         # Pessimistic planning: roll out the (next_state, disagreement-penalty) variant and
@@ -441,14 +448,14 @@ class MPCPolicy(ModelBasedPolicy):
                     discount=discount, shard_axis=self._shard_axis,
                     num_particles=num_particles, remat=self._remat_rollout,
                     action_smoothness_weight=self._smoothness,
-                    dynamics_returns_penalty=penalized,
+                    dynamics_returns_penalty=penalized, time_major=time_major,
                 )
             else:
                 evaluate = make_trajectory_evaluator(
                     partial(dynamics_fn, dynamics_params), reward_fn, discount=discount,
                     num_particles=num_particles, remat=self._remat_rollout,
                     action_smoothness_weight=self._smoothness,
-                    dynamics_returns_penalty=penalized,
+                    dynamics_returns_penalty=penalized, time_major=time_major,
                 )
             if stochastic:
                 # TS-inf: bind ONE rollout-noise key for the whole solve — every solver

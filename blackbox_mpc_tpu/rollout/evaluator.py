@@ -37,10 +37,18 @@ def rollout_trajectories(
     key: jax.Array | None = None,
     remat: bool = False,
     dynamics_returns_penalty: bool = False,
+    time_major: bool = False,
 ):
     """Rolls a batch of action sequences through the dynamics, accumulating reward.
 
     Returns total_reward [B] (and the visited state trajectory [H, B, S] if requested).
+
+    ``time_major``: ``action_sequences`` is already ``[H, B, U]`` — the scan consumes it
+    directly with NO relayout. The default ``[B, H, U]`` contract pays a materialized
+    transpose before the scan (XLA cannot fuse it into the producer); at the 256-agent x
+    1k-candidate bench shape that copy is 13.6 ms/solve (~10 % — the r4 profile,
+    docs/performance.md "The 256-agent shape"). Solvers that can generate candidates
+    time-major (``CEMConfig(time_major=True)``) avoid it entirely.
 
     ``key``: for stochastic dynamics (PETS TS-∞ sampling propagation) — split into one
     subkey per horizon step and passed as ``dynamics_fn(state, action, key_t)``. ``None``
@@ -58,8 +66,11 @@ def rollout_trajectories(
     memory/FLOPs trade: gradients are mathematically identical. No effect on
     forward-only (derivative-free) solves.
     """
-    actions_time_major = jnp.swapaxes(action_sequences, 0, 1)  # [H, B, U]
-    horizon = action_sequences.shape[1]
+    if time_major:
+        actions_time_major = action_sequences  # already [H, B, U]
+    else:
+        actions_time_major = jnp.swapaxes(action_sequences, 0, 1)  # [H, B, U]
+    horizon = actions_time_major.shape[0]
 
     def step(carry, xs):
         state, total, disc = carry
@@ -92,20 +103,26 @@ def rollout_trajectories(
 
 
 def action_smoothness_penalty(
-    action_sequences: jax.Array, weight: float, discount: float = 1.0
+    action_sequences: jax.Array, weight: float, discount: float = 1.0,
+    time_major: bool = False,
 ) -> jax.Array:
     """``w * sum_t discount^t * ||a_t - a_{t-1}||^2`` over [P, A, H, U] plans -> [P, A].
 
     The actuation-rate cost of :func:`make_trajectory_evaluator`'s
     ``action_smoothness_weight``, exposed separately so kernel backends (whose reward comes
     out of Mosaic) can apply the identical term on the candidate tensor in XLA.
+
+    ``time_major``: plans are ``[H, P, A, U]`` — the diff runs along axis 0 (same math,
+    no relayout of the candidate tensor).
     """
-    horizon = action_sequences.shape[2]
-    diffs = jnp.sum(jnp.square(jnp.diff(action_sequences, axis=2)), axis=-1)  # [P, A, H-1]
+    h_axis = 0 if time_major else 2
+    horizon = action_sequences.shape[h_axis]
+    # [P, A, H-1] (or [H-1, P, A] time-major)
+    diffs = jnp.sum(jnp.square(jnp.diff(action_sequences, axis=h_axis)), axis=-1)
     if discount != 1.0:
         disc = jnp.asarray(discount, diffs.dtype) ** jnp.arange(1, horizon)
-        diffs = diffs * disc
-    return weight * jnp.sum(diffs, axis=-1)
+        diffs = diffs * (disc[:, None, None] if time_major else disc)
+    return weight * jnp.sum(diffs, axis=h_axis)
 
 
 def make_trajectory_evaluator(
@@ -118,8 +135,14 @@ def make_trajectory_evaluator(
     remat: bool = False,
     action_smoothness_weight: float = 0.0,
     dynamics_returns_penalty: bool = False,
+    time_major: bool = False,
 ) -> TrajectoryEvaluator:
     """Builds ``evaluate(initial_states [A,S], action_sequences [P,A,H,U]) -> rewards [P,A]``.
+
+    ``time_major``: the candidate contract becomes ``[H, P, A, U]`` (rewards stay
+    ``[P, A]``) and the horizon scan consumes it with no relayout — see
+    :func:`rollout_trajectories`. Pair with a solver that samples time-major
+    (``CEMConfig(time_major=True)``).
 
     ``dynamics_returns_penalty``: see :func:`rollout_trajectories` — pessimistic planning
     over uncertainty-penalized dynamics.
@@ -159,20 +182,29 @@ def make_trajectory_evaluator(
         action_sequences: jax.Array,
         key: jax.Array | None = None,
     ) -> jax.Array:
-        pop, agents, horizon, dim_u = action_sequences.shape
+        if time_major:
+            horizon, pop, agents, dim_u = action_sequences.shape
+        else:
+            pop, agents, horizon, dim_u = action_sequences.shape
         k = num_particles if key is not None else 1
+        p_axis = 1 if time_major else 0
         if k > 1:
             # [P, A, H, U] -> [P*K, A, H, U]: particle j of candidate i is row i*K + j; the
             # member-partitioned dynamics assigns each flattened row a member via the
             # balanced static shuffle ts_member_ids (models/dynamics.py), which cannot
-            # alias with this layout's agent stride.
-            action_sequences = jnp.repeat(action_sequences, k, axis=0)
-        flat_actions = action_sequences.reshape(pop * k * agents, horizon, dim_u)
+            # alias with this layout's agent stride. (Time-major: same repeat on axis 1.)
+            action_sequences = jnp.repeat(action_sequences, k, axis=p_axis)
+        if time_major:
+            # [H, P*K, A, U] -> [H, P*K*A, U]: contiguous view, no relayout before the scan.
+            flat_actions = action_sequences.reshape(horizon, pop * k * agents, dim_u)
+        else:
+            flat_actions = action_sequences.reshape(pop * k * agents, horizon, dim_u)
         # Tile [A, S] -> [P*A, S] with agent minor, matching tf.tile(current_states, [pop, 1]).
         flat_states = jnp.tile(initial_states, (pop * k, 1))
         total = rollout_trajectories(
             dynamics_fn, reward_fn, flat_states, flat_actions, discount=discount, key=key,
             remat=remat, dynamics_returns_penalty=dynamics_returns_penalty,
+            time_major=time_major,
         )
         rewards = total.reshape(pop, k, agents).mean(axis=1) if k > 1 else total.reshape(
             pop, agents
@@ -180,9 +212,12 @@ def make_trajectory_evaluator(
         if action_smoothness_weight > 0.0:
             # On the K-repeated tensor rows of one candidate are identical, so slice back
             # to [P, A, H, U] (every particle carries the same plan penalty).
-            plans = action_sequences[::k] if k > 1 else action_sequences
+            if k > 1:
+                plans = action_sequences[:, ::k] if time_major else action_sequences[::k]
+            else:
+                plans = action_sequences
             rewards = rewards - action_smoothness_penalty(
-                plans, action_smoothness_weight, discount
+                plans, action_smoothness_weight, discount, time_major=time_major
             )
         if nan_guard:
             rewards = jnp.where(jnp.isnan(rewards), jnp.asarray(NAN_REWARD, rewards.dtype), rewards)

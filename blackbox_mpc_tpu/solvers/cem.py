@@ -57,6 +57,16 @@ class CEMConfig(base.SolverConfig):
     # across all iterations instead of the blended mean (better on ragged landscapes;
     # the mean remains the carried plan / warm-start source).
     execute_best: bool = False
+    # Sample the candidate tensor time-major ([H, P, A, U]) and pair with a
+    # ``time_major=True`` evaluator: the horizon scan then consumes candidates with NO
+    # relayout, eliminating the materialized [P·A, H, U] -> [H, P·A, U] transpose (13.6
+    # ms/solve ≈ 10 % at the 256-agent x 1k bench shape — the r4 per-op profile,
+    # docs/performance.md). Same math and sampling distribution; the RNG element
+    # association differs (a different but equally-random draw), so results are not
+    # bit-comparable with the default layout. Incompatible with colored_noise_beta > 0
+    # (the spectral synthesis assumes H on axis -2) and with the pallas/fused kernel
+    # backends (their candidate contract is [P, A, H, U]).
+    time_major: bool = False
 
 
 @struct.dataclass
@@ -88,14 +98,31 @@ def cem_iteration(config, bounds, evaluate, obs, mean, var, key, carried, popula
 
     ``population`` overrides ``config.population`` for this iteration (iCEM decay; the
     value must be a static int so shapes stay compile-time constants).
+
+    ``config.time_major``: the candidate tensor is sampled and evaluated as
+    ``[H, P, A, U]`` (see :class:`CEMConfig`) — the solver state, the returned
+    ``elites`` block and all the moment math keep their documented layouts; only the
+    big per-iteration tensor (and the internal ``carried`` buffer, ``[H, keep, A, U]``)
+    changes, so the horizon scan never pays a relayout.
     """
     horizon, agents = config.planning_horizon, config.num_agents
     pop = config.population if population is None else population
     k, alpha, keep = config.num_elite, config.alpha, config.keep_elites
+    tm = config.time_major
     key, sample_key = jax.random.split(key)
     constrained = base.constrain_variance(mean, var, bounds)
     n_fresh = pop - keep - (1 if config.mean_as_candidate else 0)
-    if config.colored_noise_beta > 0.0:
+    if tm:
+        mean_t = jnp.transpose(mean, (1, 0, 2))[:, None]  # [H, 1, A, U] (tiny)
+        std_t = jnp.sqrt(jnp.transpose(constrained, (1, 0, 2)))[:, None]
+        samples = truncated_normal(
+            sample_key, mean_t, std_t, (horizon, n_fresh, agents, bounds.dim)
+        )
+        if config.mean_as_candidate:
+            samples = jnp.concatenate([samples, bounds.clip(mean_t)], axis=1)
+        if keep:
+            samples = jnp.concatenate([samples, carried], axis=1)
+    elif config.colored_noise_beta > 0.0:
         z = base.colored_noise(
             sample_key, config.colored_noise_beta,
             (n_fresh, agents, horizon, bounds.dim),
@@ -106,10 +133,10 @@ def cem_iteration(config, bounds, evaluate, obs, mean, var, key, carried, popula
             sample_key, mean, jnp.sqrt(constrained),
             (n_fresh, agents, horizon, bounds.dim),
         )
-    if config.mean_as_candidate:
+    if not tm and config.mean_as_candidate:
         # iCEM: the incumbent distribution center competes with the fresh samples.
         samples = jnp.concatenate([samples, bounds.clip(mean)[None]], axis=0)
-    if keep:
+    if not tm and keep:
         # iCEM elite persistence: previous iteration's top candidates rejoin the
         # population (skipped on the first iteration — `carried` is init-sampled
         # placeholder data then, which is harmless but uninformative).
@@ -121,12 +148,29 @@ def cem_iteration(config, bounds, evaluate, obs, mean, var, key, carried, popula
     mask = jnp.zeros((pop, agents), samples.dtype).at[
         elite_idx.T, jnp.arange(agents)[None, :]
     ].set(1.0)
-    new_mean = jnp.sum(mask[:, :, None, None] * samples, axis=0) / k
-    new_var = jnp.sum(
-        mask[:, :, None, None] * jnp.square(samples - new_mean[None]), axis=0
-    ) / k
+    if tm:
+        w = mask[None, :, :, None]  # [1, P, A, 1]
+        new_mean_t = jnp.sum(w * samples, axis=1) / k  # [H, A, U]
+        new_var_t = jnp.sum(
+            w * jnp.square(samples - new_mean_t[:, None]), axis=1
+        ) / k
+        new_mean = jnp.transpose(new_mean_t, (1, 0, 2))
+        new_var = jnp.transpose(new_var_t, (1, 0, 2))
+    else:
+        new_mean = jnp.sum(mask[:, :, None, None] * samples, axis=0) / k
+        new_var = jnp.sum(
+            mask[:, :, None, None] * jnp.square(samples - new_mean[None]), axis=0
+        ) / k
     n = k if n_extract is None else max(n_extract, keep)
-    if n:
+    elites_t = None
+    if n and tm:
+        # [H, n, A, U] gather (n is small), then a tiny transpose to the documented
+        # [A, n, H, U] contract for callers.
+        elites_t = jnp.take_along_axis(
+            samples, elite_idx[:, :n].T[None, :, :, None], axis=1
+        )
+        elites = jnp.transpose(elites_t, (2, 1, 0, 3))
+    elif n:
         per_agent = jnp.swapaxes(samples, 0, 1)  # [A, P, H, U]
         elites = jnp.take_along_axis(
             per_agent, elite_idx[:, :n, None, None], axis=1
@@ -135,7 +179,8 @@ def cem_iteration(config, bounds, evaluate, obs, mean, var, key, carried, popula
         elites = jnp.zeros((agents, 0, horizon, bounds.dim), samples.dtype)
     mean = alpha * mean + (1.0 - alpha) * new_mean
     var = alpha * var + (1.0 - alpha) * new_var
-    carried = elites[:, :keep] if keep else carried
+    if keep:
+        carried = elites_t[:, :keep] if tm else elites[:, :keep]
     return mean, var, key, carried, elites, elite_vals
 
 
@@ -167,6 +212,14 @@ def init_carried(config, bounds, state, key):
     exactly (golden tests replicate it).
     """
     keep = config.keep_elites
+    if keep and config.time_major:
+        key, seed_key = jax.random.split(key)
+        mean_t = jnp.transpose(state.mean, (1, 0, 2))[:, None]
+        std_t = jnp.sqrt(jnp.transpose(state.variance, (1, 0, 2)))[:, None]
+        return key, truncated_normal(
+            seed_key, mean_t, std_t,
+            (config.planning_horizon, keep, config.num_agents, bounds.dim),
+        )
     if keep:
         key, seed_key = jax.random.split(key)
         carried0 = truncated_normal(
@@ -174,6 +227,10 @@ def init_carried(config, bounds, state, key):
             (keep, config.num_agents, config.planning_horizon, bounds.dim),
         )
         return key, jnp.swapaxes(carried0, 0, 1)
+    if config.time_major:
+        return key, jnp.zeros(
+            (config.planning_horizon, 0, config.num_agents, bounds.dim), state.mean.dtype
+        )
     return key, jnp.zeros(
         (config.num_agents, 0, config.planning_horizon, bounds.dim), state.mean.dtype
     )
@@ -195,6 +252,11 @@ def make_cem(config: CEMConfig, bounds: Bounds, evaluate: TrajectoryEvaluator) -
     if not 0.0 < config.population_decay <= 1.0:
         raise ValueError(
             f"population_decay ({config.population_decay}) must be in (0, 1]"
+        )
+    if config.time_major and config.colored_noise_beta > 0.0:
+        raise ValueError(
+            "time_major=True is incompatible with colored_noise_beta > 0 (the spectral "
+            "synthesis assumes the horizon on axis -2); use the default layout"
         )
     pops = iteration_populations(config)
 

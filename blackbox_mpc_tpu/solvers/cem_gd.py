@@ -63,6 +63,12 @@ def make_cem_gd(config: CEMGDConfig, bounds: Bounds, evaluate: TrajectoryEvaluat
     k, m = config.num_elite, config.gd_candidates
     if not 1 <= m <= k:
         raise ValueError(f"gd_candidates ({m}) must be in [1, num_elite={k}]")
+    if config.time_major:
+        raise ValueError(
+            "CEM-GD does not support time_major=True: the Adam polish phase evaluates "
+            "[A, m, H, U] plan blocks through the same evaluator, which would then "
+            "expect the [H, P, A, U] contract"
+        )
     if k > pop:
         raise ValueError(f"num_elite ({k}) must be <= population ({pop})")
     # Same guard as make_cem: an out-of-range keep_elites would otherwise surface as an

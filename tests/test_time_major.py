@@ -1,0 +1,248 @@
+"""Time-major candidate layout (round 4).
+
+``CEMConfig(time_major=True)`` + ``make_trajectory_evaluator(time_major=True)`` sample and
+evaluate the candidate tensor as ``[H, P, A, U]`` so the horizon scan consumes it with no
+relayout — eliminating the materialized ``[P·A, H, U] -> [H, P·A, U]`` transpose that the
+r4 hardware profile measured at 13.6 ms/solve (~10 %) on the 256-agent x 1k bench shape
+(docs/performance.md, "The 256-agent shape"). These tests pin:
+
+* the evaluator itself is BITWISE identical under either layout (same scan, same
+  reduction order — only the input view changes);
+* ``cem_iteration`` computes the same update in either layout when fed the same samples
+  (the RNG element association differs in production, so equality is asserted by
+  injecting a deterministic sampler);
+* the sharded evaluator and the policy wiring carry the flag end-to-end;
+* the documented incompatibilities (colored noise, kernel backends, CEM-GD) raise.
+"""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from blackbox_mpc_tpu.core.types import Bounds
+from blackbox_mpc_tpu.models.analytic import pendulum_dynamics, pendulum_reward
+from blackbox_mpc_tpu.rollout.evaluator import make_trajectory_evaluator
+from blackbox_mpc_tpu.solvers import cem
+
+
+def _tm(candidates):
+    """[P, A, H, U] -> [H, P, A, U]."""
+    return jnp.transpose(candidates, (2, 0, 1, 3))
+
+
+def test_evaluator_time_major_bitmatches_standard():
+    ev = make_trajectory_evaluator(
+        pendulum_dynamics, pendulum_reward, discount=0.97,
+        action_smoothness_weight=0.01,
+    )
+    ev_tm = make_trajectory_evaluator(
+        pendulum_dynamics, pendulum_reward, discount=0.97,
+        action_smoothness_weight=0.01, time_major=True,
+    )
+    key = jax.random.PRNGKey(0)
+    cands = jax.random.uniform(key, (17, 3, 9, 1), minval=-2.0, maxval=2.0)
+    obs = jax.random.normal(jax.random.PRNGKey(1), (3, 3))
+    r_std = ev(obs, cands)
+    r_tm = ev_tm(obs, _tm(cands))
+    assert r_std.shape == r_tm.shape == (17, 3)
+    np.testing.assert_array_equal(np.asarray(r_std), np.asarray(r_tm))
+
+
+def test_evaluator_time_major_bitmatches_standard_stochastic_particles():
+    """PETS particles (key passed, num_particles>1): the particle repeat happens on the
+    population axis in both layouts and flattens to the identical row order, so the
+    rollout-noise keys line up row-for-row -> bitwise-equal rewards."""
+    from blackbox_mpc_tpu.models.dynamics import LearnedDynamicsConfig, make_learned_dynamics
+
+    cfg = LearnedDynamicsConfig(
+        dim_s=3, dim_u=1, hidden=(16,), ensemble_size=2, probabilistic=True,
+        propagation="ts_inf",
+    )
+    init_model, dyn = make_learned_dynamics(cfg)
+    params = init_model(jax.random.PRNGKey(3))
+    kw = dict(discount=1.0, num_particles=3)
+    ev = make_trajectory_evaluator(lambda s, a, k: dyn(params, s, a, k),
+                                   pendulum_reward, **kw)
+    ev_tm = make_trajectory_evaluator(lambda s, a, k: dyn(params, s, a, k),
+                                      pendulum_reward, time_major=True, **kw)
+    cands = jax.random.uniform(jax.random.PRNGKey(4), (8, 2, 5, 1), minval=-1, maxval=1)
+    obs = jax.random.normal(jax.random.PRNGKey(5), (2, 3))
+    rk = jax.random.PRNGKey(6)
+    np.testing.assert_array_equal(
+        np.asarray(ev(obs, cands, rk)), np.asarray(ev_tm(obs, _tm(cands), rk))
+    )
+
+
+def _fake_truncated_normal(H, A):
+    """Deterministic stand-in for cem.truncated_normal: both layouts receive the SAME
+    canonical draw (transposed), so the two cem_iteration paths see identical samples.
+    Layout is identified by shape position (dims are chosen distinct in the tests)."""
+
+    def fake(key, mean, stddev, shape):
+        del key
+        if len(shape) == 4 and shape[2] == H:        # [n, A, H, U] (standard)
+            n = shape[0]
+            z = _canon(n, A, H, shape[3])
+        elif len(shape) == 4 and shape[0] == H:      # [H, n, A, U] (time-major)
+            n = shape[1]
+            z = jnp.transpose(_canon(n, A, H, shape[3]), (2, 0, 1, 3))
+        else:
+            raise AssertionError(f"unexpected sample shape {shape}")
+        return mean + z * stddev
+
+    def _canon(n, a, h, u):
+        size = n * a * h * u
+        # seeded by n so fresh-sample and carried-init draws differ
+        return (jnp.arange(size, dtype=jnp.float32).reshape(n, a, h, u) % 7 - 3.0) / (
+            3.0 + n
+        )
+
+    return fake
+
+
+@pytest.mark.parametrize("features", ["plain", "icem"])
+def test_cem_iteration_time_major_matches_standard(monkeypatch, features):
+    H, A, U, P, K = 5, 3, 2, 11, 4
+    icem = features == "icem"
+    base_kw = dict(
+        planning_horizon=H, num_agents=A, population=P, num_elite=K,
+        max_iterations=1, alpha=0.25,
+    )
+    if icem:
+        base_kw.update(keep_elites=2, mean_as_candidate=True)
+    cfg_std = cem.CEMConfig(**base_kw)
+    cfg_tm = cem.CEMConfig(**base_kw, time_major=True)
+    bounds = Bounds.of(-2.0, 2.0, dim=U)
+    # toy linear dynamics with S=3, U=2 (dims deliberately all-distinct for the fake RNG)
+    dyn = lambda s, a: s + 0.1 * jnp.pad(a, ((0, 0), (0, 1)))  # noqa: E731
+    rew = lambda s, a, ns: ns[:, 0] - 0.1 * jnp.sum(jnp.square(a), axis=-1)  # noqa: E731
+    ev = make_trajectory_evaluator(dyn, rew)
+    ev_tm = make_trajectory_evaluator(dyn, rew, time_major=True)
+
+    monkeypatch.setattr(cem, "truncated_normal", _fake_truncated_normal(H, A))
+
+    mean = jnp.linspace(-1.0, 1.0, A * H * U).reshape(A, H, U)
+    var = jnp.full((A, H, U), 0.5)
+    obs = jnp.linspace(0.0, 1.0, A * 3).reshape(A, 3)
+    state = cem.CEMState(mean=mean, variance=var)
+    key = jax.random.PRNGKey(7)
+
+    key_s, carried_s = cem.init_carried(cfg_std, bounds, state, key)
+    key_t, carried_t = cem.init_carried(cfg_tm, bounds, state, key)
+    out_s = cem.cem_iteration(
+        cfg_std, bounds, ev, obs, mean, var, key_s, carried_s, n_extract=K
+    )
+    out_t = cem.cem_iteration(
+        cfg_tm, bounds, ev_tm, obs, mean, var, key_t, carried_t, n_extract=K
+    )
+    names = ("mean", "var", "key", "carried", "elites", "elite_vals")
+    for name, a, b in zip(names, out_s, out_t):
+        if name == "key":
+            continue
+        if name == "carried":
+            if not icem:
+                continue
+            b = jnp.transpose(b, (2, 1, 0, 3))  # [H, keep, A, U] -> [A, keep, H, U]
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=2e-6, atol=2e-6,
+            err_msg=f"{name} diverged between layouts",
+        )
+
+
+def test_sharded_evaluator_time_major_matches():
+    from blackbox_mpc_tpu.parallel import make_pop_mesh
+    from blackbox_mpc_tpu.parallel.sharding import make_sharded_evaluator
+
+    mesh = make_pop_mesh(len(jax.devices()))
+    dyn = lambda s, a: s + 0.1 * jnp.pad(a, ((0, 0), (0, 1)))  # noqa: E731
+    rew = lambda s, a, ns: ns[:, 0] - jnp.sum(jnp.square(a), axis=-1)  # noqa: E731
+    A = len(jax.devices())  # agent-sharded needs A % D == 0
+    kw = dict(mesh=mesh, shard_axis="agents")
+    ev = make_sharded_evaluator(dyn, rew, **kw)
+    ev_tm = make_sharded_evaluator(dyn, rew, time_major=True, **kw)
+    cands = jax.random.uniform(jax.random.PRNGKey(0), (16, A, 6, 2), minval=-1, maxval=1)
+    obs = jax.random.normal(jax.random.PRNGKey(1), (A, 3))
+    np.testing.assert_array_equal(
+        np.asarray(ev(obs, cands)), np.asarray(ev_tm(obs, _tm(cands)))
+    )
+
+
+def test_mpc_policy_time_major_end_to_end():
+    """Full MPCPolicy solve with time_major=True on the analytic pendulum: swings up."""
+    from blackbox_mpc_tpu.learning.handler import DynamicsHandler
+    from blackbox_mpc_tpu.policies.mpc_policy import MPCPolicy
+
+    class BoxSpace:
+        low = np.asarray([-2.0], np.float32)
+        high = np.asarray([2.0], np.float32)
+
+    policy = MPCPolicy(
+        action_space=BoxSpace(),
+        reward_function=pendulum_reward,
+        dynamics_handler=DynamicsHandler(true_model=pendulum_dynamics),
+        solver_name="CEM",
+        planning_horizon=25,
+        population=200,
+        num_elite=20,
+        max_iterations=5,
+        time_major=True,
+    )
+    obs = jnp.asarray([[-1.0, 0.0, 0.0]])
+    for t in range(100):
+        action, _, _ = policy.act(obs, t)
+        obs = pendulum_dynamics(obs, jnp.asarray(action).reshape(1, -1))
+    assert float(obs[0, 0]) > 0.9, f"no swing-up: cos(theta)={float(obs[0, 0]):.3f}"
+
+
+def test_time_major_rejects_colored_noise():
+    bounds = Bounds.of(-1.0, 1.0, dim=1)
+    ev = make_trajectory_evaluator(pendulum_dynamics, pendulum_reward, time_major=True)
+    with pytest.raises(ValueError, match="colored_noise"):
+        cem.make_cem(
+            cem.CEMConfig(
+                planning_horizon=5, num_agents=1, population=16, num_elite=4,
+                max_iterations=2, time_major=True, colored_noise_beta=1.0,
+            ),
+            bounds, ev,
+        )
+
+
+def test_cem_gd_rejects_time_major():
+    from blackbox_mpc_tpu.solvers.cem_gd import CEMGDConfig, make_cem_gd
+
+    bounds = Bounds.of(-1.0, 1.0, dim=1)
+    ev = make_trajectory_evaluator(pendulum_dynamics, pendulum_reward)
+    with pytest.raises(ValueError, match="time_major"):
+        make_cem_gd(
+            CEMGDConfig(
+                planning_horizon=5, num_agents=1, population=16, num_elite=8,
+                gd_candidates=2, max_iterations=2, time_major=True,
+            ),
+            bounds, ev,
+        )
+
+
+def test_policy_rejects_time_major_on_kernel_backends():
+    from blackbox_mpc_tpu.learning.handler import DynamicsHandler
+    from blackbox_mpc_tpu.models.dynamics import LearnedDynamicsConfig
+    from blackbox_mpc_tpu.policies.mpc_policy import MPCPolicy
+
+    class BoxSpace:
+        low = np.asarray([-1.0], np.float32)
+        high = np.asarray([1.0], np.float32)
+
+    with pytest.raises(ValueError, match="time_major"):
+        MPCPolicy(
+            action_space=BoxSpace(),
+            reward_function=pendulum_reward,
+            dynamics_handler=DynamicsHandler(
+                config=LearnedDynamicsConfig(dim_s=3, dim_u=1, hidden=(16,))
+            ),
+            solver_name="CEM",
+            planning_horizon=5,
+            population=32,
+            num_elite=4,
+            max_iterations=2,
+            rollout_backend="fused_cem",
+            time_major=True,
+        )
