@@ -104,8 +104,8 @@ def build_multi_agent_chain(N: int, solver: str, time_major: bool = False):
     )
     if solver == "CEM":
         solver_kw["num_elite"] = 50
-        if time_major:
-            solver_kw["time_major"] = True
+    if time_major:
+        solver_kw["time_major"] = True
     cfg = LearnedDynamicsConfig(dim_s=17, dim_u=6, hidden=(200, 200), ensemble_size=1)
     init_model, dyn = make_learned_dynamics(cfg)
     dp = init_model(jax.random.PRNGKey(0))
@@ -114,7 +114,7 @@ def build_multi_agent_chain(N: int, solver: str, time_major: bool = False):
     def chained(state, dp, obs, key):
         evaluate = make_sharded_evaluator(
             _partial(dyn, dp), reward_fn, mesh, shard_axis="agents",
-            time_major=time_major and solver == "CEM",
+            time_major=time_major,
         )
         s = make_solver(solver, bounds, evaluate, **solver_kw)
 
@@ -177,10 +177,10 @@ def measure_multi_agent(n_chain: int, repeats: int, solver: str) -> dict:
     # threefry spending ~2.7 ms/iteration generating the 76.8M-element candidate
     # tensor's random bits — rbg recovers it with identical sampling distributions.
     rng_impl = os.environ.get("BENCH_MA_PRNG", "rbg") or None
-    # Time-major candidate layout (CEM only): kills the 13.6 ms pre-scan transpose at
-    # this shape (r4 measured A/B in docs/performance.md). BENCH_MA_TIME_MAJOR="" to
-    # restore the default [P, A, H, U] layout.
-    time_major = solver == "CEM" and bool(os.environ.get("BENCH_MA_TIME_MAJOR", "1"))
+    # Time-major candidate layout: kills the 13.6 ms pre-scan transpose at this shape
+    # (r4 measured A/B in docs/performance.md). BENCH_MA_TIME_MAJOR="" restores the
+    # default [P, A, H, U] layout.
+    time_major = bool(os.environ.get("BENCH_MA_TIME_MAJOR", "1"))
     lats = {}
     for N in (1, n_chain):
         jfn, args = build_multi_agent_chain(N, solver, time_major=time_major)

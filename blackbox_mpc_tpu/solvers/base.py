@@ -118,15 +118,21 @@ def shift_time(plan: jax.Array) -> jax.Array:
     return jnp.concatenate([plan[..., 1:, :], plan[..., -1:, :]], axis=-2)
 
 
-def bound_violation_penalty(samples: jax.Array, bounds: Bounds) -> Tuple[jax.Array, jax.Array]:
+def bound_violation_penalty(
+    samples: jax.Array, bounds: Bounds, time_major: bool = False
+) -> Tuple[jax.Array, jax.Array]:
     """Clips samples to bounds; returns (feasible samples, squared-violation penalty [P, A]).
 
     Reference pattern (pi2.py:70-76, spsa.py:80-91, pso.py:79-85, cma_es.py:147-152).
+
+    ``time_major``: samples are ``[H, P, A, U]`` (the penalty stays ``[P, A]``).
     """
     feasible = bounds.clip(samples)
-    violation = samples - feasible
+    violation = jnp.square(samples - feasible)
+    if time_major:
+        return feasible, jnp.sum(violation, axis=(0, 3))
     pop, agents = samples.shape[0], samples.shape[1]
-    penalty = jnp.sum(jnp.square(violation).reshape(pop, agents, -1), axis=-1)
+    penalty = jnp.sum(violation.reshape(pop, agents, -1), axis=-1)
     return feasible, penalty
 
 

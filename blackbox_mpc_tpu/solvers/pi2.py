@@ -43,6 +43,11 @@ class PI2Config(base.SolverConfig):
     # an already-large nominal control are charged for the control energy they add. Off by
     # default (reference PI2 parity); the "MPPI" registry name turns it on.
     control_cost: bool = False
+    # Time-major candidate layout ([H, P, A, U]; pair with a time_major=True evaluator):
+    # the horizon scan consumes candidates with no relayout — see CEMConfig.time_major
+    # (solvers/cem.py) for the measured win and the caveats (same distribution, different
+    # RNG element association; incompatible with colored noise).
+    time_major: bool = False
 
 
 @dataclasses.dataclass(frozen=True)
@@ -65,6 +70,12 @@ class PI2State:
 def make_pi2(config: PI2Config, bounds: Bounds, evaluate: TrajectoryEvaluator) -> Solver:
     horizon, agents, pop = config.planning_horizon, config.num_agents, config.population
     lamda = config.lamda
+    tm = config.time_major
+    if tm and config.colored_noise_beta > 0.0:
+        raise ValueError(
+            "time_major=True is incompatible with colored_noise_beta > 0 (the spectral "
+            "synthesis assumes the horizon on axis -2); use the default layout"
+        )
 
     def init(key: jax.Array) -> PI2State:
         del key
@@ -78,7 +89,14 @@ def make_pi2(config: PI2Config, bounds: Bounds, evaluate: TrajectoryEvaluator) -
             mean, variance, key, _ = carry
             stddev = jnp.sqrt(variance)
             key, sample_key = jax.random.split(key)
-            if config.colored_noise_beta > 0.0:
+            if tm:
+                # [H, 1, A, U] broadcast anchors (tiny transposes of the [A, H, U] state).
+                mean_t = jnp.transpose(mean, (1, 0, 2))[:, None]
+                std_t = jnp.transpose(stddev, (1, 0, 2))[:, None]
+                samples = truncated_normal(
+                    sample_key, mean_t, std_t, (horizon, pop, agents, bounds.dim)
+                )
+            elif config.colored_noise_beta > 0.0:
                 z = base.colored_noise(
                     sample_key, config.colored_noise_beta,
                     (pop, agents, horizon, bounds.dim),
@@ -88,18 +106,39 @@ def make_pi2(config: PI2Config, bounds: Bounds, evaluate: TrajectoryEvaluator) -
                 samples = truncated_normal(
                     sample_key, mean, stddev, (pop, agents, horizon, bounds.dim)
                 )
-            samples, penalty = base.bound_violation_penalty(samples, bounds)
+            samples, penalty = base.bound_violation_penalty(samples, bounds, time_major=tm)
             rewards = evaluate(obs, samples) - penalty  # [P, A]
             costs = -rewards
             if config.control_cost:
                 # MPPI exploration cost on the post-clip (actually applied) perturbation.
-                eps = samples - mean[None]
-                costs = costs + lamda * jnp.einsum(
-                    "ahu,pahu->pa", mean / variance, eps
-                )
+                if tm:
+                    eps = samples - jnp.transpose(mean, (1, 0, 2))[:, None]
+                    costs = costs + lamda * jnp.einsum(
+                        "hau,hpau->pa", jnp.transpose(mean / variance, (1, 0, 2)), eps
+                    )
+                else:
+                    eps = samples - mean[None]
+                    costs = costs + lamda * jnp.einsum(
+                        "ahu,pahu->pa", mean / variance, eps
+                    )
             beta = jnp.min(costs, axis=0, keepdims=True)  # [1, A]
             prob = jnp.exp(-(costs - beta) / lamda)
             omega = prob / jnp.sum(prob, axis=0, keepdims=True)  # [P, A]
+            if tm:
+                # Weighted moments as multiply+reduce over the population axis (axis 1) —
+                # same rationale as the CEM time-major moments (solvers/cem.py).
+                w = omega[None, :, :, None]  # [1, P, A, 1]
+                new_mean_t = jnp.sum(w * samples, axis=1)  # [H, A, U]
+                new_mean = jnp.transpose(new_mean_t, (1, 0, 2))
+                if config.adapt_variance:
+                    dev = samples - new_mean_t[:, None]
+                    new_var = jnp.transpose(
+                        jnp.sum(w * jnp.square(dev), axis=1), (1, 0, 2)
+                    )
+                    variance = jnp.maximum(
+                        new_var, config.variance_floor_frac * variance0
+                    )
+                return new_mean, variance, key, jnp.max(rewards, axis=0)
             new_mean = jnp.einsum("pa,pahu->ahu", omega, samples)
             if config.adapt_variance:
                 # PI2-CMA diagonal update: weighted empirical variance about the new mean.

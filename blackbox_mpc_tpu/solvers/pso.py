@@ -36,13 +36,18 @@ class PSOConfig(base.SolverConfig):
     w: float = 0.2
     initial_velocity_fraction: float = 0.01
     elementwise_random: bool = False
+    # Time-major swarm layout ([H, P, A, U] for positions/velocities/best_positions; pair
+    # with a time_major=True evaluator) — the horizon scan consumes the swarm with no
+    # relayout. See CEMConfig.time_major (solvers/cem.py) for the measured win and the
+    # caveats (same distributions, different RNG element association).
+    time_major: bool = False
 
 
 @struct.dataclass
 class PSOState:
-    positions: jax.Array  # [P, A, H, U]
-    velocities: jax.Array  # [P, A, H, U]
-    best_positions: jax.Array  # [P, A, H, U]
+    positions: jax.Array  # [P, A, H, U] ([H, P, A, U] when config.time_major)
+    velocities: jax.Array  # [P, A, H, U] ([H, P, A, U] when config.time_major)
+    best_positions: jax.Array  # [P, A, H, U] ([H, P, A, U] when config.time_major)
     best_rewards: jax.Array  # [P, A]
     global_best_position: jax.Array  # [A, H, U]
     global_best_reward: jax.Array  # [A]
@@ -50,7 +55,18 @@ class PSOState:
 
 def make_pso(config: PSOConfig, bounds: Bounds, evaluate: TrajectoryEvaluator) -> Solver:
     horizon, agents, pop = config.planning_horizon, config.num_agents, config.population
-    shape = (pop, agents, horizon, bounds.dim)
+    tm = config.time_major
+    shape = (
+        (horizon, pop, agents, bounds.dim) if tm else (pop, agents, horizon, bounds.dim)
+    )
+    # Broadcast helpers that differ between the layouts: lift a [P, A] mask / an
+    # [A, H, U] plan to the swarm tensor's rank.
+    lift_mask = (lambda m: m[None, :, :, None]) if tm else (lambda m: m[:, :, None, None])
+    lift_plan = (
+        (lambda p: jnp.transpose(p, (1, 0, 2))[:, None])  # [A,H,U] -> [H,1,A,U]
+        if tm
+        else (lambda p: p[None])
+    )
 
     def _initial_velocities(key: jax.Array) -> jax.Array:
         init_vel = config.initial_velocity_fraction * bounds.range
@@ -78,18 +94,30 @@ def make_pso(config: PSOConfig, bounds: Bounds, evaluate: TrajectoryEvaluator) -
 
         def iteration(_, carry):
             state, key = carry
-            positions, penalty = base.bound_violation_penalty(state.positions, bounds)
+            positions, penalty = base.bound_violation_penalty(
+                state.positions, bounds, time_major=tm
+            )
             rewards = evaluate(obs, positions) - penalty  # [P, A]
             improved = state.best_rewards < rewards
             best_positions = jnp.where(
-                improved[:, :, None, None], positions, state.best_positions
+                lift_mask(improved), positions, state.best_positions
             )
             best_rewards = jnp.where(improved, rewards, state.best_rewards)
             gbest_idx = jnp.argmax(best_rewards, axis=0)  # [A]
-            per_agent_best = jnp.swapaxes(best_positions, 0, 1)  # [A, P, H, U]
-            gbest_pos = jnp.take_along_axis(
-                per_agent_best, gbest_idx[:, None, None, None], axis=1
-            )[:, 0]
+            if tm:
+                # [H, 1, A, U] winner gather on the population axis, then a tiny
+                # transpose to the [A, H, U] state contract.
+                gbest_pos = jnp.transpose(
+                    jnp.take_along_axis(
+                        best_positions, gbest_idx[None, None, :, None], axis=1
+                    )[:, 0],
+                    (1, 0, 2),
+                )
+            else:
+                per_agent_best = jnp.swapaxes(best_positions, 0, 1)  # [A, P, H, U]
+                gbest_pos = jnp.take_along_axis(
+                    per_agent_best, gbest_idx[:, None, None, None], axis=1
+                )[:, 0]
             gbest_rew = jnp.take_along_axis(best_rewards, gbest_idx[None, :], axis=0)[0]
             key, r1_key, r2_key = jax.random.split(key, 3)
             if config.elementwise_random:
@@ -101,7 +129,7 @@ def make_pso(config: PSOConfig, bounds: Bounds, evaluate: TrajectoryEvaluator) -
             velocities = (
                 state.velocities * config.w
                 + (best_positions - positions) * config.c1 * r1
-                + (gbest_pos[None] - positions) * config.c2 * r2
+                + (lift_plan(gbest_pos) - positions) * config.c2 * r2
             )
             new_state = state.replace(
                 positions=positions + velocities,
@@ -121,9 +149,17 @@ def make_pso(config: PSOConfig, bounds: Bounds, evaluate: TrajectoryEvaluator) -
             gbest, base.init_solution_variance(bounds, horizon, agents), bounds
         )
         key, pos_key, vel_key = jax.random.split(key, 3)
-        new_positions = truncated_normal(
-            pos_key, base.shift_time(gbest), jnp.sqrt(constrained), shape
-        )
+        if tm:
+            new_positions = truncated_normal(
+                pos_key,
+                jnp.transpose(base.shift_time(gbest), (1, 0, 2))[:, None],
+                jnp.transpose(jnp.sqrt(constrained), (1, 0, 2))[:, None],
+                shape,
+            )
+        else:
+            new_positions = truncated_normal(
+                pos_key, base.shift_time(gbest), jnp.sqrt(constrained), shape
+            )
         next_state = state.replace(
             positions=new_positions,
             velocities=_initial_velocities(vel_key),

@@ -149,6 +149,100 @@ def test_cem_iteration_time_major_matches_standard(monkeypatch, features):
         )
 
 
+def test_pi2_time_major_matches_standard(monkeypatch):
+    """Full PI2/MPPI solve equality across layouts when both draw the same samples
+    (deterministic injected sampler); covers the control-cost and adapt-variance
+    branches of the time-major path."""
+    from blackbox_mpc_tpu.solvers import pi2
+
+    H, A, U, P = 5, 3, 2, 11
+    dyn = lambda s, a: s + 0.1 * jnp.pad(a, ((0, 0), (0, 1)))  # noqa: E731
+    rew = lambda s, a, ns: ns[:, 0] - 0.1 * jnp.sum(jnp.square(a), axis=-1)  # noqa: E731
+    ev = make_trajectory_evaluator(dyn, rew)
+    ev_tm = make_trajectory_evaluator(dyn, rew, time_major=True)
+    monkeypatch.setattr(pi2, "truncated_normal", _fake_truncated_normal(H, A))
+    bounds = Bounds.of(-2.0, 2.0, dim=U)
+    kw = dict(
+        planning_horizon=H, num_agents=A, population=P, max_iterations=3,
+        control_cost=True, adapt_variance=True,
+    )
+    obs = jnp.linspace(0.0, 1.0, A * 3).reshape(A, 3)
+    outs = {}
+    for tm, e in ((False, ev), (True, ev_tm)):
+        solver = pi2.make_pi2(pi2.PI2Config(**kw, time_major=tm), bounds, e)
+        state = solver.init(jax.random.PRNGKey(0))
+        action, nstate, aux = solver.solve(state, obs, jnp.asarray(0), jax.random.PRNGKey(1))
+        outs[tm] = (action, nstate.mean, aux.expected_reward)
+    for a, b, name in zip(outs[False], outs[True], ("action", "mean", "reward")):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=2e-6, atol=2e-6,
+            err_msg=f"PI2 {name} diverged between layouts",
+        )
+
+
+def test_random_search_time_major_swingup():
+    from blackbox_mpc_tpu.core.types import Bounds as B
+    from blackbox_mpc_tpu.solvers.random_search import (
+        RandomSearchConfig, make_random_search,
+    )
+
+    bounds = B.of(-2.0, 2.0, dim=1)
+    ev_tm = make_trajectory_evaluator(pendulum_dynamics, pendulum_reward, time_major=True)
+    solver = make_random_search(
+        RandomSearchConfig(
+            planning_horizon=25, num_agents=1, population=2048, time_major=True
+        ),
+        bounds, ev_tm,
+    )
+    key = jax.random.PRNGKey(0)
+    state = solver.init(key)
+    solve = jax.jit(solver.solve)
+    obs = jnp.asarray([[-1.0, 0.0, 0.0]])
+    for t in range(120):
+        key, sub = jax.random.split(key)
+        action, state, aux = solve(state, obs, jnp.asarray(t), sub)
+        obs = pendulum_dynamics(obs, action)
+        assert aux.plan.shape == (1, 25, 1)
+    assert float(obs[0, 0]) > 0.8, f"no swing-up: cos(theta)={float(obs[0, 0]):.3f}"
+
+
+def test_pso_time_major_matches_standard_single_iteration():
+    """One PSO iteration from hand-built identical swarms (transposed across layouts):
+    the action/plan/reward outputs are pure functions of the initial swarm (the
+    warm-start resampling only touches the NEXT state), and scalar r1/r2 draws are
+    layout-independent, so the solve outputs must agree."""
+    from blackbox_mpc_tpu.solvers.pso import PSOConfig, PSOState, make_pso
+
+    H, A, U, P = 5, 3, 2, 7
+    dyn = lambda s, a: s + 0.1 * jnp.pad(a, ((0, 0), (0, 1)))  # noqa: E731
+    rew = lambda s, a, ns: ns[:, 0] - 0.1 * jnp.sum(jnp.square(a), axis=-1)  # noqa: E731
+    kw = dict(planning_horizon=H, num_agents=A, population=P, max_iterations=1)
+    positions = jax.random.uniform(
+        jax.random.PRNGKey(0), (P, A, H, U), minval=-2.5, maxval=2.5
+    )  # deliberately partly out of bounds to exercise the penalty
+    velocities = 0.1 * jax.random.normal(jax.random.PRNGKey(1), (P, A, H, U))
+    obs = jnp.linspace(0.0, 1.0, A * 3).reshape(A, 3)
+    outs = {}
+    for tm in (False, True):
+        ev = make_trajectory_evaluator(dyn, rew, time_major=tm)
+        solver = make_pso(PSOConfig(**kw, time_major=tm), Bounds.of(-2.0, 2.0, dim=U), ev)
+        swap = (lambda x: jnp.transpose(x, (2, 0, 1, 3))) if tm else (lambda x: x)
+        state = PSOState(
+            positions=swap(positions),
+            velocities=swap(velocities),
+            best_positions=swap(positions),
+            best_rewards=jnp.full((P, A), -jnp.inf),
+            global_best_position=jnp.zeros((A, H, U)),
+            global_best_reward=jnp.full((A,), -jnp.inf),
+        )
+        action, _, aux = solver.solve(state, obs, jnp.asarray(0), jax.random.PRNGKey(2))
+        outs[tm] = (action, aux.plan, aux.expected_reward)
+    for a, b, name in zip(outs[False], outs[True], ("action", "plan", "reward")):
+        np.testing.assert_array_equal(
+            np.asarray(a), np.asarray(b), err_msg=f"PSO {name} diverged between layouts"
+        )
+
+
 def test_sharded_evaluator_time_major_matches():
     from blackbox_mpc_tpu.parallel import make_pop_mesh
     from blackbox_mpc_tpu.parallel.sharding import make_sharded_evaluator
