@@ -290,7 +290,10 @@ class ShmVecEnv:
             self._seeds[rank][0] = -1
             self._lib.shm_store(ptr, _RESET)
         for p in self._procs:
-            p.join(timeout=5)
+            # 15 s: generous enough that a worker mid-env.step on an oversubscribed host
+            # (e.g. pytest -n 4 on 4 cores) still exits cleanly; terminate() remains the
+            # hard fallback for a genuinely wedged worker.
+            p.join(timeout=15)
             if p.is_alive():
                 p.terminate()
         # Release all exported buffer views before closing the shared memory segment.

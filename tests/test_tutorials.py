@@ -22,6 +22,7 @@ TUTORIALS = {
     "tutorials/true_model_mpc/tutorial_four.py": ["--steps", "60"],
     "tutorials/low_level_api/tutorial_one.py": [],
     "tutorials/distributed/tutorial_one.py": [],
+    "tutorials/distributed/tutorial_two.py": [],
     "tutorials/learn_dynamics/tutorial_one.py": ["--steps", "30"],
     "tutorials/model_based_rl/tutorial_one.py": ["--steps", "30", "--refinements", "1"],
     "tutorials/model_based_rl/tutorial_two.py": ["--steps", "30", "--refinements", "1"],

@@ -1,0 +1,62 @@
+"""Tutorial: the time-major candidate layout — free throughput at large population x agents.
+
+The default candidate contract is ``[population, agents, horizon, dim_u]``; the horizon
+scan needs it time-major, so XLA materializes a transpose before every rollout. At large
+``population x agents`` that copy is real money (13.6 ms/solve at the 256-agent x 1k bench
+shape — docs/performance.md, "The 256-agent shape"). ``time_major=True`` on the solver
+config AND the evaluator samples candidates as ``[horizon, population, agents, dim_u]``
+instead: same math, same sampling distribution (a different but equally-random draw), no
+relayout. Measured on one v5e: 130.2 -> 107.0 ms/solve (-18 %), lifting the shape to its
+padded-tile useful-FLOPs ceiling (~29 % MFU).
+
+Works for CEM, PI2/MPPI, PSO, and RandomSearch; incompatible with colored noise and the
+kernel backends (see CEMConfig.time_major, solvers/cem.py).
+"""
+import sys, pathlib
+
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parents[1]))
+from _common import setup
+
+args = setup("Time-major candidate layout")
+
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from blackbox_mpc_tpu.core import Bounds
+from blackbox_mpc_tpu.models import pendulum_dynamics, pendulum_reward
+from blackbox_mpc_tpu.rollout import make_trajectory_evaluator
+from blackbox_mpc_tpu.solvers import make_solver
+
+bounds = Bounds.of(-2.0, 2.0, dim=1)
+kwargs = dict(planning_horizon=25, num_agents=4, population=512, num_elite=50,
+              max_iterations=5)
+obs = jnp.tile(jnp.asarray([[-1.0, 0.0, 0.0]]), (4, 1))
+
+
+def run(time_major: bool):
+    evaluate = make_trajectory_evaluator(
+        pendulum_dynamics, pendulum_reward, time_major=time_major
+    )
+    s = make_solver("CEM", bounds, evaluate, time_major=time_major, **kwargs)
+    solve = jax.jit(s.solve)
+    state = s.init(jax.random.PRNGKey(0))
+    action, _, aux = solve(state, obs, jnp.asarray(0), jax.random.PRNGKey(args.seed))
+    jax.block_until_ready(action)
+    t0 = time.perf_counter()
+    action, _, aux = solve(state, obs, jnp.asarray(0), jax.random.PRNGKey(args.seed + 1))
+    jax.block_until_ready(action)
+    return np.asarray(action), float(jnp.mean(aux.expected_reward)), time.perf_counter() - t0
+
+
+a_std, r_std, t_std = run(time_major=False)
+a_tm, r_tm, t_tm = run(time_major=True)
+print(f"standard   : reward {r_std:8.2f}   {t_std * 1e3:7.2f} ms")
+print(f"time-major : reward {r_tm:8.2f}   {t_tm * 1e3:7.2f} ms")
+# Different (equally random) draws -> actions differ, expected quality does not: both
+# layouts must land in the same reward regime on this easy shape.
+assert abs(r_std - r_tm) < max(60.0, 0.5 * abs(r_std)), (r_std, r_tm)
+print("OK: both layouts solve; at bench scale the time-major layout is ~18% faster "
+      "(measured numbers in docs/performance.md)")
