@@ -57,7 +57,12 @@ def build_chain(N: int, backend: str, solver: str = "CEM", solver_kw: dict | Non
         pal = make_pallas_rollout_evaluator(cfg, reward_fn)
         make_ev = lambda dp: partial(pal, dp)
     else:
-        make_ev = lambda dp: make_trajectory_evaluator(partial(dyn, dp), reward_fn)
+        # The evaluator layout must match the solver's candidate layout (CEMConfig etc.
+        # time_major, r4: measured -4.7% on the flagship, docs/performance.md).
+        tm = bool(solver_kw.get("time_major", False))
+        make_ev = lambda dp: make_trajectory_evaluator(
+            partial(dyn, dp), reward_fn, time_major=tm
+        )
 
     def chained(state, dp, obs, key):
         s = make_solver(solver, bounds, make_ev(dp), **solver_kw)
@@ -256,7 +261,15 @@ def main():
     n_chain = int(os.environ.get("BENCH_CHAIN", "11"))
     repeats = int(os.environ.get("BENCH_REPEATS", "5"))
     peak = _device_peak_tflops()
-    res = measure(backend, n_chain, repeats)
+    # Time-major candidate layout for the flagship (r4: 8.75 vs 9.18 ms in-process A/B,
+    # -4.7%); BENCH_FLAGSHIP_TIME_MAJOR="" restores the [P, A, H, U] layout. Only the
+    # XLA backend supports it (the kernel contracts are population-major).
+    flag_tm = backend == "xla" and bool(os.environ.get("BENCH_FLAGSHIP_TIME_MAJOR", "1"))
+    flag_kw = dict(
+        planning_horizon=50, population=1000, num_agents=1, num_elite=50,
+        max_iterations=5, **({"time_major": True} if flag_tm else {}),
+    )
+    res = measure(backend, n_chain, repeats, solver_kw=flag_kw)
     per_solve = res["per_solve"]
     solves_per_s = 1.0 / per_solve
     # Secondary headline: the first-order Gradient planner on the same ensemble workload
@@ -332,6 +345,7 @@ def main():
                 "per_solve_ms_std": round(res["per_solve_std"] * 1e3, 3),
                 "solves_per_s_mean": round(1.0 / res["per_solve_mean"], 2),
                 "repeats": repeats,
+                "layout": "time_major" if flag_tm else "standard",
                 "tflop_per_solve": round(flops / 1e12, 3),
                 "achieved_tflops_per_s": round(achieved_tflops, 1),
                 "mfu_pct_of_peak": mfu_pct,
