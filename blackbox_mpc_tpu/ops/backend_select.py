@@ -68,6 +68,11 @@ def choose_backend(
         return "xla"
     if config.activation not in ("tanh", "relu", "gelu"):
         return "xla"
+    if getattr(solver_config, "time_major", False):
+        # The time-major candidate layout is an XLA-evaluator feature; the kernel
+        # contracts are population-major ([P, A, H, U]). Route to XLA rather than raise —
+        # "auto" + an explicit layout choice means the user wants the layout.
+        return "xla"
     rows = population * num_agents
     if (
         mesh is None

@@ -316,6 +316,26 @@ def test_cem_gd_rejects_time_major():
         )
 
 
+def test_auto_routes_time_major_to_xla():
+    """rollout_backend='auto' must never pick a kernel backend for a time-major config
+    (the policy would then raise): both the pallas-eligible small shape and the
+    fused-eligible beyond-HBM shape route to XLA when time_major is requested."""
+    from blackbox_mpc_tpu.models.dynamics import LearnedDynamicsConfig
+    from blackbox_mpc_tpu.ops.backend_select import choose_backend
+    from blackbox_mpc_tpu.solvers.cem import CEMConfig
+
+    common = dict(num_agents=1, platform="tpu", horizon=50, dim_u=6, solver_name="CEM")
+    big = dict(planning_horizon=50, population=8_000_000, num_elite=50)
+    dyn_big = LearnedDynamicsConfig(dim_s=17, dim_u=6, hidden=(200, 200))
+    assert choose_backend(
+        dyn_big, population=8_000_000, solver_config=CEMConfig(**big), **common
+    ) == "fused_cem"
+    assert choose_backend(
+        dyn_big, population=8_000_000,
+        solver_config=CEMConfig(**big, time_major=True), **common
+    ) == "xla"
+
+
 def test_policy_rejects_time_major_on_kernel_backends():
     from blackbox_mpc_tpu.learning.handler import DynamicsHandler
     from blackbox_mpc_tpu.models.dynamics import LearnedDynamicsConfig
