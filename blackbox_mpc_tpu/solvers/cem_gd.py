@@ -63,12 +63,15 @@ def make_cem_gd(config: CEMGDConfig, bounds: Bounds, evaluate: TrajectoryEvaluat
     k, m = config.num_elite, config.gd_candidates
     if not 1 <= m <= k:
         raise ValueError(f"gd_candidates ({m}) must be in [1, num_elite={k}]")
-    if config.time_major:
-        raise ValueError(
-            "CEM-GD does not support time_major=True: the Adam polish phase evaluates "
-            "[A, m, H, U] plan blocks through the same evaluator, which would then "
-            "expect the [H, P, A, U] contract"
-        )
+    # time_major: phase 1 rides cem_iteration's time-major path unchanged; phase 2's
+    # polish/argmax evaluates only m+2 plans per agent, so presenting them to the
+    # time-major evaluator costs one negligible [m+2, A, H, U] -> [H, m+2, A, U]
+    # transpose (gradients flow through it in adam_polish).
+    ev_pm = (
+        (lambda o, p: evaluate(o, jnp.transpose(p, (2, 0, 1, 3))))
+        if config.time_major
+        else evaluate
+    )
     if k > pop:
         raise ValueError(f"num_elite ({k}) must be <= population ({pop})")
     # Same guard as make_cem: an out-of-range keep_elites would otherwise surface as an
@@ -139,14 +142,14 @@ def make_cem_gd(config: CEMGDConfig, bounds: Bounds, evaluate: TrajectoryEvaluat
             [incumbent[None], jnp.swapaxes(top_elites, 0, 1)], axis=0
         )  # [m+1, A, H, U]
         plans = base.adam_polish(
-            lambda p: evaluate(obs, p), bounds, opt, plans, config.gd_iterations
+            lambda p: ev_pm(obs, p), bounds, opt, plans, config.gd_iterations
         )
         # The UNPOLISHED blended mean re-enters the final argmax, so CEM-GD can never
         # return a worse plan than plain CEM at the same sampled budget — even when every
         # Adam trajectory overshoots on a ragged landscape.
         plans = jnp.concatenate([plans, incumbent[None]], axis=0)  # [m+2, A, H, U]
 
-        rewards = evaluate(obs, plans)  # [m+2, A]
+        rewards = ev_pm(obs, plans)  # [m+2, A]
         best_idx = jnp.argmax(rewards, axis=0)  # [A]
         per_agent = jnp.swapaxes(plans, 0, 1)  # [A, m+2, H, U]
         best = jnp.take_along_axis(per_agent, best_idx[:, None, None, None], axis=1)[:, 0]

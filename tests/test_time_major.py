@@ -301,18 +301,34 @@ def test_time_major_rejects_colored_noise():
         )
 
 
-def test_cem_gd_rejects_time_major():
+def test_cem_gd_time_major_matches_standard(monkeypatch):
+    """CEM-GD full solve equality across layouts under the injected sampler: phase 1
+    rides the time-major cem_iteration; phase 2 polishes the tiny [m+2, A, H, U] block
+    through a transposed view of the time-major evaluator (gradients included)."""
+    from blackbox_mpc_tpu.solvers import cem as cem_mod
     from blackbox_mpc_tpu.solvers.cem_gd import CEMGDConfig, make_cem_gd
 
-    bounds = Bounds.of(-1.0, 1.0, dim=1)
-    ev = make_trajectory_evaluator(pendulum_dynamics, pendulum_reward)
-    with pytest.raises(ValueError, match="time_major"):
-        make_cem_gd(
-            CEMGDConfig(
-                planning_horizon=5, num_agents=1, population=16, num_elite=8,
-                gd_candidates=2, max_iterations=2, time_major=True,
-            ),
-            bounds, ev,
+    H, A, U, P = 5, 3, 2, 11
+    dyn = lambda s, a: s + 0.1 * jnp.pad(a, ((0, 0), (0, 1)))  # noqa: E731
+    rew = lambda s, a, ns: ns[:, 0] - 0.1 * jnp.sum(jnp.square(a), axis=-1)  # noqa: E731
+    monkeypatch.setattr(cem_mod, "truncated_normal", _fake_truncated_normal(H, A))
+    bounds = Bounds.of(-2.0, 2.0, dim=U)
+    kw = dict(
+        planning_horizon=H, num_agents=A, population=P, num_elite=4, max_iterations=2,
+        gd_candidates=2, gd_iterations=3,
+    )
+    obs = jnp.linspace(0.0, 1.0, A * 3).reshape(A, 3)
+    outs = {}
+    for tm in (False, True):
+        ev = make_trajectory_evaluator(dyn, rew, time_major=tm)
+        solver = make_cem_gd(CEMGDConfig(**kw, time_major=tm), bounds, ev)
+        state = solver.init(jax.random.PRNGKey(0))
+        action, _, aux = solver.solve(state, obs, jnp.asarray(0), jax.random.PRNGKey(1))
+        outs[tm] = (action, aux.plan, aux.expected_reward)
+    for a, b, name in zip(outs[False], outs[True], ("action", "plan", "reward")):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=2e-6, atol=2e-6,
+            err_msg=f"CEM-GD {name} diverged between layouts",
         )
 
 
