@@ -185,7 +185,7 @@ def measure_multi_agent(n_chain: int, repeats: int, solver: str) -> dict:
     # Time-major candidate layout: kills the 13.6 ms pre-scan transpose at this shape
     # (r4 measured A/B in docs/performance.md). BENCH_MA_TIME_MAJOR="" restores the
     # default [P, A, H, U] layout.
-    time_major = bool(os.environ.get("BENCH_MA_TIME_MAJOR", "1"))
+    time_major = os.environ.get("BENCH_MA_TIME_MAJOR", "1") not in ("", "0")
     lats = {}
     for N in (1, n_chain):
         jfn, args = build_multi_agent_chain(N, solver, time_major=time_major)
@@ -264,7 +264,9 @@ def main():
     # Time-major candidate layout for the flagship (r4: 8.75 vs 9.18 ms in-process A/B,
     # -4.7%); BENCH_FLAGSHIP_TIME_MAJOR="" restores the [P, A, H, U] layout. Only the
     # XLA backend supports it (the kernel contracts are population-major).
-    flag_tm = backend == "xla" and bool(os.environ.get("BENCH_FLAGSHIP_TIME_MAJOR", "1"))
+    flag_tm = backend == "xla" and (
+        os.environ.get("BENCH_FLAGSHIP_TIME_MAJOR", "1") not in ("", "0")
+    )
     flag_kw = dict(
         planning_horizon=50, population=1000, num_agents=1, num_elite=50,
         max_iterations=5, **({"time_major": True} if flag_tm else {}),

@@ -68,14 +68,11 @@ def choose_backend(
         return "xla"
     if config.activation not in ("tanh", "relu", "gelu"):
         return "xla"
-    if getattr(solver_config, "time_major", False):
-        # The time-major candidate layout is an XLA-evaluator feature; the kernel
-        # contracts are population-major ([P, A, H, U]). Route to XLA rather than raise —
-        # "auto" + an explicit layout choice means the user wants the layout.
-        return "xla"
+    time_major = bool(getattr(solver_config, "time_major", False))
     rows = population * num_agents
     if (
         mesh is None
+        and not time_major  # the kernel candidate contracts are population-major
         and PALLAS_MAX_WIDTH
         and max(config.hidden) <= PALLAS_MAX_WIDTH
         and rows <= PALLAS_MAX_ROWS
@@ -131,5 +128,23 @@ def choose_backend(
         # stays on XLA.
         and (mesh is None or getattr(solver_config, "population_decay", 1.0) == 1.0)
     ):
+        if time_major:
+            # The time-major layout is an XLA-evaluator feature, but THIS population is
+            # beyond (per-device) HBM — only the fused generate-in-kernel backend can run
+            # it, and that backend's contract is population-major. Honor the explicit
+            # layout choice (route XLA) but warn loudly: the XLA path must materialize
+            # the very candidate tensor whose size selected fused, and will likely OOM.
+            import warnings
+
+            warnings.warn(
+                f"time_major=True forces the XLA evaluator, but the candidate tensor "
+                f"({candidate_bytes / 2**30:.1f} GiB per device) is beyond the fused "
+                f"backend's HBM threshold — the XLA solve will likely OOM. Drop "
+                f"time_major (the fused generate-in-kernel backend never materializes "
+                f"candidates) or shrink the population.",
+                RuntimeWarning,
+                stacklevel=2,
+            )
+            return "xla"
         return "fused_cem"
     return "xla"

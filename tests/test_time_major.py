@@ -289,15 +289,20 @@ def test_mpc_policy_time_major_end_to_end():
 
 
 def test_time_major_rejects_colored_noise():
+    from blackbox_mpc_tpu.solvers.cem_gd import CEMGDConfig, make_cem_gd
+    from blackbox_mpc_tpu.solvers.pi2 import PI2Config, make_pi2
+
     bounds = Bounds.of(-1.0, 1.0, dim=1)
     ev = make_trajectory_evaluator(pendulum_dynamics, pendulum_reward, time_major=True)
+    kw = dict(planning_horizon=5, num_agents=1, population=16, max_iterations=2,
+              time_major=True, colored_noise_beta=1.0)
     with pytest.raises(ValueError, match="colored_noise"):
-        cem.make_cem(
-            cem.CEMConfig(
-                planning_horizon=5, num_agents=1, population=16, num_elite=4,
-                max_iterations=2, time_major=True, colored_noise_beta=1.0,
-            ),
-            bounds, ev,
+        cem.make_cem(cem.CEMConfig(**kw, num_elite=4), bounds, ev)
+    with pytest.raises(ValueError, match="colored_noise"):
+        make_pi2(PI2Config(**kw), bounds, ev)
+    with pytest.raises(ValueError, match="colored_noise"):
+        make_cem_gd(
+            CEMGDConfig(**kw, num_elite=8, gd_candidates=2), bounds, ev
         )
 
 
@@ -346,10 +351,14 @@ def test_auto_routes_time_major_to_xla():
     assert choose_backend(
         dyn_big, population=8_000_000, solver_config=CEMConfig(**big), **common
     ) == "fused_cem"
-    assert choose_backend(
-        dyn_big, population=8_000_000,
-        solver_config=CEMConfig(**big, time_major=True), **common
-    ) == "xla"
+    # Beyond-HBM + time_major: the layout choice is honored (XLA) but the downgrade is
+    # LOUD — the XLA path must materialize the candidate tensor that selected fused.
+    with pytest.warns(RuntimeWarning, match="beyond the fused backend"):
+        routed = choose_backend(
+            dyn_big, population=8_000_000,
+            solver_config=CEMConfig(**big, time_major=True), **common
+        )
+    assert routed == "xla"
 
 
 def test_policy_rejects_time_major_on_kernel_backends():
