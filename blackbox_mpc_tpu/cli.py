@@ -26,6 +26,12 @@ def _add_common(p):
         "--smoothness", type=float, default=0.0, metavar="W",
         help="actuation-rate cost: subtract W * sum ||a_t - a_{t-1}||^2 from candidate returns",
     )
+    p.add_argument(
+        "--time-major", action="store_true",
+        help="sample/evaluate candidates [H, P, A, U] so the rollout scan pays no "
+             "relayout (CEM/CEM-GD/PI2/PSO/RandomSearch; measured -18%% at 256 agents "
+             "x 1k candidates — docs/performance.md)",
+    )
 
 
 def _maybe_cpu(args):
@@ -87,6 +93,7 @@ def cmd_solve(args):
         max_iterations=args.iterations,
         seed=args.seed,
         action_smoothness_weight=args.smoothness,
+        **({"time_major": True} if args.time_major else {}),
     )
     result = perform_rollouts(
         env, policy, number_of_rollouts=args.rollouts, rollout_horizon=args.steps
@@ -151,6 +158,7 @@ def cmd_learn(args):
         resume=args.resume,
         # Binds to MPCPolicy's named param through the workflow's **solver_kwargs.
         action_smoothness_weight=args.smoothness,
+        **({"time_major": True} if args.time_major else {}),
     )
     env.close()
     print(json.dumps({"env": args.env, "replay_size": len(handler.replay), "done": True}))

@@ -52,6 +52,15 @@ def test_solve_with_smoothness_flag():
     assert row["episode_rewards"][0] > -1600.0
 
 
+def test_solve_with_time_major_flag():
+    proc = _run(["solve", "--env", "pendulum", "--cpu", "--steps", "30",
+                 "--population", "128", "--planning-horizon", "15",
+                 "--time-major"])
+    assert proc.returncode == 0, proc.stderr[-800:]
+    row = _last_json(proc.stdout)
+    assert row["episode_rewards"][0] > -1600.0
+
+
 def test_solve_unknown_solver_clean_error():
     proc = _run(["solve", "--cpu", "--solver", "NotASolver", "--steps", "5"])
     assert proc.returncode == 2
