@@ -361,6 +361,40 @@ def test_auto_routes_time_major_to_xla():
     assert routed == "xla"
 
 
+def test_switch_solver_carries_or_drops_time_major():
+    """CEM(time_major) -> PI2 keeps the layout (PI2 has the field, and the evaluator is
+    rebuilt to match); -> CMA-ES drops it (no field; evaluator reverts to standard) —
+    both must act without error."""
+    from blackbox_mpc_tpu.learning.handler import DynamicsHandler
+    from blackbox_mpc_tpu.policies.mpc_policy import MPCPolicy
+
+    class BoxSpace:
+        low = np.asarray([-2.0], np.float32)
+        high = np.asarray([2.0], np.float32)
+
+    policy = MPCPolicy(
+        action_space=BoxSpace(),
+        reward_function=pendulum_reward,
+        dynamics_handler=DynamicsHandler(true_model=pendulum_dynamics),
+        solver_name="CEM",
+        planning_horizon=10,
+        population=64,
+        num_elite=8,
+        max_iterations=2,
+        time_major=True,
+    )
+    obs = jnp.asarray([[-1.0, 0.0, 0.0]])
+    a0, _, _ = policy.act(obs, 0)
+    policy.switch_solver("PI2")
+    assert getattr(policy._config, "time_major", False), "PI2 should keep time_major"
+    a1, _, _ = policy.act(obs, 1)
+    policy.switch_solver("CMA-ES")
+    assert not getattr(policy._config, "time_major", False)
+    a2, _, _ = policy.act(obs, 2)
+    for a in (a0, a1, a2):
+        assert np.all(np.isfinite(np.asarray(a)))
+
+
 def test_policy_rejects_time_major_on_kernel_backends():
     from blackbox_mpc_tpu.learning.handler import DynamicsHandler
     from blackbox_mpc_tpu.models.dynamics import LearnedDynamicsConfig
