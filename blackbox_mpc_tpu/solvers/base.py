@@ -26,6 +26,7 @@ __all__ = [
     "shift_time",
     "bound_violation_penalty",
     "colored_noise",
+    "colored_noise_time_major",
     "exploration_noise",
 ]
 
@@ -159,6 +160,44 @@ def colored_noise(key: jax.Array, beta: float, shape, dtype=jnp.float32) -> jax.
     signal = jnp.fft.irfft(spectrum, n=horizon, axis=-1)  # [..., U, H]
     signal = jnp.swapaxes(signal, -1, -2)  # [..., H, U]
     std = jnp.std(signal, axis=(-2, -1), keepdims=True) + 1e-8
+    return signal / std
+
+
+def colored_noise_time_major(key: jax.Array, beta: float, shape, dtype=jnp.float32) -> jax.Array:
+    """:func:`colored_noise` for the time-major candidate layout: ``shape`` is
+    ``(H, *lead, U)`` with the power-law correlation along axis 0.
+
+    The irfft is replaced by an equivalent spectral-basis contraction (the same trick the
+    fused kernels use, ops/pallas_cem.py ``_colored_basis2``): the per-frequency impulse
+    responses form a static ``[2F, H]`` numpy basis at trace time and the synthesis is one
+    ``einsum('fh,...f->h...')`` whose dot_general writes the output H-major DIRECTLY — no
+    ``[..., H] -> [H, ...]`` relayout of the full candidate tensor. The spectrum draw
+    shapes match :func:`colored_noise` exactly, so with the same key the result equals
+    ``colored_noise(key, beta, (*lead, H, U))`` transposed, up to fp error (asserted in
+    tests/test_time_major.py).
+    """
+    import numpy as np
+
+    horizon, *lead, dim_u = shape
+    nfreq = horizon // 2 + 1
+    real_key, imag_key = jax.random.split(key)
+    re = jax.random.normal(real_key, (*lead, dim_u, nfreq), dtype)
+    im = jax.random.normal(imag_key, (*lead, dim_u, nfreq), dtype)
+    # Static basis (numpy, trace time): row 2k / 2k+1 = irfft of the f^(-beta/2)-scaled
+    # unit real / imaginary impulse at frequency k.
+    scale = np.arange(1, nfreq + 1, dtype=np.float64) ** (-beta / 2.0)
+    basis = np.zeros((2 * nfreq, horizon), np.float64)
+    for k in range(nfreq):
+        spec = np.zeros(nfreq, np.complex128)
+        spec[k] = scale[k]
+        basis[2 * k] = np.fft.irfft(spec, n=horizon)
+        spec[k] = 1j * scale[k]
+        basis[2 * k + 1] = np.fft.irfft(spec, n=horizon)
+    coeffs = jnp.stack([re, im], axis=-1).reshape(*lead, dim_u, 2 * nfreq)
+    signal = jnp.einsum(
+        "fh,...f->h...", jnp.asarray(basis, dtype), coeffs
+    )  # [H, *lead, U], written H-major by the dot itself
+    std = jnp.std(signal, axis=(0, signal.ndim - 1), keepdims=True) + 1e-8
     return signal / std
 
 

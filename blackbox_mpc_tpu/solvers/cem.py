@@ -61,11 +61,12 @@ class CEMConfig(base.SolverConfig):
     # ``time_major=True`` evaluator: the horizon scan then consumes candidates with NO
     # relayout, eliminating the materialized [P·A, H, U] -> [H, P·A, U] transpose (13.6
     # ms/solve ≈ 10 % at the 256-agent x 1k bench shape — the r4 per-op profile,
-    # docs/performance.md). Same math and sampling distribution; the RNG element
-    # association differs (a different but equally-random draw), so results are not
-    # bit-comparable with the default layout. Incompatible with colored_noise_beta > 0
-    # (the spectral synthesis assumes H on axis -2) and with the pallas/fused kernel
-    # backends (their candidate contract is [P, A, H, U]).
+    # docs/performance.md). Same math and sampling distribution; for truncated-normal
+    # sampling the RNG element association differs (a different but equally-random draw,
+    # not bit-comparable with the default layout), while colored noise draws the SAME
+    # spectrum in both layouts (base.colored_noise_time_major synthesizes it through a
+    # spectral-basis matmul that writes H-major directly). Incompatible with the
+    # pallas/fused kernel backends (their candidate contract is [P, A, H, U]).
     time_major: bool = False
 
 
@@ -115,9 +116,16 @@ def cem_iteration(config, bounds, evaluate, obs, mean, var, key, carried, popula
     if tm:
         mean_t = jnp.transpose(mean, (1, 0, 2))[:, None]  # [H, 1, A, U] (tiny)
         std_t = jnp.sqrt(jnp.transpose(constrained, (1, 0, 2)))[:, None]
-        samples = truncated_normal(
-            sample_key, mean_t, std_t, (horizon, n_fresh, agents, bounds.dim)
-        )
+        if config.colored_noise_beta > 0.0:
+            z = base.colored_noise_time_major(
+                sample_key, config.colored_noise_beta,
+                (horizon, n_fresh, agents, bounds.dim),
+            )
+            samples = bounds.clip(mean_t + std_t * z)
+        else:
+            samples = truncated_normal(
+                sample_key, mean_t, std_t, (horizon, n_fresh, agents, bounds.dim)
+            )
         if config.mean_as_candidate:
             samples = jnp.concatenate([samples, bounds.clip(mean_t)], axis=1)
         if keep:
@@ -252,11 +260,6 @@ def make_cem(config: CEMConfig, bounds: Bounds, evaluate: TrajectoryEvaluator) -
     if not 0.0 < config.population_decay <= 1.0:
         raise ValueError(
             f"population_decay ({config.population_decay}) must be in (0, 1]"
-        )
-    if config.time_major and config.colored_noise_beta > 0.0:
-        raise ValueError(
-            "time_major=True is incompatible with colored_noise_beta > 0 (the spectral "
-            "synthesis assumes the horizon on axis -2); use the default layout"
         )
     pops = iteration_populations(config)
 

@@ -63,13 +63,6 @@ def make_cem_gd(config: CEMGDConfig, bounds: Bounds, evaluate: TrajectoryEvaluat
     k, m = config.num_elite, config.gd_candidates
     if not 1 <= m <= k:
         raise ValueError(f"gd_candidates ({m}) must be in [1, num_elite={k}]")
-    if config.time_major and config.colored_noise_beta > 0.0:
-        # Same guard as make_cem/make_pi2: without it the time-major sampling branch
-        # would silently replace the colored noise with white truncated normals.
-        raise ValueError(
-            "time_major=True is incompatible with colored_noise_beta > 0 (the spectral "
-            "synthesis assumes the horizon on axis -2); use the default layout"
-        )
     # time_major: phase 1 rides cem_iteration's time-major path unchanged; phase 2's
     # polish/argmax evaluates only m+2 plans per agent, so presenting them to the
     # time-major evaluator costs one negligible [m+2, A, H, U] -> [H, m+2, A, U]

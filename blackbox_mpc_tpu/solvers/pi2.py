@@ -71,11 +71,6 @@ def make_pi2(config: PI2Config, bounds: Bounds, evaluate: TrajectoryEvaluator) -
     horizon, agents, pop = config.planning_horizon, config.num_agents, config.population
     lamda = config.lamda
     tm = config.time_major
-    if tm and config.colored_noise_beta > 0.0:
-        raise ValueError(
-            "time_major=True is incompatible with colored_noise_beta > 0 (the spectral "
-            "synthesis assumes the horizon on axis -2); use the default layout"
-        )
 
     def init(key: jax.Array) -> PI2State:
         del key
@@ -93,9 +88,16 @@ def make_pi2(config: PI2Config, bounds: Bounds, evaluate: TrajectoryEvaluator) -
                 # [H, 1, A, U] broadcast anchors (tiny transposes of the [A, H, U] state).
                 mean_t = jnp.transpose(mean, (1, 0, 2))[:, None]
                 std_t = jnp.transpose(stddev, (1, 0, 2))[:, None]
-                samples = truncated_normal(
-                    sample_key, mean_t, std_t, (horizon, pop, agents, bounds.dim)
-                )
+                if config.colored_noise_beta > 0.0:
+                    z = base.colored_noise_time_major(
+                        sample_key, config.colored_noise_beta,
+                        (horizon, pop, agents, bounds.dim),
+                    )
+                    samples = mean_t + std_t * z
+                else:
+                    samples = truncated_normal(
+                        sample_key, mean_t, std_t, (horizon, pop, agents, bounds.dim)
+                    )
             elif config.colored_noise_beta > 0.0:
                 z = base.colored_noise(
                     sample_key, config.colored_noise_beta,

@@ -288,21 +288,52 @@ def test_mpc_policy_time_major_end_to_end():
     assert float(obs[0, 0]) > 0.9, f"no swing-up: cos(theta)={float(obs[0, 0]):.3f}"
 
 
-def test_time_major_rejects_colored_noise():
-    from blackbox_mpc_tpu.solvers.cem_gd import CEMGDConfig, make_cem_gd
-    from blackbox_mpc_tpu.solvers.pi2 import PI2Config, make_pi2
+@pytest.mark.parametrize("horizon", [8, 7])  # even and odd H (different irfft bins)
+def test_colored_noise_time_major_matches_standard(horizon):
+    """Same key -> the SAME spectrum draw in both layouts, so the time-major synthesis
+    (spectral-basis matmul) must reproduce colored_noise's irfft output transposed, to fp
+    tolerance — incl. the whole-sequence unit-std normalization."""
+    from blackbox_mpc_tpu.solvers.base import colored_noise, colored_noise_time_major
 
-    bounds = Bounds.of(-1.0, 1.0, dim=1)
-    ev = make_trajectory_evaluator(pendulum_dynamics, pendulum_reward, time_major=True)
-    kw = dict(planning_horizon=5, num_agents=1, population=16, max_iterations=2,
-              time_major=True, colored_noise_beta=1.0)
-    with pytest.raises(ValueError, match="colored_noise"):
-        cem.make_cem(cem.CEMConfig(**kw, num_elite=4), bounds, ev)
-    with pytest.raises(ValueError, match="colored_noise"):
-        make_pi2(PI2Config(**kw), bounds, ev)
-    with pytest.raises(ValueError, match="colored_noise"):
-        make_cem_gd(
-            CEMGDConfig(**kw, num_elite=8, gd_candidates=2), bounds, ev
+    key = jax.random.PRNGKey(42)
+    for beta in (0.5, 1.0, 2.5):
+        std_z = colored_noise(key, beta, (6, 3, horizon, 2))
+        tm_z = colored_noise_time_major(key, beta, (horizon, 6, 3, 2))
+        np.testing.assert_allclose(
+            np.asarray(jnp.transpose(std_z, (2, 0, 1, 3))), np.asarray(tm_z),
+            rtol=2e-4, atol=2e-5, err_msg=f"beta={beta} H={horizon}",
+        )
+
+
+def test_cem_colored_noise_time_major_matches_standard():
+    """Full cem_iteration equality across layouts with colored noise and NO injected
+    sampler: the colored draw shapes are layout-independent, so the same key produces
+    the same candidates (up to irfft-vs-basis fp error)."""
+    H, A, U, P = 6, 3, 2, 9
+    dyn = lambda s, a: s + 0.1 * jnp.pad(a, ((0, 0), (0, 1)))  # noqa: E731
+    rew = lambda s, a, ns: ns[:, 0] - 0.1 * jnp.sum(jnp.square(a), axis=-1)  # noqa: E731
+    bounds = Bounds.of(-2.0, 2.0, dim=U)
+    kw = dict(planning_horizon=H, num_agents=A, population=P, num_elite=3,
+              max_iterations=1, colored_noise_beta=2.0)
+    obs = jnp.linspace(0.0, 1.0, A * 3).reshape(A, 3)
+    mean = jnp.linspace(-1.0, 1.0, A * H * U).reshape(A, H, U)
+    var = jnp.full((A, H, U), 0.5)
+    outs = {}
+    for tm in (False, True):
+        cfg = cem.CEMConfig(**kw, time_major=tm)
+        ev = make_trajectory_evaluator(dyn, rew, time_major=tm)
+        state = cem.CEMState(mean=mean, variance=var)
+        key, carried = cem.init_carried(cfg, bounds, state, jax.random.PRNGKey(7))
+        outs[tm] = cem.cem_iteration(
+            cfg, bounds, ev, obs, mean, var, key, carried, n_extract=3
+        )
+    for name, a, b in zip(("mean", "var", "key", "carried", "elites", "elite_vals"),
+                          outs[False], outs[True]):
+        if name in ("key", "carried"):
+            continue
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=5e-4, atol=5e-5,
+            err_msg=f"colored-noise CEM {name} diverged between layouts",
         )
 
 

@@ -9,8 +9,9 @@ instead: same math, same sampling distribution (a different but equally-random d
 relayout. Measured on one v5e: 130.2 -> 107.0 ms/solve (-18 %), lifting the shape to its
 padded-tile useful-FLOPs ceiling (~29 % MFU).
 
-Works for CEM, PI2/MPPI, PSO, and RandomSearch; incompatible with colored noise and the
-kernel backends (see CEMConfig.time_major, solvers/cem.py).
+Works for CEM, CEM-GD, PI2/MPPI, PSO, and RandomSearch — including iCEM colored noise
+(synthesized through a spectral-basis matmul that writes H-major directly); incompatible
+with the kernel backends (see CEMConfig.time_major, solvers/cem.py).
 """
 import sys, pathlib
 
