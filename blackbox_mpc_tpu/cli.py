@@ -29,8 +29,8 @@ def _add_common(p):
     p.add_argument(
         "--time-major", action="store_true",
         help="sample/evaluate candidates [H, P, A, U] so the rollout scan pays no "
-             "relayout (CEM/CEM-GD/PI2/PSO/RandomSearch; measured -18%% at 256 agents "
-             "x 1k candidates — docs/performance.md)",
+             "relayout (CEM/CEM-GD/PI2/MPPI/PSO/RandomSearch; measured -18%% at 256 "
+             "agents x 1k candidates — docs/performance.md)",
     )
 
 

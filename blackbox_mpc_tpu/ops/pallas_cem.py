@@ -115,16 +115,12 @@ def _colored_basis2(horizon: int, dim_u: int, beta: float) -> np.ndarray:
     ``G [T, U*2F] @ basis2`` producing the action-layout block (col = h*U + u). Per-u
     blocks are disjoint (block-diagonal after the (u, k) -> u*2F + k packing).
     """
+    from blackbox_mpc_tpu.solvers.base import colored_synthesis_basis
+
     nfreq = horizon // 2 + 1
-    scale = np.arange(1, nfreq + 1, dtype=np.float64) ** (-beta / 2.0)
-    # real/imag unit responses: irfft(e_k) and irfft(i*e_k), each [H]
-    basis = np.zeros((2 * nfreq, horizon), np.float64)
-    for k in range(nfreq):
-        spec = np.zeros(nfreq, np.complex128)
-        spec[k] = scale[k]
-        basis[2 * k] = np.fft.irfft(spec, n=horizon)
-        spec[k] = 1j * scale[k]
-        basis[2 * k + 1] = np.fft.irfft(spec, n=horizon)
+    # real/imag unit responses: irfft(e_k) and irfft(i*e_k), each [H] — one shared source
+    # of truth with the XLA time-major path (solvers/base.py).
+    basis = colored_synthesis_basis(horizon, beta)
     big = np.zeros((dim_u * 2 * nfreq, horizon * dim_u), np.float32)
     for u in range(dim_u):
         big[u * 2 * nfreq:(u + 1) * 2 * nfreq, u::dim_u] = basis

@@ -176,15 +176,36 @@ def colored_noise_time_major(key: jax.Array, beta: float, shape, dtype=jnp.float
     ``colored_noise(key, beta, (*lead, H, U))`` transposed, up to fp error (asserted in
     tests/test_time_major.py).
     """
-    import numpy as np
-
     horizon, *lead, dim_u = shape
     nfreq = horizon // 2 + 1
     real_key, imag_key = jax.random.split(key)
     re = jax.random.normal(real_key, (*lead, dim_u, nfreq), dtype)
     im = jax.random.normal(imag_key, (*lead, dim_u, nfreq), dtype)
-    # Static basis (numpy, trace time): row 2k / 2k+1 = irfft of the f^(-beta/2)-scaled
-    # unit real / imaginary impulse at frequency k.
+    coeffs = jnp.stack([re, im], axis=-1).reshape(*lead, dim_u, 2 * nfreq)
+    basis = jnp.asarray(colored_synthesis_basis(horizon, beta), dtype)
+    # precision=HIGHEST: default MXU precision (bf16 passes) would break the documented
+    # fp-level cross-layout equivalence — same reason the in-kernel basis matmul pins it
+    # (ops/pallas_cem.py _gen_z).
+    signal = jnp.einsum(
+        "fh,...f->h...", basis, coeffs, precision=jax.lax.Precision.HIGHEST
+    )  # [H, *lead, U], written H-major by the dot itself
+    std = jnp.std(signal, axis=(0, signal.ndim - 1), keepdims=True) + 1e-8
+    return signal / std
+
+
+def colored_synthesis_basis(horizon: int, beta: float):
+    """Static [2F, H] spectral-synthesis basis (numpy, trace time), F = H//2 + 1.
+
+    Row 2k / 2k+1 = irfft of the ``(k+1)^(-beta/2)``-scaled unit real / imaginary impulse
+    at frequency k, so ``coeffs [.., 2F] @ basis -> [.., H]`` reproduces
+    ``irfft(spectrum * f^(-beta/2)))`` for ``spectrum = re + i*im``. Single source of
+    truth for the synthesis convention — :func:`colored_noise_time_major` contracts it
+    directly and the fused kernels pack it per-u block-diagonal
+    (ops/pallas_cem.py ``_colored_basis2``).
+    """
+    import numpy as np
+
+    nfreq = horizon // 2 + 1
     scale = np.arange(1, nfreq + 1, dtype=np.float64) ** (-beta / 2.0)
     basis = np.zeros((2 * nfreq, horizon), np.float64)
     for k in range(nfreq):
@@ -193,12 +214,7 @@ def colored_noise_time_major(key: jax.Array, beta: float, shape, dtype=jnp.float
         basis[2 * k] = np.fft.irfft(spec, n=horizon)
         spec[k] = 1j * scale[k]
         basis[2 * k + 1] = np.fft.irfft(spec, n=horizon)
-    coeffs = jnp.stack([re, im], axis=-1).reshape(*lead, dim_u, 2 * nfreq)
-    signal = jnp.einsum(
-        "fh,...f->h...", jnp.asarray(basis, dtype), coeffs
-    )  # [H, *lead, U], written H-major by the dot itself
-    std = jnp.std(signal, axis=(0, signal.ndim - 1), keepdims=True) + 1e-8
-    return signal / std
+    return basis
 
 
 def exploration_noise(

@@ -45,8 +45,9 @@ class PI2Config(base.SolverConfig):
     control_cost: bool = False
     # Time-major candidate layout ([H, P, A, U]; pair with a time_major=True evaluator):
     # the horizon scan consumes candidates with no relayout — see CEMConfig.time_major
-    # (solvers/cem.py) for the measured win and the caveats (same distribution, different
-    # RNG element association; incompatible with colored noise).
+    # (solvers/cem.py) for the measured win and the caveats (same distribution; truncated
+    # normals get a different RNG element association, colored noise draws the identical
+    # spectrum in both layouts).
     time_major: bool = False
 
 

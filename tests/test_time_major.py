@@ -243,6 +243,36 @@ def test_pso_time_major_matches_standard_single_iteration():
         )
 
 
+def test_pi2_colored_noise_time_major_matches_standard():
+    """Full PI2 (and MPPI control-cost) solve equality across layouts with colored noise
+    and NO injected sampler: the colored spectrum draw shapes are layout-independent, so
+    the same key yields the same candidates up to the irfft-vs-basis fp difference."""
+    from blackbox_mpc_tpu.solvers import pi2
+
+    H, A, U, P = 6, 3, 2, 9
+    dyn = lambda s, a: s + 0.1 * jnp.pad(a, ((0, 0), (0, 1)))  # noqa: E731
+    rew = lambda s, a, ns: ns[:, 0] - 0.1 * jnp.sum(jnp.square(a), axis=-1)  # noqa: E731
+    bounds = Bounds.of(-2.0, 2.0, dim=U)
+    obs = jnp.linspace(0.0, 1.0, A * 3).reshape(A, 3)
+    for control_cost in (False, True):
+        kw = dict(planning_horizon=H, num_agents=A, population=P, max_iterations=2,
+                  colored_noise_beta=2.0, control_cost=control_cost)
+        outs = {}
+        for tm in (False, True):
+            ev = make_trajectory_evaluator(dyn, rew, time_major=tm)
+            solver = pi2.make_pi2(pi2.PI2Config(**kw, time_major=tm), bounds, ev)
+            state = solver.init(jax.random.PRNGKey(0))
+            action, nstate, aux = solver.solve(
+                state, obs, jnp.asarray(0), jax.random.PRNGKey(1)
+            )
+            outs[tm] = (action, nstate.mean, aux.expected_reward)
+        for a, b, name in zip(outs[False], outs[True], ("action", "mean", "reward")):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), rtol=5e-4, atol=5e-5,
+                err_msg=f"PI2(control_cost={control_cost}) {name} diverged",
+            )
+
+
 def test_sharded_evaluator_time_major_matches():
     from blackbox_mpc_tpu.parallel import make_pop_mesh
     from blackbox_mpc_tpu.parallel.sharding import make_sharded_evaluator
