@@ -119,7 +119,14 @@ def train_reference(data, epochs: int, batch_size: int, lr: float, seed: int):
     _install_reference()
     from blackbox_mpc.dynamics_handlers.system_dynamics_handler import SystemDynamicsHandler
 
-    tf.random.set_seed(seed)
+    # Full TF/Keras RNG reset, not just the global seed: Keras-3 layer inits draw from
+    # per-op seeds derived from an op-creation counter that keeps incrementing across the
+    # process, so without clear_session() the SAME seed gives different weights depending
+    # on what TF code ran earlier in the process (the source of a flaky loss floor in
+    # tests/test_learned_dynamics_parity.py under a full-suite run). With this reset the
+    # reference training is bit-deterministic for a given seed (verified run-to-run).
+    tf.keras.backend.clear_session()
+    tf.keras.utils.set_random_seed(seed)
     np.random.seed(seed)  # drives the handler's np.random.choice train/val split
     mlp = _make_ref_mlp()
     handler = SystemDynamicsHandler(
@@ -254,7 +261,10 @@ def control_reference(ref_handler, seed: int, steps: int) -> dict:
     import tensorflow as tf
 
     RefMPCPolicy, _, pendulum_reward_function = _install_reference()
-    tf.random.set_seed(seed)
+    # Same full RNG reset as train_reference (clear_session resets Keras-3's op-seed
+    # counter, making the run independent of earlier TF activity in the process).
+    tf.keras.backend.clear_session()
+    tf.keras.utils.set_random_seed(seed)
     np.random.seed(seed)
     kwargs = {("population_size" if k == "population" else k): v
               for k, v in MATCHED_CONFIGS["CEM"].items()}

@@ -133,6 +133,16 @@ class _BoxShim:
 
 def _install_reference():
     """Puts the real reference package on sys.path with a tfp stub; returns its modules."""
+    import tensorflow as tf
+
+    try:
+        # Pin TF to bit-deterministic kernels: without this, parallel reduction order in
+        # the loss/gradient ops drifts with host load (observed as a flaky loss floor in
+        # tests/test_learned_dynamics_parity.py under a loaded full-suite run), so the
+        # reference side of every head-to-head is reproducible for a given seed.
+        tf.config.experimental.enable_op_determinism()
+    except Exception:  # noqa: BLE001 — determinism is a stability aid, never a hard dep
+        pass
     if REFERENCE_ROOT not in sys.path:
         sys.path.insert(0, REFERENCE_ROOT)
     if "tensorflow_probability" not in sys.modules:
@@ -170,7 +180,10 @@ def run_reference_episode(optimizer: str, seed: int, steps: int, num_agents: int
     import tensorflow as tf
 
     RefMPCPolicy, PendulumTrueModel, pendulum_reward_function = _install_reference()
-    tf.random.set_seed(seed)
+    # Full RNG reset (not just the global seed): clear_session resets Keras-3's op-seed
+    # counter so the episode is bit-deterministic regardless of earlier TF activity.
+    tf.keras.backend.clear_session()
+    tf.keras.utils.set_random_seed(seed)
     np.random.seed(seed)
     act_space = _BoxShim([-2.0], [2.0])
     obs_space = _BoxShim([-1.0, -1.0, -8.0], [1.0, 1.0, 8.0])
