@@ -7,6 +7,7 @@ dynamics learning, iterative MBRL workflows, vectorized environments, checkpoint
 multi-chip sharding built in.
 """
 from blackbox_mpc_tpu.core import Bounds, BoxSpace, Solver, SolverAux, as_box_space
+from blackbox_mpc_tpu.deploy import ServingPolicy, export_dynamics, export_policy_artifact
 from blackbox_mpc_tpu.learning.handler import DynamicsHandler
 from blackbox_mpc_tpu.models.dynamics import DynamicsParams, LearnedDynamicsConfig
 from blackbox_mpc_tpu.policies.mpc_policy import MPCPolicy
@@ -35,6 +36,9 @@ __all__ = [
     "LearnedDynamicsConfig",
     "MPCPolicy",
     "RandomPolicy",
+    "ServingPolicy",
+    "export_policy_artifact",
+    "export_dynamics",
     "MetricsWriter",
     "perform_rollouts",
     "learn_dynamics_from_policy",

@@ -165,6 +165,68 @@ def cmd_learn(args):
     return 0
 
 
+def cmd_export(args):
+    _maybe_cpu(args)
+    from blackbox_mpc_tpu import DynamicsHandler, MPCPolicy, export_policy_artifact
+    from blackbox_mpc_tpu.core.spaces import BoxSpace
+    from blackbox_mpc_tpu.models import ANALYTIC_MODELS
+
+    if args.checkpoint_dir:
+        handler = DynamicsHandler.load(args.checkpoint_dir)
+        dim_s = handler.config.dim_s
+        if args.env not in ANALYTIC_MODELS:
+            print(
+                f"no built-in reward function for {args.env!r}; the exported plan "
+                "quality depends on the surrogate reward (see `learn`)", file=sys.stderr,
+            )
+            import jax.numpy as jnp
+
+            reward = lambda s, a, ns: ns[:, 0] - s[:, 0] - 0.1 * jnp.sum(  # noqa: E731
+                jnp.square(a), axis=-1
+            )
+            space = BoxSpace.of([-1.0] * handler.config.dim_u, [1.0] * handler.config.dim_u)
+        else:
+            _, reward = ANALYTIC_MODELS[args.env]
+            space = _analytic_action_space(args.env)
+    elif args.env in ANALYTIC_MODELS:
+        dynamics, reward = ANALYTIC_MODELS[args.env]
+        handler = DynamicsHandler(true_model=dynamics)
+        dim_s = {"pendulum": 3, "cartpole": 4}[args.env]
+        space = _analytic_action_space(args.env)
+    else:
+        print(
+            f"unknown analytic model {args.env!r} and no --checkpoint-dir; available: "
+            f"{sorted(ANALYTIC_MODELS)}", file=sys.stderr,
+        )
+        return 2
+    policy = MPCPolicy(
+        action_space=space,
+        reward_function=reward,
+        dynamics_handler=handler,
+        solver_name=args.solver,
+        num_agents=args.num_envs,
+        planning_horizon=args.planning_horizon,
+        population=args.population,
+        max_iterations=args.iterations,
+        seed=args.seed,
+        action_smoothness_weight=args.smoothness,
+        **({"time_major": True} if args.time_major else {}),
+    )
+    platforms = tuple(args.platforms.split(",")) if args.platforms else None
+    meta = export_policy_artifact(policy, args.output, dim_s=dim_s, platforms=platforms)
+    print(json.dumps({"artifact": args.output, **meta}))
+    return 0
+
+
+def _analytic_action_space(env: str):
+    from blackbox_mpc_tpu.core.spaces import BoxSpace
+
+    return {
+        "pendulum": BoxSpace.of([-2.0], [2.0]),
+        "cartpole": BoxSpace.of([-1.0], [1.0]),
+    }[env]
+
+
 def main(argv=None) -> int:
     parser = argparse.ArgumentParser(prog="blackbox_mpc_tpu")
     sub = parser.add_subparsers(dest="command", required=True)
@@ -187,6 +249,23 @@ def main(argv=None) -> int:
     p.add_argument("--checkpoint-dir", default=None)
     p.add_argument("--resume", action="store_true")
     p.set_defaults(fn=cmd_learn)
+
+    p = sub.add_parser(
+        "export",
+        help="AOT-export an MPC policy to a standalone .bbmpc serving artifact",
+    )
+    _add_common(p)
+    p.add_argument("--env", default="pendulum")
+    p.add_argument("--output", "-o", required=True, help="artifact path (.bbmpc)")
+    p.add_argument(
+        "--checkpoint-dir", default=None,
+        help="DynamicsHandler checkpoint to export a learned-dynamics policy from",
+    )
+    p.add_argument(
+        "--platforms", default=None,
+        help="comma-separated lowering targets, e.g. tpu,cpu (default: current backend)",
+    )
+    p.set_defaults(fn=cmd_export)
 
     p = sub.add_parser("solvers", help="list solvers and their config defaults")
     p.set_defaults(fn=cmd_solvers)

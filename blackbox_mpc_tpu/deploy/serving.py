@@ -1,0 +1,223 @@
+"""Standalone serving runtime for exported MPC policy artifacts.
+
+This module is deliberately **self-contained**: it imports only the standard library,
+numpy, jax (and ml_dtypes for low-precision leaves) — never the rest of
+``blackbox_mpc_tpu``. Copy this single file (or the installed module) into a serving
+container together with a ``.bbmpc`` artifact produced by
+:func:`blackbox_mpc_tpu.deploy.export_policy_artifact` and you can run the full MPC
+control step — solver iterations, rollouts, exploration noise, one-step lookahead —
+without the framework, its solver code, or any Python re-tracing of it. The artifact
+carries the whole solve as serialized StableHLO (``jax.export``), which XLA compiles
+directly for the serving device.
+
+Counterpart of the reference's deployment story — ``tf.saved_model.save`` of the
+dynamics function only (``/root/reference/blackbox_mpc/dynamics_handlers/
+system_dynamics_handler.py:213-241``), which still needs the whole Python package to
+rebuild the optimizer around it. Here the *entire policy step* is the artifact.
+
+Artifact layout (one zip file, conventional suffix ``.bbmpc``)::
+
+    meta.json            solver/shape/RNG metadata (format_version 1)
+    step.jaxexport       jax.export-serialized solve step (see export.py for signature)
+    reset.jaxexport      jax.export-serialized per-episode solver-state reset
+    state/…              solver-state leaves (manifest.json + <i>.bin raw tensors)
+    params/…             dynamics-parameter leaves
+    proposer/…           proposer-parameter leaves (a dummy scalar when unused)
+    key/…                the exporting policy's PRNG key data (stream resume point)
+
+Tensors are stored as raw bytes + a manifest of shapes/dtypes (``np.savez`` cannot
+round-trip ml_dtypes like bfloat16; raw bytes + dtype names can).
+"""
+from __future__ import annotations
+
+import io
+import json
+import zipfile
+from typing import Any, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+__all__ = ["ServingPolicy", "pack_tensors", "unpack_tensors", "FORMAT_VERSION"]
+
+FORMAT_VERSION = 1
+
+
+def _np_dtype(name: str) -> np.dtype:
+    """Resolves a dtype name, falling back to ml_dtypes for bf16/fp8 and friends."""
+    try:
+        return np.dtype(name)
+    except TypeError:
+        import ml_dtypes
+
+        return np.dtype(getattr(ml_dtypes, name))
+
+
+def pack_tensors(zf: zipfile.ZipFile, group: str, leaves: Sequence[Any]) -> None:
+    """Writes flat array leaves as ``<group>/manifest.json`` + ``<group>/<i>.bin``."""
+    manifest = []
+    for i, leaf in enumerate(leaves):
+        arr = np.asarray(leaf)
+        manifest.append({"shape": list(arr.shape), "dtype": arr.dtype.name})
+        zf.writestr(f"{group}/{i}.bin", arr.tobytes())
+    zf.writestr(f"{group}/manifest.json", json.dumps(manifest))
+
+
+def unpack_tensors(zf: zipfile.ZipFile, group: str) -> list[np.ndarray]:
+    manifest = json.loads(zf.read(f"{group}/manifest.json"))
+    leaves = []
+    for i, spec in enumerate(manifest):
+        dtype = _np_dtype(spec["dtype"])
+        buf = zf.read(f"{group}/{i}.bin")
+        leaves.append(np.frombuffer(buf, dtype=dtype).reshape(spec["shape"]))
+    return leaves
+
+
+class ServingPolicy:
+    """Loads a ``.bbmpc`` artifact and serves ``act()`` / ``reset()`` from it.
+
+    The behavioral contract matches ``MPCPolicy``: ``act`` accepts an unbatched ``[S]``
+    observation (tiled across agents) or a batched ``[num_agents, S]`` array and returns
+    ``(action, predicted_next_obs, predicted_reward)``, un-batched iff the input was.
+    Because the artifact snapshots the exporting policy's solver state *and* PRNG stream,
+    a freshly loaded ServingPolicy continues bit-identically where the exporting
+    MPCPolicy stood at export time (asserted by tests/test_deploy.py).
+    """
+
+    def __init__(self, meta: dict, step_exported, reset_exported,
+                 state_leaves, params_leaves, proposer_leaves, key_data) -> None:
+        self.meta = dict(meta)
+        self._num_agents = int(meta["num_agents"])
+        self._dim_s = int(meta["dim_s"])
+        self._impl = meta["rng_impl"]
+        # jit(exported.call): XLA compiles the embedded StableHLO for this device; there
+        # is no Python-level tracing of solver/model code (none is present). Compiles
+        # land in the persistent compilation cache like any jit.
+        self._step = jax.jit(step_exported.call)
+        self._reset = jax.jit(reset_exported.call)
+        as_dev = lambda xs: tuple(jnp.asarray(x) for x in xs)  # noqa: E731
+        self._state = as_dev(state_leaves)
+        self._params = as_dev(params_leaves)
+        self._proposer = as_dev(proposer_leaves)
+        self._key = jax.random.wrap_key_data(jnp.asarray(key_data), impl=self._impl)
+
+    # ------------------------------------------------------------------ construction
+
+    @classmethod
+    def load(cls, path: str) -> "ServingPolicy":
+        with zipfile.ZipFile(path) as zf:
+            meta = json.loads(zf.read("meta.json"))
+            if meta.get("format_version") != FORMAT_VERSION:
+                raise ValueError(
+                    f"artifact format_version {meta.get('format_version')} != "
+                    f"supported {FORMAT_VERSION}"
+                )
+            step = jax.export.deserialize(bytearray(zf.read("step.jaxexport")))
+            reset = jax.export.deserialize(bytearray(zf.read("reset.jaxexport")))
+            state = unpack_tensors(zf, "state")
+            params = unpack_tensors(zf, "params")
+            proposer = unpack_tensors(zf, "proposer")
+            (key_data,) = unpack_tensors(zf, "key")
+        return cls(meta, step, reset, state, params, proposer, key_data)
+
+    # ------------------------------------------------------------------ public API
+
+    @property
+    def solver_name(self) -> str:
+        return self.meta["solver_name"]
+
+    @property
+    def num_agents(self) -> int:
+        return self._num_agents
+
+    def act(self, observations, t: int = 0, exploration_noise: bool = False):
+        obs = np.asarray(observations, dtype=np.float32)
+        batched = obs.ndim > 1
+        if not batched:
+            obs = np.tile(obs[None], (self._num_agents, 1))
+        if obs.shape != (self._num_agents, self._dim_s):
+            raise ValueError(
+                f"observations shape {obs.shape} != ({self._num_agents}, {self._dim_s})"
+            )
+        self._key, step_key = jax.random.split(self._key)
+        action, self._state, self._last_expected_reward, self._last_plan, next_obs, rew = (
+            self._step(
+                self._state, self._params, self._proposer, jnp.asarray(obs),
+                jnp.asarray(t, jnp.int32), jax.random.key_data(step_key),
+                jnp.asarray(bool(exploration_noise)),
+            )
+        )
+        action, next_obs, rew = jax.device_get((action, next_obs, rew))
+        if batched:
+            return action, next_obs, rew
+        return action[0], next_obs[0], rew[0]
+
+    def plan(self):
+        """Last solve's refined plan ``[A, H, U]`` and expected reward ``[A]`` (None
+        before the first ``act``)."""
+        if not hasattr(self, "_last_plan"):
+            return None, None
+        return np.asarray(self._last_plan), np.asarray(self._last_expected_reward)
+
+    def reset(self) -> None:
+        """Per-episode solver-state reset, mirroring ``MPCPolicy.reset``."""
+        self._key, reset_key = jax.random.split(self._key)
+        self._state = self._reset(self._state, jax.random.key_data(reset_key))
+
+    def reseed(self, seed: int) -> None:
+        """Replaces the resumed PRNG stream with a fresh one (same impl)."""
+        self._key = jax.random.key(seed, impl=self._impl)
+
+    def update_dynamics_params(self, params) -> None:
+        """Swaps the dynamics parameters without re-exporting.
+
+        Accepts either a pytree (e.g. a freshly trained ``DynamicsHandler.
+        dynamics_params``) or an already-flat leaf sequence; leaf count, shapes, and
+        dtypes must match the exported ones — the compiled step is shape-specialized.
+        """
+        leaves = list(params) if isinstance(params, (list, tuple)) else jax.tree.leaves(params)
+        if len(leaves) != len(self._params):
+            raise ValueError(
+                f"got {len(leaves)} parameter leaves, artifact expects {len(self._params)}"
+            )
+        new = []
+        for i, (got, want) in enumerate(zip(leaves, self._params)):
+            arr = jnp.asarray(got)
+            if arr.shape != want.shape or arr.dtype != want.dtype:
+                raise ValueError(
+                    f"parameter leaf {i}: got {arr.shape}/{arr.dtype}, artifact expects "
+                    f"{want.shape}/{want.dtype}"
+                )
+            new.append(arr)
+        self._params = tuple(new)
+
+    def __repr__(self) -> str:  # pragma: no cover - cosmetic
+        return (
+            f"ServingPolicy(solver={self.meta['solver_name']!r}, "
+            f"agents={self._num_agents}, horizon={self.meta['planning_horizon']}, "
+            f"platforms={self.meta['platforms']})"
+        )
+
+
+def _read_artifact_blobs(path: str) -> dict:
+    """Raw artifact pieces (for tooling/tests; not needed to serve)."""
+    with zipfile.ZipFile(path) as zf:
+        return {name: zf.read(name) for name in zf.namelist()}
+
+
+def write_artifact(path: str, meta: dict, step_bytes: bytes, reset_bytes: bytes,
+                   state_leaves, params_leaves, proposer_leaves, key_data) -> None:
+    """Writes the zip layout documented in the module docstring (used by export.py;
+    lives here so the format reader/writer stay in one self-contained file)."""
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w", compression=zipfile.ZIP_DEFLATED) as zf:
+        zf.writestr("meta.json", json.dumps({**meta, "format_version": FORMAT_VERSION}))
+        zf.writestr("step.jaxexport", step_bytes)
+        zf.writestr("reset.jaxexport", reset_bytes)
+        pack_tensors(zf, "state", state_leaves)
+        pack_tensors(zf, "params", params_leaves)
+        pack_tensors(zf, "proposer", proposer_leaves)
+        pack_tensors(zf, "key", [key_data])
+    with open(path, "wb") as f:
+        f.write(buf.getvalue())

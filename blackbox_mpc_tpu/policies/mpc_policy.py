@@ -158,6 +158,7 @@ class MPCPolicy(ModelBasedPolicy):
         # measured decision rule lives in ops/backend_select.py.
         self._requested_backend = rollout_backend
         self._rollout_backend = rollout_backend
+        self._rng_impl = rng_impl  # recorded for deploy/export (artifact meta carries it)
         if rng_impl is None:
             self._key = jax.random.PRNGKey(seed)
         else:
@@ -477,6 +478,7 @@ class MPCPolicy(ModelBasedPolicy):
             return action, new_state, aux, next_obs, pred_reward
 
         self._step = jax.jit(step, static_argnames=("add_noise",))
+        self._step_fn = step  # raw (unjitted) step, re-staged by deploy/export
         self._solver_factory = factory
         key, init_key = jax.random.split(self._key)
         self._key = key

@@ -93,3 +93,19 @@ def test_learn_unknown_env_reward_warns_loudly():
                  "--iterations", "1"], timeout=420)
     assert proc.returncode == 0, proc.stderr[-800:]
     assert "WARNING" in proc.stderr and "surrogate" in proc.stderr
+
+
+def test_export_writes_loadable_artifact(tmp_path):
+    out = str(tmp_path / "pendulum_cem.bbmpc")
+    proc = _run(["export", "--env", "pendulum", "--cpu", "-o", out,
+                 "--population", "64", "--planning-horizon", "10", "--iterations", "2"])
+    assert proc.returncode == 0, proc.stderr[-800:]
+    row = _last_json(proc.stdout)
+    assert row["artifact"] == out and row["solver_name"] == "CEM"
+    import numpy as np
+
+    from blackbox_mpc_tpu.deploy import ServingPolicy
+
+    srv = ServingPolicy.load(out)
+    action, next_obs, reward = srv.act(np.array([0.5, 0.1, 0.0], np.float32))
+    assert action.shape == (1,) and next_obs.shape == (3,) and np.isfinite(reward)

@@ -1,0 +1,233 @@
+"""Deployment/serving subsystem: AOT policy export + standalone loading.
+
+The contract under test: a ``.bbmpc`` artifact written by ``export_policy_artifact``
+snapshots the policy's solver state AND PRNG stream, so a loaded ``ServingPolicy``
+continues BIT-IDENTICALLY where the exporting ``MPCPolicy`` stood — greedy actions,
+exploration-noise actions, lookahead predictions, and per-episode resets — with no
+framework code (``deploy/serving.py`` is self-contained) and no Python re-tracing.
+
+Reference counterpart being superseded: ``tf.saved_model.save`` of the dynamics
+function only (system_dynamics_handler.py:213-241) — the controller itself was never
+deployable there.
+"""
+import json
+import os
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+import blackbox_mpc_tpu.deploy.serving as serving_mod
+from blackbox_mpc_tpu import DynamicsHandler, LearnedDynamicsConfig, MPCPolicy
+from blackbox_mpc_tpu.core.spaces import BoxSpace
+from blackbox_mpc_tpu.deploy import ServingPolicy, export_dynamics, export_policy_artifact
+from blackbox_mpc_tpu.models.analytic import pendulum_dynamics, pendulum_reward
+
+SPACE = BoxSpace.of(np.array([-2.0]), np.array([2.0]))
+OBS = np.array([0.5, 0.1, 0.0], np.float32)
+
+
+def _true_model_policy(solver="CEM", **kw):
+    kwargs = dict(planning_horizon=10, population=64, max_iterations=2, seed=3)
+    if solver in ("CEM", "CEM-GD"):
+        kwargs["num_elite"] = 8
+    kwargs.update(kw)
+    return MPCPolicy(
+        SPACE, pendulum_reward, DynamicsHandler(true_model=pendulum_dynamics),
+        solver_name=solver, **kwargs,
+    )
+
+
+def _learned_policy(**kw):
+    handler = DynamicsHandler(
+        config=LearnedDynamicsConfig(dim_s=3, dim_u=1, hidden=(16, 16), ensemble_size=2)
+    )
+    return handler, MPCPolicy(
+        SPACE, pendulum_reward, handler, solver_name="CEM", planning_horizon=8,
+        population=32, num_elite=4, max_iterations=2, seed=7, **kw,
+    )
+
+
+@pytest.mark.parametrize("solver", ["CEM", "PSO", "RandomSearch", "PI2"])
+def test_artifact_continues_bitwise_from_export_point(tmp_path, solver):
+    pol = _true_model_policy(solver)
+    pol.act(OBS, t=0)  # advance state + stream: the artifact must resume MID-EPISODE
+    path = str(tmp_path / "pol.bbmpc")
+    meta = export_policy_artifact(pol, path, dim_s=3)
+    assert meta["solver_name"] == solver and meta["platforms"] == ["cpu"]
+    srv = ServingPolicy.load(path)
+    # greedy, exploration-noise, and post-reset acts all bit-match the live policy
+    for t, explore in ((1, False), (2, True)):
+        a1, n1, r1 = pol.act(OBS, t=t, exploration_noise=explore)
+        a2, n2, r2 = srv.act(OBS, t=t, exploration_noise=explore)
+        np.testing.assert_array_equal(a1, a2)
+        np.testing.assert_array_equal(n1, n2)
+        np.testing.assert_array_equal(r1, r2)
+    pol.reset()
+    srv.reset()
+    a1, _, _ = pol.act(OBS, t=0)
+    a2, _, _ = srv.act(OBS, t=0)
+    np.testing.assert_array_equal(a1, a2)
+
+
+def test_exploration_noise_differs_and_stays_in_bounds(tmp_path):
+    pol = _true_model_policy("CEM", exploration_noise_scale=0.3)
+    path = str(tmp_path / "pol.bbmpc")
+    export_policy_artifact(pol, path, dim_s=3)
+    srv = ServingPolicy.load(path)
+    greedy, _, _ = srv.act(OBS, t=0)
+    srv2 = ServingPolicy.load(path)
+    noisy, _, _ = srv2.act(OBS, t=0, exploration_noise=True)
+    assert not np.array_equal(greedy, noisy)
+    assert np.all(noisy >= SPACE.low - 1e-6) and np.all(noisy <= SPACE.high + 1e-6)
+
+
+def test_plan_exposed_after_act(tmp_path):
+    pol = _true_model_policy("CEM")
+    path = str(tmp_path / "pol.bbmpc")
+    export_policy_artifact(pol, path, dim_s=3)
+    srv = ServingPolicy.load(path)
+    assert srv.plan() == (None, None)
+    srv.act(OBS)
+    plan, expected = srv.plan()
+    assert plan.shape == (1, 10, 1) and expected.shape == (1,)
+
+
+def test_learned_policy_roundtrip_and_param_hotswap(tmp_path):
+    handler, pol = _learned_policy()
+    path = str(tmp_path / "learned.bbmpc")
+    export_policy_artifact(pol, path)  # dim_s inferred from the config
+    srv = ServingPolicy.load(path)
+    a1, n1, r1 = pol.act(OBS, t=0)
+    a2, n2, r2 = srv.act(OBS, t=0)
+    np.testing.assert_array_equal(a1, a2)
+    np.testing.assert_array_equal(n1, n2)
+    # hot-swap: perturbed params change the action through the SAME compiled artifact,
+    # and match the live policy fed the same params.
+    import jax
+
+    new_params = jax.tree.map(lambda x: x + 0.05, handler.dynamics_params)
+    srv2 = ServingPolicy.load(path)
+    srv2.update_dynamics_params(new_params)
+    b2, _, _ = srv2.act(OBS, t=0)
+    handler._params = new_params
+    pol2 = MPCPolicy(
+        SPACE, pendulum_reward, handler, solver_name="CEM", planning_horizon=8,
+        population=32, num_elite=4, max_iterations=2, seed=7,
+    )
+    b1, _, _ = pol2.act(OBS, t=0)
+    np.testing.assert_array_equal(b1, b2)
+    assert not np.array_equal(a2, b2)
+
+
+def test_param_hotswap_validates_shapes(tmp_path):
+    handler, pol = _learned_policy()
+    path = str(tmp_path / "learned.bbmpc")
+    export_policy_artifact(pol, path)
+    srv = ServingPolicy.load(path)
+    import jax
+
+    leaves = jax.tree.leaves(handler.dynamics_params)
+    with pytest.raises(ValueError, match="parameter leaves"):
+        srv.update_dynamics_params(leaves[:-1])
+    bad = [np.zeros((2, 2), np.float32) for _ in leaves]
+    with pytest.raises(ValueError, match="artifact expects"):
+        srv.update_dynamics_params(bad)
+
+
+def test_export_dynamics_polymorphic_batch(tmp_path):
+    handler, _ = _learned_policy()
+    path = str(tmp_path / "dyn.stablehlo")
+    exp = export_dynamics(handler, path)
+    import jax
+
+    restored = jax.export.deserialize(bytearray(open(path, "rb").read()))
+    for b in (3, 17):  # the reference's [None, S+U] SavedModel signature, done TPU-style
+        s = np.random.default_rng(b).normal(size=(b, 3)).astype(np.float32)
+        a = np.random.default_rng(b + 1).normal(size=(b, 1)).astype(np.float32)
+        np.testing.assert_allclose(
+            np.asarray(restored.call(s, a)), np.asarray(handler.predict(s, a)),
+            rtol=1e-6, atol=1e-6,
+        )
+    assert exp.platforms == restored.platforms
+
+
+def test_standalone_loader_needs_no_framework(tmp_path):
+    """deploy/serving.py must load+serve the artifact WITHOUT importing the package."""
+    pol = _true_model_policy("CEM")
+    path = str(tmp_path / "pol.bbmpc")
+    export_policy_artifact(pol, path, dim_s=3)
+    expected, _, _ = ServingPolicy.load(path).act(OBS, t=0)
+    script = f"""
+import os
+os.environ["JAX_PLATFORMS"] = "cpu"
+import jax
+jax.config.update("jax_platforms", "cpu")
+import importlib.util, json, sys
+import numpy as np
+spec = importlib.util.spec_from_file_location("bbmpc_serving", {serving_mod.__file__!r})
+mod = importlib.util.module_from_spec(spec)
+spec.loader.exec_module(mod)
+assert not any(m.split(".")[0] == "blackbox_mpc_tpu" for m in sys.modules), (
+    "serving.py imported framework modules: "
+    + str([m for m in sys.modules if m.startswith("blackbox_mpc_tpu")])
+)
+srv = mod.ServingPolicy.load({path!r})
+a, n, r = srv.act(np.array([0.5, 0.1, 0.0], np.float32), t=0)
+print(json.dumps({{"action": np.asarray(a).tolist()}}))
+"""
+    env = {**os.environ, "JAX_PLATFORMS": "cpu"}
+    out = subprocess.run(
+        [sys.executable, "-c", script], capture_output=True, text=True, env=env, timeout=300
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    action = json.loads(out.stdout.strip().splitlines()[-1])["action"]
+    np.testing.assert_array_equal(np.asarray(action, np.float32), expected)
+
+
+def test_export_rejects_unexportable_configurations(tmp_path):
+    # true model without dim_s
+    pol = _true_model_policy("CEM")
+    with pytest.raises(ValueError, match="dim_s"):
+        export_policy_artifact(pol, str(tmp_path / "x.bbmpc"))
+    # mesh-sharded policy
+    from blackbox_mpc_tpu.parallel import make_pop_mesh
+
+    handler, _ = _learned_policy()
+    sharded = MPCPolicy(
+        SPACE, pendulum_reward, handler, solver_name="CEM", planning_horizon=8,
+        population=32, num_elite=4, max_iterations=2, mesh=make_pop_mesh(2),
+    )
+    with pytest.raises(ValueError, match="mesh"):
+        export_policy_artifact(sharded, str(tmp_path / "x.bbmpc"))
+    # kernel backend
+    handler2, _ = _learned_policy()
+    kern = MPCPolicy(
+        SPACE, pendulum_reward, handler2, solver_name="CEM", planning_horizon=8,
+        population=32, num_elite=4, max_iterations=2, rollout_backend="pallas",
+    )
+    with pytest.raises(ValueError, match="rollout_backend"):
+        export_policy_artifact(kern, str(tmp_path / "x.bbmpc"))
+    # true-model dynamics-only export
+    with pytest.raises(ValueError, match="true-model"):
+        export_dynamics(DynamicsHandler(true_model=pendulum_dynamics))
+
+
+def test_format_version_gate(tmp_path):
+    pol = _true_model_policy("CEM")
+    path = str(tmp_path / "pol.bbmpc")
+    export_policy_artifact(pol, path, dim_s=3)
+    import zipfile
+
+    bad = str(tmp_path / "bad.bbmpc")
+    with zipfile.ZipFile(path) as zin, zipfile.ZipFile(bad, "w") as zout:
+        for name in zin.namelist():
+            data = zin.read(name)
+            if name == "meta.json":
+                meta = json.loads(data)
+                meta["format_version"] = 999
+                data = json.dumps(meta)
+            zout.writestr(name, data)
+    with pytest.raises(ValueError, match="format_version"):
+        ServingPolicy.load(bad)
