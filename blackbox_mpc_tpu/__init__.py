@@ -20,7 +20,7 @@ from blackbox_mpc_tpu.workflows.iterative_mpc import learn_dynamics_iteratively_
 from blackbox_mpc_tpu.workflows.recording import record_rollout
 from blackbox_mpc_tpu.workflows.rollouts import perform_rollouts
 
-__version__ = "0.1.0"
+__version__ = "0.4.0"
 
 __all__ = [
     "Bounds",

@@ -11,5 +11,12 @@
 """
 from blackbox_mpc_tpu.deploy.export import export_dynamics, export_policy_artifact
 from blackbox_mpc_tpu.deploy.serving import ServingPolicy
+from blackbox_mpc_tpu.policies.base import ModelBasedPolicy as _ModelBasedPolicy
+
+# Virtual subclass, not inheritance: serving.py must stay importable with ZERO framework
+# dependencies (its whole point), but a loaded ServingPolicy honors the ModelBasedPolicy
+# contract (act -> (action, predicted_next_obs, predicted_reward), reset), so the rollout
+# runner's isinstance branch (workflows/rollouts.py) must treat it as model-based.
+_ModelBasedPolicy.register(ServingPolicy)
 
 __all__ = ["export_policy_artifact", "export_dynamics", "ServingPolicy"]

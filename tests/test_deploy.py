@@ -231,3 +231,23 @@ def test_format_version_gate(tmp_path):
             zout.writestr(name, data)
     with pytest.raises(ValueError, match="format_version"):
         ServingPolicy.load(bad)
+
+
+def test_serving_policy_drives_perform_rollouts(tmp_path):
+    """ServingPolicy slots into the rollout runner as a model-based policy (virtual
+    subclass registration in deploy/__init__.py) — the full workflow layer runs on a
+    served artifact."""
+    from blackbox_mpc_tpu import perform_rollouts
+    from blackbox_mpc_tpu.envs import NativePendulumVecEnv
+    from blackbox_mpc_tpu.policies.base import ModelBasedPolicy
+
+    pol = _true_model_policy("CEM")
+    path = str(tmp_path / "pol.bbmpc")
+    export_policy_artifact(pol, path, dim_s=3)
+    srv = ServingPolicy.load(path)
+    assert isinstance(srv, ModelBasedPolicy)
+    env = NativePendulumVecEnv(num_envs=1, seed=0)
+    result = perform_rollouts(env, srv, number_of_rollouts=1, rollout_horizon=10)
+    env.close()
+    assert len(result["reward_sum"]) == 1 and np.isfinite(result["reward_sum"][0])
+    assert result["latency"]["count"] == 10

@@ -35,6 +35,7 @@ TUTORIALS = {
     "tutorials/proposer/tutorial_one.py": ["--steps", "30", "--refinements", "1"],
     "tutorials/record_videos/tutorial_one.py": [],
     "tutorials/beyond_hbm/tutorial_one.py": ["--population", "256"],
+    "tutorials/deploy/tutorial_one.py": ["--steps", "30"],
 }
 
 MUJOCO_TUTORIALS = {
