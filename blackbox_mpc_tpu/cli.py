@@ -218,6 +218,60 @@ def cmd_export(args):
     return 0
 
 
+def cmd_serve(args):
+    """JSON-lines action server over a .bbmpc artifact.
+
+    Protocol (one JSON object per line on stdin -> one per line on stdout):
+      {"obs": [...], "t": 0, "explore": false}  -> {"action": [...], "predicted_next_obs":
+                                                    [...], "predicted_reward": ...}
+      {"cmd": "reset"}                          -> {"ok": true}
+      {"cmd": "close"}                          -> exits 0
+    The first line is served after one XLA compile (or instantly with --compiled-cache,
+    written on first use when the file does not exist yet).
+    """
+    if args.cpu:
+        import os
+
+        os.environ["JAX_PLATFORMS"] = "cpu"
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+    import numpy as np
+
+    from blackbox_mpc_tpu.deploy.serving import ServingPolicy
+
+    srv = ServingPolicy.load(args.artifact, compiled_cache=args.compiled_cache)
+    if args.compiled_cache and not srv.used_compiled_cache:
+        srv.save_compiled(args.compiled_cache)
+    print(json.dumps({"ready": True, "solver": srv.solver_name,
+                      "num_agents": srv.num_agents,
+                      "used_compiled_cache": srv.used_compiled_cache}), flush=True)
+    for line in sys.stdin:
+        line = line.strip()
+        if not line:
+            continue
+        try:
+            req = json.loads(line)
+            if req.get("cmd") == "close":
+                return 0
+            if req.get("cmd") == "reset":
+                srv.reset()
+                print(json.dumps({"ok": True}), flush=True)
+                continue
+            action, next_obs, reward = srv.act(
+                np.asarray(req["obs"], np.float32), t=int(req.get("t", 0)),
+                exploration_noise=bool(req.get("explore", False)),
+            )
+            print(json.dumps({
+                "action": np.asarray(action).tolist(),
+                "predicted_next_obs": np.asarray(next_obs).tolist(),
+                "predicted_reward": np.asarray(reward).tolist(),
+            }), flush=True)
+        except (KeyError, ValueError, TypeError) as e:
+            print(json.dumps({"error": f"{type(e).__name__}: {e}"}), flush=True)
+    return 0
+
+
 def _analytic_action_space(env: str):
     from blackbox_mpc_tpu.core.spaces import BoxSpace
 
@@ -266,6 +320,19 @@ def main(argv=None) -> int:
         help="comma-separated lowering targets, e.g. tpu,cpu (default: current backend)",
     )
     p.set_defaults(fn=cmd_export)
+
+    p = sub.add_parser(
+        "serve",
+        help="serve a .bbmpc artifact: JSON-lines obs -> action over stdin/stdout",
+    )
+    p.add_argument("artifact", help="path to a .bbmpc artifact (see `export`)")
+    p.add_argument("--cpu", action="store_true", help="force the CPU backend")
+    p.add_argument(
+        "--compiled-cache", default=None,
+        help="device-pinned XLA executable cache: loaded when present (zero-compile "
+             "start), written after first compile otherwise",
+    )
+    p.set_defaults(fn=cmd_serve)
 
     p = sub.add_parser("solvers", help="list solvers and their config defaults")
     p.set_defaults(fn=cmd_solvers)

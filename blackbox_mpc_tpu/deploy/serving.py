@@ -32,6 +32,7 @@ from __future__ import annotations
 
 import io
 import json
+import os
 import zipfile
 from typing import Any, Sequence
 
@@ -96,6 +97,8 @@ class ServingPolicy:
         # land in the persistent compilation cache like any jit.
         self._step = jax.jit(step_exported.call)
         self._reset = jax.jit(reset_exported.call)
+        self._precompiled = False
+        self.used_compiled_cache = False
         as_dev = lambda xs: tuple(jnp.asarray(x) for x in xs)  # noqa: E731
         self._state = as_dev(state_leaves)
         self._params = as_dev(params_leaves)
@@ -105,7 +108,11 @@ class ServingPolicy:
     # ------------------------------------------------------------------ construction
 
     @classmethod
-    def load(cls, path: str) -> "ServingPolicy":
+    def load(cls, path: str, compiled_cache: str | None = None) -> "ServingPolicy":
+        """Loads an artifact; ``compiled_cache`` optionally points at a device-pinned
+        executable cache written by :meth:`save_compiled` — when it exists and matches
+        this device/jax version, serving starts with ZERO compilation (else it is
+        ignored with a warning and XLA compiles as usual)."""
         with zipfile.ZipFile(path) as zf:
             meta = json.loads(zf.read("meta.json"))
             if meta.get("format_version") != FORMAT_VERSION:
@@ -119,7 +126,89 @@ class ServingPolicy:
             params = unpack_tensors(zf, "params")
             proposer = unpack_tensors(zf, "proposer")
             (key_data,) = unpack_tensors(zf, "key")
-        return cls(meta, step, reset, state, params, proposer, key_data)
+        self = cls(meta, step, reset, state, params, proposer, key_data)
+        if compiled_cache is not None and os.path.exists(compiled_cache):
+            self._load_compiled_cache(compiled_cache)
+        return self
+
+    # ------------------------------------------------------------ AOT executable cache
+
+    def _fingerprint(self) -> dict:
+        """Validity domain of a compiled-executable cache: serialized XLA executables
+        are pinned to the device kind and the jax/jaxlib pair that produced them."""
+        return {
+            "jax_version": jax.__version__,
+            "device_kind": jax.devices()[0].device_kind,
+            "platform": jax.default_backend(),
+            "solver_name": self.meta["solver_name"],
+            "num_agents": self._num_agents,
+            "dim_s": self._dim_s,
+        }
+
+    def _example_args(self):
+        obs = jnp.zeros((self._num_agents, self._dim_s), jnp.float32)
+        return (
+            self._state, self._params, self._proposer, obs,
+            jnp.zeros((), jnp.int32), jax.random.key_data(self._key),
+            jnp.zeros((), jnp.bool_),
+        )
+
+    def precompile(self) -> "ServingPolicy":
+        """AOT-compiles the step and reset for this device now (instead of on the first
+        ``act``); required before :meth:`save_compiled`. Returns ``self``."""
+        if not self._precompiled:
+            # _step/_reset are jitted at construction, so they expose .lower directly.
+            self._step = self._step.lower(*self._example_args()).compile()
+            self._reset = self._reset.lower(
+                self._state, jax.random.key_data(self._key)
+            ).compile()
+            self._precompiled = True
+        return self
+
+    def save_compiled(self, path: str) -> None:
+        """Writes a device-pinned executable cache: the XLA-compiled step/reset,
+        serialized via ``jax.experimental.serialize_executable``. A later
+        ``ServingPolicy.load(artifact, compiled_cache=path)`` on the SAME device kind
+        and jax version starts serving with zero compile time. The cache is a pickle —
+        treat it with the same trust as the artifact itself."""
+        import pickle
+
+        from jax.experimental import serialize_executable as se
+
+        self.precompile()
+        payload = {
+            "fingerprint": self._fingerprint(),
+            "step": se.serialize(self._step),
+            "reset": se.serialize(self._reset),
+        }
+        with open(path, "wb") as f:
+            pickle.dump(payload, f)
+
+    def _load_compiled_cache(self, path: str) -> None:
+        import pickle
+        import warnings
+
+        from jax.experimental import serialize_executable as se
+
+        try:
+            with open(path, "rb") as f:
+                payload = pickle.load(f)
+            fp, want = payload["fingerprint"], self._fingerprint()
+            if fp != want:
+                raise ValueError(f"compiled cache fingerprint {fp} != this runtime {want}")
+            # The exported program is single-device; without pinning execution_devices,
+            # deserialize_and_load spreads it over ALL local devices (wrong on a
+            # multi-device host, e.g. the 8-device CPU test mesh).
+            dev = jax.devices()[:1]
+            self._step = se.deserialize_and_load(*payload["step"], execution_devices=dev)
+            self._reset = se.deserialize_and_load(*payload["reset"], execution_devices=dev)
+            self._precompiled = True
+            self.used_compiled_cache = True
+        except Exception as e:  # noqa: BLE001 — a stale cache must never block serving
+            warnings.warn(
+                f"ignoring compiled cache {path!r} ({type(e).__name__}: {e}); "
+                "falling back to XLA compilation", RuntimeWarning, stacklevel=3,
+            )
 
     # ------------------------------------------------------------------ public API
 

@@ -109,3 +109,43 @@ def test_export_writes_loadable_artifact(tmp_path):
     srv = ServingPolicy.load(out)
     action, next_obs, reward = srv.act(np.array([0.5, 0.1, 0.0], np.float32))
     assert action.shape == (1,) and next_obs.shape == (3,) and np.isfinite(reward)
+
+
+def test_serve_json_lines_protocol(tmp_path):
+    """export -> serve: the stdin/stdout action server answers act/reset/close, and a
+    second start with --compiled-cache reports a zero-compile load."""
+    art = str(tmp_path / "ctrl.bbmpc")
+    proc = _run(["export", "--env", "pendulum", "--cpu", "-o", art,
+                 "--population", "64", "--planning-horizon", "10", "--iterations", "2"])
+    assert proc.returncode == 0, proc.stderr[-800:]
+    cache = str(tmp_path / "ctrl.xla")
+    requests = "\n".join([
+        json.dumps({"obs": [0.5, 0.1, 0.0], "t": 0}),
+        json.dumps({"cmd": "reset"}),
+        json.dumps({"obs": [0.5, 0.1, 0.0], "t": 0, "explore": True}),
+        json.dumps({"not_obs": 1}),
+        json.dumps({"cmd": "close"}),
+    ]) + "\n"
+    env = dict(os.environ)
+    env["PYTHONPATH"] = f"{ROOT}:{env.get('PYTHONPATH', '')}"
+    env["JAX_PLATFORMS"] = "cpu"
+
+    def serve_once():
+        return subprocess.run(
+            [sys.executable, "-m", "blackbox_mpc_tpu.cli", "serve", art, "--cpu",
+             "--compiled-cache", cache],
+            input=requests, capture_output=True, text=True, timeout=300, cwd=ROOT, env=env,
+        )
+
+    out1 = serve_once()
+    assert out1.returncode == 0, out1.stderr[-800:]
+    lines = [json.loads(ln) for ln in out1.stdout.strip().splitlines()]
+    assert lines[0]["ready"] and lines[0]["solver"] == "CEM"
+    assert not lines[0]["used_compiled_cache"]
+    assert len(lines[1]["action"]) == 1 and lines[2]["ok"]
+    assert len(lines[3]["action"]) == 1 and "error" in lines[4]
+    # second start: the cache written by the first run gives a zero-compile load
+    out2 = serve_once()
+    assert out2.returncode == 0, out2.stderr[-800:]
+    ready2 = json.loads(out2.stdout.strip().splitlines()[0])
+    assert ready2["used_compiled_cache"]

@@ -251,3 +251,82 @@ def test_serving_policy_drives_perform_rollouts(tmp_path):
     env.close()
     assert len(result["reward_sum"]) == 1 and np.isfinite(result["reward_sum"][0])
     assert result["latency"]["count"] == 10
+
+
+def test_compiled_executable_cache_roundtrip(tmp_path):
+    """save_compiled -> load(compiled_cache=...) serves with zero XLA compilation and
+    bit-matches the plain (compile-at-load) path."""
+    pol = _true_model_policy("CEM")
+    art = str(tmp_path / "pol.bbmpc")
+    cache = str(tmp_path / "pol.xla")
+    export_policy_artifact(pol, art, dim_s=3)
+    ServingPolicy.load(art).save_compiled(cache)
+    assert os.path.getsize(cache) > 0
+    plain = ServingPolicy.load(art)
+    cached = ServingPolicy.load(art, compiled_cache=cache)
+    assert cached.used_compiled_cache and not plain.used_compiled_cache
+    a1, n1, r1 = plain.act(OBS, t=0)
+    a2, n2, r2 = cached.act(OBS, t=0)
+    np.testing.assert_array_equal(a1, a2)
+    np.testing.assert_array_equal(n1, n2)
+    np.testing.assert_array_equal(r1, r2)
+    cached.reset()
+    plain.reset()
+    np.testing.assert_array_equal(plain.act(OBS)[0], cached.act(OBS)[0])
+
+
+def test_stale_compiled_cache_falls_back_with_warning(tmp_path):
+    pol = _true_model_policy("CEM")
+    art = str(tmp_path / "pol.bbmpc")
+    cache = str(tmp_path / "stale.xla")
+    export_policy_artifact(pol, art, dim_s=3)
+    with open(cache, "wb") as f:
+        f.write(b"not a pickle")
+    with pytest.warns(RuntimeWarning, match="ignoring compiled cache"):
+        srv = ServingPolicy.load(art, compiled_cache=cache)
+    assert not srv.used_compiled_cache
+    action, _, _ = srv.act(OBS)
+    assert np.all(np.isfinite(action))
+
+
+def test_mismatched_fingerprint_falls_back(tmp_path):
+    import pickle
+
+    pol = _true_model_policy("CEM")
+    art = str(tmp_path / "pol.bbmpc")
+    cache = str(tmp_path / "pol.xla")
+    export_policy_artifact(pol, art, dim_s=3)
+    ServingPolicy.load(art).save_compiled(cache)
+    with open(cache, "rb") as f:
+        payload = pickle.load(f)
+    payload["fingerprint"]["device_kind"] = "TPU v9000"
+    with open(cache, "wb") as f:
+        pickle.dump(payload, f)
+    with pytest.warns(RuntimeWarning, match="fingerprint"):
+        srv = ServingPolicy.load(art, compiled_cache=cache)
+    assert not srv.used_compiled_cache
+
+
+def test_proposer_policy_exports_and_matches(tmp_path):
+    """POPLIN-style proposer seeding survives export: the proposer params ride in the
+    artifact's proposer leaves and the served solve bit-matches the live one."""
+    from blackbox_mpc_tpu.core.types import Bounds
+    from blackbox_mpc_tpu.learning.proposer import PolicyProposer, ProposerConfig
+
+    handler = DynamicsHandler(
+        config=LearnedDynamicsConfig(dim_s=3, dim_u=1, hidden=(16, 16))
+    )
+    proposer = PolicyProposer(
+        ProposerConfig(dim_s=3, dim_u=1, hidden=(8, 8)), Bounds.of(-2.0, 2.0, dim=1)
+    )
+    pol = MPCPolicy(
+        SPACE, pendulum_reward, handler, solver_name="CEM", planning_horizon=8,
+        population=32, num_elite=4, max_iterations=2, seed=7, proposer=proposer,
+    )
+    path = str(tmp_path / "proposed.bbmpc")
+    export_policy_artifact(pol, path)
+    srv = ServingPolicy.load(path)
+    a1, n1, r1 = pol.act(OBS, t=0)
+    a2, n2, r2 = srv.act(OBS, t=0)
+    np.testing.assert_array_equal(a1, a2)
+    np.testing.assert_array_equal(n1, n2)
