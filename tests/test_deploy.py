@@ -330,3 +330,16 @@ def test_proposer_policy_exports_and_matches(tmp_path):
     a2, n2, r2 = srv.act(OBS, t=0)
     np.testing.assert_array_equal(a1, a2)
     np.testing.assert_array_equal(n1, n2)
+
+
+def test_rbg_typed_key_policy_exports_and_matches(tmp_path):
+    """Hardware-RNG policies (rng_impl='rbg', typed keys) export: the impl rides in the
+    artifact meta and the served stream continues bit-identically."""
+    pol = _true_model_policy("CEM", rng_impl="rbg")
+    path = str(tmp_path / "rbg.bbmpc")
+    meta = export_policy_artifact(pol, path, dim_s=3)
+    assert meta["rng_impl"] == "rbg"
+    srv = ServingPolicy.load(path)
+    a1, _, _ = pol.act(OBS, t=0)
+    a2, _, _ = srv.act(OBS, t=0)
+    np.testing.assert_array_equal(a1, a2)
