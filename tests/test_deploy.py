@@ -343,3 +343,25 @@ def test_rbg_typed_key_policy_exports_and_matches(tmp_path):
     a1, _, _ = pol.act(OBS, t=0)
     a2, _, _ = srv.act(OBS, t=0)
     np.testing.assert_array_equal(a1, a2)
+
+
+def test_stochastic_propagation_policy_exports_and_matches(tmp_path):
+    """TS-inf (stochastic propagation, PETS particles) policies export: the rollout-noise
+    key derivation is part of the exported step, so serving matches bitwise."""
+    handler = DynamicsHandler(
+        config=LearnedDynamicsConfig(
+            dim_s=3, dim_u=1, hidden=(16, 16), ensemble_size=2, probabilistic=True,
+            propagation="ts_inf", num_particles=2,
+        )
+    )
+    pol = MPCPolicy(
+        SPACE, pendulum_reward, handler, solver_name="CEM", planning_horizon=6,
+        population=16, num_elite=4, max_iterations=2, seed=11,
+    )
+    path = str(tmp_path / "tsinf.bbmpc")
+    export_policy_artifact(pol, path)
+    srv = ServingPolicy.load(path)
+    a1, n1, r1 = pol.act(OBS, t=0)
+    a2, n2, r2 = srv.act(OBS, t=0)
+    np.testing.assert_array_equal(a1, a2)
+    np.testing.assert_array_equal(n1, n2)
