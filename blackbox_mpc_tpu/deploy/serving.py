@@ -99,11 +99,18 @@ class ServingPolicy:
         self._reset = jax.jit(reset_exported.call)
         self._precompiled = False
         self.used_compiled_cache = False
-        as_dev = lambda xs: tuple(jnp.asarray(x) for x in xs)  # noqa: E731
+        # device_put (committed), not asarray (uncommitted): after the first act the
+        # state leaves are COMMITTED outputs of the compiled step, and committedness is
+        # part of the jit cache key — loading them uncommitted would force one silent
+        # recompile on the second act (measured as a 481 ms latency spike on CPU).
+        dev = jax.devices()[0]
+        as_dev = lambda xs: tuple(jax.device_put(jnp.asarray(x), dev) for x in xs)  # noqa: E731
         self._state = as_dev(state_leaves)
         self._params = as_dev(params_leaves)
         self._proposer = as_dev(proposer_leaves)
-        self._key = jax.random.wrap_key_data(jnp.asarray(key_data), impl=self._impl)
+        self._key = jax.device_put(
+            jax.random.wrap_key_data(jnp.asarray(key_data), impl=self._impl), dev
+        )
 
     # ------------------------------------------------------------------ construction
 
@@ -278,7 +285,9 @@ class ServingPolicy:
                     f"parameter leaf {i}: got {arr.shape}/{arr.dtype}, artifact expects "
                     f"{want.shape}/{want.dtype}"
                 )
-            new.append(arr)
+            # committed, matching the load-time placement (see __init__) — a mixed
+            # committed/uncommitted swap would silently recompile the step.
+            new.append(jax.device_put(arr, jax.devices()[0]))
         self._params = tuple(new)
 
     def __repr__(self) -> str:  # pragma: no cover - cosmetic
