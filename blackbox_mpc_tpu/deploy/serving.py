@@ -182,6 +182,11 @@ class ServingPolicy:
 
         from jax.experimental import serialize_executable as se
 
+        if self.used_compiled_cache:
+            raise RuntimeError(
+                "this ServingPolicy was itself loaded from a compiled cache; the cache "
+                "file already exists — copy it instead of re-serializing"
+            )
         self.precompile()
         payload = {
             "fingerprint": self._fingerprint(),

@@ -365,3 +365,14 @@ def test_stochastic_propagation_policy_exports_and_matches(tmp_path):
     a2, n2, r2 = srv.act(OBS, t=0)
     np.testing.assert_array_equal(a1, a2)
     np.testing.assert_array_equal(n1, n2)
+
+
+def test_save_compiled_from_cache_loaded_instance_raises(tmp_path):
+    pol = _true_model_policy("CEM")
+    art = str(tmp_path / "pol.bbmpc")
+    cache = str(tmp_path / "pol.xla")
+    export_policy_artifact(pol, art, dim_s=3)
+    ServingPolicy.load(art).save_compiled(cache)
+    cached = ServingPolicy.load(art, compiled_cache=cache)
+    with pytest.raises(RuntimeError, match="compiled cache"):
+        cached.save_compiled(str(tmp_path / "other.xla"))
