@@ -94,6 +94,11 @@ def main():
              "--seeds", "1" if args.quick else "3"],
             None,
         ),
+        "serving_latency": (
+            [py, "benchmarks/serving_latency.py",
+             "--steps", "20" if args.quick else "50"],
+            None,
+        ),
         "sep_cma_flagship": (
             [py, "benchmarks/scaling.py", "--config", "multi_agent", "--agents", "1",
              "--population", "1000", "--hidden", "500", "500", "500", "--ensemble", "5",
