@@ -132,17 +132,14 @@ class _BoxShim:
 
 
 def _install_reference():
-    """Puts the real reference package on sys.path with a tfp stub; returns its modules."""
-    import tensorflow as tf
+    """Puts the real reference package on sys.path with a tfp stub; returns its modules.
 
-    try:
-        # Pin TF to bit-deterministic kernels: without this, parallel reduction order in
-        # the loss/gradient ops drifts with host load (observed as a flaky loss floor in
-        # tests/test_learned_dynamics_parity.py under a loaded full-suite run), so the
-        # reference side of every head-to-head is reproducible for a given seed.
-        tf.config.experimental.enable_op_determinism()
-    except Exception:  # noqa: BLE001 — determinism is a stability aid, never a hard dep
-        pass
+    Reference-side reproducibility note: per-seed bit-determinism comes from the
+    ``clear_session() + keras.utils.set_random_seed()`` reset each runner performs (the
+    old flake was Keras-3's process-global op-seed counter changing layer inits, NOT
+    kernel nondeterminism — verified bitwise without ``enable_op_determinism``, which is
+    deliberately not used here because it globally swaps TF onto slower deterministic
+    kernels and would skew the reference's timed episodes in our favor)."""
     if REFERENCE_ROOT not in sys.path:
         sys.path.insert(0, REFERENCE_ROOT)
     if "tensorflow_probability" not in sys.modules:

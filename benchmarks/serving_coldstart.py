@@ -88,7 +88,8 @@ def _run_phase(script: str, tpu: bool) -> dict:
     out = subprocess.run([sys.executable, "-c", script], capture_output=True,
                          text=True, env=env, timeout=1200)
     wall = time.perf_counter() - t0
-    assert out.returncode == 0, out.stderr[-3000:]
+    if out.returncode != 0:  # not assert: must survive python -O
+        raise RuntimeError(f"phase subprocess failed:\n{out.stderr[-3000:]}")
     row = json.loads(out.stdout.strip().splitlines()[-1])
     row["process_wall_s"] = wall
     return row
@@ -147,7 +148,8 @@ def main(argv=None) -> int:
     import numpy as np
 
     actions = [np.asarray(r["action"], np.float32) for r in rows]
-    assert all(np.array_equal(actions[0], a) for a in actions[1:]), actions
+    if not all(np.array_equal(actions[0], a) for a in actions[1:]):
+        raise RuntimeError(f"phases disagree on the first action: {actions}")
     if args.out:
         with open(args.out, "a") as f:
             for row in rows:

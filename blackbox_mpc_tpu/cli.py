@@ -111,30 +111,39 @@ def cmd_solve(args):
     return 0
 
 
-def cmd_learn(args):
-    _maybe_cpu(args)
-    import jax.numpy as jnp
+def _reward_for_gym_env(env_name: str):
+    """Built-in reward for a gym env name, or the loudly-warned generic surrogate.
 
-    from blackbox_mpc_tpu import LearnedDynamicsConfig, learn_dynamics_iteratively_w_mpc
-    from blackbox_mpc_tpu.envs import make_gym_vec_env
+    ONE definition shared by `learn` and `export --checkpoint-dir`: a controller trained
+    under one objective and exported under a subtly different one would silently plan for
+    the wrong thing."""
     from blackbox_mpc_tpu.models import ANALYTIC_MODELS
 
-    if args.env == "Pendulum-v1":
-        _, reward = ANALYTIC_MODELS["pendulum"]
-    else:
-        # No analytic reward is known for this env — fall back to a generic locomotion
-        # surrogate. This is almost certainly NOT the env's true reward; warn loudly.
-        print(
-            f"WARNING: no built-in reward function for {args.env!r}; planning with a "
-            "generic surrogate reward (obs[0] forward progress - 0.1*||action||^2). "
-            "For meaningful control, use the Python API and pass the env's true reward "
-            "function to learn_dynamics_iteratively_w_mpc.",
-            file=sys.stderr,
-        )
+    if env_name == "Pendulum-v1":
+        return ANALYTIC_MODELS["pendulum"][1]
+    # No analytic reward is known for this env — fall back to a generic locomotion
+    # surrogate. This is almost certainly NOT the env's true reward; warn loudly.
+    print(
+        f"WARNING: no built-in reward function for {env_name!r}; planning with a "
+        "generic surrogate reward (obs[0] forward progress - 0.1*||action||^2). "
+        "For meaningful control, use the Python API and pass the env's true reward "
+        "function.",
+        file=sys.stderr,
+    )
+    import jax.numpy as jnp
 
-        def reward(s, a, ns):  # generic: forward progress on obs[0] minus control cost
-            return ns[:, 0] - s[:, 0] - 0.1 * jnp.sum(jnp.square(a), axis=-1)
+    def reward(s, a, ns):  # generic: forward progress on obs[0] minus control cost
+        return ns[:, 0] - s[:, 0] - 0.1 * jnp.sum(jnp.square(a), axis=-1)
 
+    return reward
+
+
+def cmd_learn(args):
+    _maybe_cpu(args)
+    from blackbox_mpc_tpu import LearnedDynamicsConfig, learn_dynamics_iteratively_w_mpc
+    from blackbox_mpc_tpu.envs import make_gym_vec_env
+
+    reward = _reward_for_gym_env(args.env)
     env = make_gym_vec_env(args.env, num_envs=args.num_envs, mode="subprocess",
                            base_seed=args.seed)
     handler, policy = learn_dynamics_iteratively_w_mpc(
@@ -174,20 +183,27 @@ def cmd_export(args):
     if args.checkpoint_dir:
         handler = DynamicsHandler.load(args.checkpoint_dir)
         dim_s = handler.config.dim_s
-        if args.env not in ANALYTIC_MODELS:
-            print(
-                f"no built-in reward function for {args.env!r}; the exported plan "
-                "quality depends on the surrogate reward (see `learn`)", file=sys.stderr,
-            )
-            import jax.numpy as jnp
-
-            reward = lambda s, a, ns: ns[:, 0] - s[:, 0] - 0.1 * jnp.sum(  # noqa: E731
-                jnp.square(a), axis=-1
-            )
-            space = BoxSpace.of([-1.0] * handler.config.dim_u, [1.0] * handler.config.dim_u)
-        else:
+        dim_u = handler.config.dim_u
+        if args.env in ANALYTIC_MODELS:
             _, reward = ANALYTIC_MODELS[args.env]
             space = _analytic_action_space(args.env)
+        elif args.env == "Pendulum-v1":
+            # Same mapping `learn` uses: real pendulum reward, real +/-2.0 torque bounds.
+            reward = _reward_for_gym_env(args.env)
+            space = _analytic_action_space("pendulum")
+        else:
+            reward = _reward_for_gym_env(args.env)
+            if args.action_low is None or args.action_high is None:
+                # The checkpoint records dims, not bounds; exporting with guessed bounds
+                # would bake a controller that can only command part of the actuator
+                # range (or an infeasible one) — make the user state them.
+                print(
+                    f"error: {args.env!r} has no built-in action bounds; pass "
+                    "--action-low and --action-high (the env's action_space.low/high)",
+                    file=sys.stderr,
+                )
+                return 2
+            space = BoxSpace.of([args.action_low] * dim_u, [args.action_high] * dim_u)
     elif args.env in ANALYTIC_MODELS:
         dynamics, reward = ANALYTIC_MODELS[args.env]
         handler = DynamicsHandler(true_model=dynamics)
@@ -252,6 +268,8 @@ def cmd_serve(args):
             continue
         try:
             req = json.loads(line)
+            if not isinstance(req, dict):
+                raise ValueError(f"request must be a JSON object, got {type(req).__name__}")
             if req.get("cmd") == "close":
                 return 0
             if req.get("cmd") == "reset":
@@ -318,6 +336,15 @@ def main(argv=None) -> int:
     p.add_argument(
         "--platforms", default=None,
         help="comma-separated lowering targets, e.g. tpu,cpu (default: current backend)",
+    )
+    p.add_argument(
+        "--action-low", type=float, default=None,
+        help="action lower bound (required with --checkpoint-dir for envs without "
+             "built-in bounds)",
+    )
+    p.add_argument(
+        "--action-high", type=float, default=None,
+        help="action upper bound (see --action-low)",
     )
     p.set_defaults(fn=cmd_export)
 

@@ -87,7 +87,8 @@ class ServingPolicy:
     """
 
     def __init__(self, meta: dict, step_exported, reset_exported,
-                 state_leaves, params_leaves, proposer_leaves, key_data) -> None:
+                 state_leaves, params_leaves, proposer_leaves, key_data,
+                 program_hash: str = "") -> None:
         self.meta = dict(meta)
         self._num_agents = int(meta["num_agents"])
         self._dim_s = int(meta["dim_s"])
@@ -97,6 +98,7 @@ class ServingPolicy:
         # land in the persistent compilation cache like any jit.
         self._step = jax.jit(step_exported.call)
         self._reset = jax.jit(reset_exported.call)
+        self._program_hash = program_hash
         self._precompiled = False
         self.used_compiled_cache = False
         # device_put (committed), not asarray (uncommitted): after the first act the
@@ -120,6 +122,8 @@ class ServingPolicy:
         executable cache written by :meth:`save_compiled` — when it exists and matches
         this device/jax version, serving starts with ZERO compilation (else it is
         ignored with a warning and XLA compiles as usual)."""
+        import hashlib
+
         with zipfile.ZipFile(path) as zf:
             meta = json.loads(zf.read("meta.json"))
             if meta.get("format_version") != FORMAT_VERSION:
@@ -127,13 +131,17 @@ class ServingPolicy:
                     f"artifact format_version {meta.get('format_version')} != "
                     f"supported {FORMAT_VERSION}"
                 )
-            step = jax.export.deserialize(bytearray(zf.read("step.jaxexport")))
-            reset = jax.export.deserialize(bytearray(zf.read("reset.jaxexport")))
+            step_bytes = zf.read("step.jaxexport")
+            reset_bytes = zf.read("reset.jaxexport")
+            step = jax.export.deserialize(bytearray(step_bytes))
+            reset = jax.export.deserialize(bytearray(reset_bytes))
             state = unpack_tensors(zf, "state")
             params = unpack_tensors(zf, "params")
             proposer = unpack_tensors(zf, "proposer")
             (key_data,) = unpack_tensors(zf, "key")
-        self = cls(meta, step, reset, state, params, proposer, key_data)
+        program_hash = hashlib.sha256(step_bytes + reset_bytes).hexdigest()
+        self = cls(meta, step, reset, state, params, proposer, key_data,
+                   program_hash=program_hash)
         if compiled_cache is not None and os.path.exists(compiled_cache):
             self._load_compiled_cache(compiled_cache)
         return self
@@ -142,7 +150,11 @@ class ServingPolicy:
 
     def _fingerprint(self) -> dict:
         """Validity domain of a compiled-executable cache: serialized XLA executables
-        are pinned to the device kind and the jax/jaxlib pair that produced them."""
+        are pinned to the device kind and the jax/jaxlib pair that produced them, and —
+        via ``program_hash`` (sha256 of the artifact's serialized StableHLO) — to the
+        exact program they were compiled from, so a cache saved against one artifact is
+        rejected after the artifact is re-exported with different solver settings (same
+        input shapes, different program: invisible to every other field)."""
         return {
             "jax_version": jax.__version__,
             "device_kind": jax.devices()[0].device_kind,
@@ -150,6 +162,7 @@ class ServingPolicy:
             "solver_name": self.meta["solver_name"],
             "num_agents": self._num_agents,
             "dim_s": self._dim_s,
+            "program_hash": self._program_hash,
         }
 
     def _example_args(self):

@@ -54,6 +54,18 @@ class SpeculativePipeline:
 
     def __init__(self, policy, spec_tol: Optional[float] = 0.05,
                  exploration_noise: bool = False):
+        # The pipeline drives the policy's jitted step and device-resident state
+        # directly (_dispatch below) — it needs a live MPCPolicy, not just anything
+        # passing the ModelBasedPolicy isinstance gate (e.g. a loaded
+        # deploy.ServingPolicy, which is a virtual subclass with none of these).
+        required = ("_step", "_solver_state", "_handler", "_proposer_params_arg")
+        missing = [a for a in required if not hasattr(policy, a)]
+        if missing:
+            raise TypeError(
+                f"SpeculativePipeline (perform_rollouts overlap=True) requires a live "
+                f"MPCPolicy; {type(policy).__name__} lacks {missing}. Served artifacts "
+                f"(ServingPolicy) do not support speculative overlap."
+            )
         self._policy = policy
         self._spec_tol = spec_tol
         self._noise = bool(exploration_noise)

@@ -376,3 +376,34 @@ def test_save_compiled_from_cache_loaded_instance_raises(tmp_path):
     cached = ServingPolicy.load(art, compiled_cache=cache)
     with pytest.raises(RuntimeError, match="compiled cache"):
         cached.save_compiled(str(tmp_path / "other.xla"))
+
+
+def test_overlap_pipelining_rejects_serving_policy(tmp_path):
+    from blackbox_mpc_tpu import perform_rollouts
+    from blackbox_mpc_tpu.envs import NativePendulumVecEnv
+
+    pol = _true_model_policy("CEM")
+    path = str(tmp_path / "pol.bbmpc")
+    export_policy_artifact(pol, path, dim_s=3)
+    srv = ServingPolicy.load(path)
+    env = NativePendulumVecEnv(num_envs=1, seed=0)
+    try:
+        with pytest.raises(TypeError, match="ServingPolicy"):
+            perform_rollouts(env, srv, number_of_rollouts=1, rollout_horizon=5,
+                             overlap=True)
+    finally:
+        env.close()
+
+
+def test_compiled_cache_rejected_after_artifact_reexport(tmp_path):
+    """The cache fingerprint binds to the artifact's program bytes: re-exporting with
+    different solver settings (same input shapes!) must invalidate the cache."""
+    art = str(tmp_path / "pol.bbmpc")
+    cache = str(tmp_path / "pol.xla")
+    export_policy_artifact(_true_model_policy("CEM"), art, dim_s=3)
+    ServingPolicy.load(art).save_compiled(cache)
+    # same state shapes, different program: more iterations
+    export_policy_artifact(_true_model_policy("CEM", max_iterations=3), art, dim_s=3)
+    with pytest.warns(RuntimeWarning, match="fingerprint"):
+        srv = ServingPolicy.load(art, compiled_cache=cache)
+    assert not srv.used_compiled_cache
