@@ -234,6 +234,31 @@ def cmd_export(args):
     return 0
 
 
+def cmd_inspect(args):
+    """Prints a .bbmpc artifact's metadata and tensor inventory without loading jax
+    programs (ops tooling: what is this file, what will it serve, is it for my device)."""
+    import zipfile
+
+    with zipfile.ZipFile(args.artifact) as zf:
+        meta = json.loads(zf.read("meta.json"))
+        groups = {}
+        for group in ("state", "params", "proposer", "key"):
+            manifest = json.loads(zf.read(f"{group}/manifest.json"))
+            groups[group] = {
+                "leaves": len(manifest),
+                "bytes": sum(
+                    zf.getinfo(f"{group}/{i}.bin").file_size for i in range(len(manifest))
+                ),
+            }
+        program_bytes = {
+            name: zf.getinfo(name).file_size
+            for name in ("step.jaxexport", "reset.jaxexport")
+        }
+    print(json.dumps({"artifact": args.artifact, **meta, "tensors": groups,
+                      "program_bytes": program_bytes}))
+    return 0
+
+
 def cmd_serve(args):
     """JSON-lines action server over a .bbmpc artifact.
 
@@ -347,6 +372,10 @@ def main(argv=None) -> int:
         help="action upper bound (see --action-low)",
     )
     p.set_defaults(fn=cmd_export)
+
+    p = sub.add_parser("inspect", help="print a .bbmpc artifact's metadata as JSON")
+    p.add_argument("artifact")
+    p.set_defaults(fn=cmd_inspect)
 
     p = sub.add_parser(
         "serve",

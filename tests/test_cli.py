@@ -149,3 +149,16 @@ def test_serve_json_lines_protocol(tmp_path):
     assert out2.returncode == 0, out2.stderr[-800:]
     ready2 = json.loads(out2.stdout.strip().splitlines()[0])
     assert ready2["used_compiled_cache"]
+
+
+def test_inspect_prints_artifact_metadata(tmp_path):
+    art = str(tmp_path / "ctrl.bbmpc")
+    proc = _run(["export", "--env", "pendulum", "--cpu", "-o", art,
+                 "--population", "64", "--planning-horizon", "10", "--iterations", "2"])
+    assert proc.returncode == 0, proc.stderr[-800:]
+    proc = _run(["inspect", art])
+    assert proc.returncode == 0, proc.stderr[-800:]
+    row = _last_json(proc.stdout)
+    assert row["solver_name"] == "CEM" and row["dim_s"] == 3
+    assert row["tensors"]["state"]["leaves"] >= 1
+    assert row["program_bytes"]["step.jaxexport"] > 0
