@@ -10,7 +10,7 @@ Timing: differential chained episodes — time(K episodes data-chained in one ji
 minus time(1 episode + readback), divided by K-1 (see bench.py methodology notes).
 
 Run: python benchmarks/device_episode_bench.py          (real TPU via axon)
-Output: JSONL rows appended to benchmarks/results_r2.jsonl.
+Output: JSONL rows appended to benchmarks/results_current.jsonl (historical round files results_r{2,3}.jsonl are frozen).
 """
 import argparse
 import json
@@ -98,7 +98,7 @@ def measure(solver_name, solver_kw):
 def main():
     device = jax.devices()[0].device_kind
     out = _args.out or os.path.join(
-        os.path.dirname(os.path.abspath(__file__)), "results_r2.jsonl")
+        os.path.dirname(os.path.abspath(__file__)), "results_current.jsonl")
     configs = [
         ("CEM", dict(population=1024, max_iterations=5, num_elite=64),
          "CEM pop=1024 H=25 iters=5"),

@@ -7,7 +7,7 @@ rollouts; CEM's is population x iters forward rollouts — this measures whether
 gradients buy a cheaper solve than a 1000-candidate sampled search at flagship scale.
 
 Run: python benchmarks/gradient_solver_bench.py            (real TPU via axon)
-Output: one JSONL row per config appended to benchmarks/results_r2.jsonl.
+Output: one JSONL row per config appended to benchmarks/results_current.jsonl (historical round files results_r{2,3}.jsonl are frozen).
 """
 import json
 import os
@@ -25,7 +25,7 @@ from _flagship_chain import measure, temp_memory_bytes  # noqa: E402  (shared ha
 
 def main():
     device = jax.devices()[0].device_kind
-    out = os.path.join(_HERE, "results_r2.jsonl")
+    out = os.path.join(_HERE, "results_current.jsonl")
     rows = []
     configs = [
         ("CEM", dict(planning_horizon=50, population=1000, num_agents=1, num_elite=50,

@@ -8,7 +8,7 @@ iteration ``i`` — the headline claim is equal-or-better reward at roughly half
 
 Runs anywhere (CPU or the real chip — quality numbers are device-independent; the row
 records the device). Output: one JSON row per (task, solver config) appended to
-``benchmarks/results_r2.jsonl`` and printed.
+``benchmarks/results_current.jsonl`` and printed (round files results_r{2,3}.jsonl are frozen history).
 
 Run: python benchmarks/icem_quality.py [--steps 250] [--seeds 3]
 """
@@ -78,7 +78,7 @@ def main():
     p.add_argument("--seeds", type=int, default=3)
     p.add_argument("--ablation", action="store_true",
                    help="equal-budget CEM + per-feature ablations (VERDICT r2 item 5)")
-    p.add_argument("--out", default=os.path.join(_HERE, "results_r3.jsonl"))
+    p.add_argument("--out", default=os.path.join(_HERE, "results_current.jsonl"))
     args = p.parse_args()
     device = jax.devices()[0].device_kind
     icem_budget = budget(512, 50, 5, ICEM_KW)
