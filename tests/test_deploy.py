@@ -457,3 +457,24 @@ def test_exported_step_composes_under_jit_scan(tmp_path):
         )
     )(srv2._state, jnp.asarray(OBS))
     np.testing.assert_array_equal(np.asarray(actions), np.stack(eager_actions))
+
+
+def test_export_is_deterministic_per_entry(tmp_path):
+    """Two exports of the same policy state are equivalent: every tensor/meta entry is
+    byte-identical and the served behavior matches bitwise. (The jax.export program
+    blobs themselves embed fresh trace uids, so THEIR bytes legitimately differ.)"""
+    import zipfile
+
+    pol = _true_model_policy("CEM")
+    p1, p2 = str(tmp_path / "a.bbmpc"), str(tmp_path / "b.bbmpc")
+    export_policy_artifact(pol, p1, dim_s=3)
+    export_policy_artifact(pol, p2, dim_s=3)
+    with zipfile.ZipFile(p1) as z1, zipfile.ZipFile(p2) as z2:
+        assert sorted(z1.namelist()) == sorted(z2.namelist())
+        for name in z1.namelist():
+            if name.endswith(".jaxexport"):
+                continue
+            assert z1.read(name) == z2.read(name), f"entry {name} differs between exports"
+    a1, _, _ = ServingPolicy.load(p1).act(OBS, t=0)
+    a2, _, _ = ServingPolicy.load(p2).act(OBS, t=0)
+    np.testing.assert_array_equal(a1, a2)
