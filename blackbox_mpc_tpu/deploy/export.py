@@ -21,9 +21,12 @@ the exploration-noise action and selects — both paths are bit-identical to
 ``MPCPolicy.act(..., exploration_noise=...)`` because the noise key is derived by the
 same ``jax.random.split(key, 3)`` the policy's own step performs.
 
-Scope: the XLA rollout backend, single-device. The kernel backends (``pallas``/
-``fused``) ship Mosaic custom calls that are not portable StableHLO, and mesh-sharded
-policies would pin the artifact to one topology — both raise here with pointers.
+Scope: the XLA rollout backend. The kernel backends (``pallas``/``fused``) ship Mosaic
+custom calls that are not portable StableHLO and raise here. Mesh-sharded policies DO
+export — the collectives ride along in the StableHLO — but the artifact is then
+**topology-pinned**: ``meta["nr_devices"]``/``meta["mesh_axes"]`` record the pin and
+``ServingPolicy`` validates the serving runtime has that many devices (verified bitwise
+on the 8-device CPU mesh for both ``shard_axis="population"`` and ``"agents"``).
 """
 from __future__ import annotations
 
@@ -63,11 +66,10 @@ def export_policy_artifact(
 
     Returns the artifact's ``meta`` dict.
     """
-    if policy._mesh is not None:
+    if policy._mesh is not None and policy._rollout_backend != "xla":
         raise ValueError(
-            "mesh-sharded policies are not exportable: the serialized program would pin "
-            "one device topology. Export a single-device policy (mesh=None) and shard "
-            "at load time, or serve the live MPCPolicy."
+            "sharded export supports the XLA backend only (the fused kernels are Mosaic "
+            "custom calls, not portable StableHLO)"
         )
     if policy._rollout_backend != "xla":
         raise ValueError(
@@ -159,6 +161,15 @@ def export_policy_artifact(
         "jax_version": jax.__version__,
         "package_version": pkg_version,
         "calling_convention_version": int(step_exp.calling_convention_version),
+        # Topology pinning: a mesh-sharded policy exports with its collectives baked in;
+        # the artifact then requires EXACTLY this many devices to serve (ServingPolicy
+        # validates at load). 1 for single-device policies.
+        "nr_devices": int(step_exp.nr_devices),
+        "mesh_axes": (
+            {name: int(size) for name, size in
+             zip(policy._mesh.axis_names, policy._mesh.devices.shape)}
+            if policy._mesh is not None else None
+        ),
     }
     write_artifact(
         path, meta, step_exp.serialize(), reset_exp.serialize(),

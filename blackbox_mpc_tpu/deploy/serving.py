@@ -101,18 +101,36 @@ class ServingPolicy:
         self._program_hash = program_hash
         self._precompiled = False
         self.used_compiled_cache = False
-        # device_put (committed), not asarray (uncommitted): after the first act the
-        # state leaves are COMMITTED outputs of the compiled step, and committedness is
-        # part of the jit cache key — loading them uncommitted would force one silent
-        # recompile on the second act (measured as a 481 ms latency spike on CPU).
-        dev = jax.devices()[0]
-        as_dev = lambda xs: tuple(jax.device_put(jnp.asarray(x), dev) for x in xs)  # noqa: E731
+        nr = int(meta.get("nr_devices", 1))
+        if nr > len(jax.devices()):
+            raise ValueError(
+                f"artifact is topology-pinned to {nr} devices "
+                f"(mesh_axes={meta.get('mesh_axes')}), but this runtime has "
+                f"{len(jax.devices())}"
+            )
+        if nr == 1:
+            # device_put (committed), not asarray (uncommitted): after the first act the
+            # state leaves are COMMITTED outputs of the compiled step, and committedness
+            # is part of the jit cache key — loading them uncommitted would force one
+            # silent recompile on the second act (measured as a 481 ms spike on CPU).
+            dev = jax.devices()[0]
+            put = lambda x: jax.device_put(jnp.asarray(x), dev)  # noqa: E731
+        else:
+            # Sharded artifact: an Exported must be CALLED in a context with the same
+            # device count it was exported for. Committing the inputs replicated over
+            # the first nr devices gives the call that context (the program's internal
+            # sharding constraints then distribute the candidate tensors).
+            from jax.sharding import Mesh, NamedSharding, PartitionSpec
+
+            mesh = Mesh(np.asarray(jax.devices()[:nr]), ("_serve",))
+            repl = NamedSharding(mesh, PartitionSpec())
+            put = lambda x: jax.device_put(jnp.asarray(x), repl)  # noqa: E731
+        self._put = put
+        as_dev = lambda xs: tuple(put(x) for x in xs)  # noqa: E731
         self._state = as_dev(state_leaves)
         self._params = as_dev(params_leaves)
         self._proposer = as_dev(proposer_leaves)
-        self._key = jax.device_put(
-            jax.random.wrap_key_data(jnp.asarray(key_data), impl=self._impl), dev
-        )
+        self._key = put(jax.random.wrap_key_data(jnp.asarray(key_data), impl=self._impl))
 
     # ------------------------------------------------------------------ construction
 
@@ -162,6 +180,7 @@ class ServingPolicy:
             "solver_name": self.meta["solver_name"],
             "num_agents": self._num_agents,
             "dim_s": self._dim_s,
+            "nr_devices": int(self.meta.get("nr_devices", 1)),
             "program_hash": self._program_hash,
         }
 
@@ -257,9 +276,10 @@ class ServingPolicy:
         self._key, step_key = jax.random.split(self._key)
         action, self._state, self._last_expected_reward, self._last_plan, next_obs, rew = (
             self._step(
-                self._state, self._params, self._proposer, jnp.asarray(obs),
-                jnp.asarray(t, jnp.int32), jax.random.key_data(step_key),
-                jnp.asarray(bool(exploration_noise)),
+                self._state, self._params, self._proposer, self._put(obs),
+                self._put(jnp.asarray(t, jnp.int32)),
+                self._put(jax.random.key_data(step_key)),
+                self._put(jnp.asarray(bool(exploration_noise))),
             )
         )
         action, next_obs, rew = jax.device_get((action, next_obs, rew))
@@ -277,7 +297,7 @@ class ServingPolicy:
     def reset(self) -> None:
         """Per-episode solver-state reset, mirroring ``MPCPolicy.reset``."""
         self._key, reset_key = jax.random.split(self._key)
-        self._state = self._reset(self._state, jax.random.key_data(reset_key))
+        self._state = self._reset(self._state, self._put(jax.random.key_data(reset_key)))
 
     def reseed(self, seed: int) -> None:
         """Replaces the resumed PRNG stream with a fresh one (same impl)."""
@@ -305,7 +325,7 @@ class ServingPolicy:
                 )
             # committed, matching the load-time placement (see __init__) — a mixed
             # committed/uncommitted swap would silently recompile the step.
-            new.append(jax.device_put(arr, jax.devices()[0]))
+            new.append(self._put(arr))
         self._params = tuple(new)
 
     def __repr__(self) -> str:  # pragma: no cover - cosmetic

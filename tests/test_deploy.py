@@ -191,16 +191,6 @@ def test_export_rejects_unexportable_configurations(tmp_path):
     pol = _true_model_policy("CEM")
     with pytest.raises(ValueError, match="dim_s"):
         export_policy_artifact(pol, str(tmp_path / "x.bbmpc"))
-    # mesh-sharded policy
-    from blackbox_mpc_tpu.parallel import make_pop_mesh
-
-    handler, _ = _learned_policy()
-    sharded = MPCPolicy(
-        SPACE, pendulum_reward, handler, solver_name="CEM", planning_horizon=8,
-        population=32, num_elite=4, max_iterations=2, mesh=make_pop_mesh(2),
-    )
-    with pytest.raises(ValueError, match="mesh"):
-        export_policy_artifact(sharded, str(tmp_path / "x.bbmpc"))
     # kernel backend
     handler2, _ = _learned_policy()
     kern = MPCPolicy(
@@ -478,3 +468,53 @@ def test_export_is_deterministic_per_entry(tmp_path):
     a1, _, _ = ServingPolicy.load(p1).act(OBS, t=0)
     a2, _, _ = ServingPolicy.load(p2).act(OBS, t=0)
     np.testing.assert_array_equal(a1, a2)
+
+
+@pytest.mark.parametrize("shard_axis,agents", [("population", 1), ("agents", 8)])
+def test_sharded_policy_exports_topology_pinned(tmp_path, shard_axis, agents):
+    """Mesh-sharded policies export: the collectives ride along in the StableHLO and the
+    artifact is topology-pinned (nr_devices recorded + validated; serving bit-matches
+    the live sharded policy on the 8-device CPU mesh)."""
+    from blackbox_mpc_tpu.parallel import make_pop_mesh
+
+    handler = DynamicsHandler(
+        config=LearnedDynamicsConfig(dim_s=3, dim_u=1, hidden=(16, 16))
+    )
+    pol = MPCPolicy(
+        SPACE, pendulum_reward, handler, solver_name="CEM", planning_horizon=8,
+        population=32, num_elite=4, max_iterations=2, seed=7, num_agents=agents,
+        mesh=make_pop_mesh(8), shard_axis=shard_axis,
+    )
+    path = str(tmp_path / "sharded.bbmpc")
+    meta = export_policy_artifact(pol, path)
+    assert meta["nr_devices"] == 8 and meta["mesh_axes"] == {"pop": 8}
+    srv = ServingPolicy.load(path)
+    obs = np.tile(OBS, (agents, 1))
+    for t in (0, 1):
+        a1, n1, _ = pol.act(obs, t=t)
+        a2, n2, _ = srv.act(obs, t=t)
+        np.testing.assert_array_equal(a1, a2)
+        np.testing.assert_array_equal(n1, n2)
+    pol.reset()
+    srv.reset()
+    np.testing.assert_array_equal(pol.act(obs)[0], srv.act(obs)[0])
+
+
+def test_topology_pinned_artifact_refuses_smaller_runtime(tmp_path, monkeypatch):
+    from blackbox_mpc_tpu.parallel import make_pop_mesh
+
+    handler = DynamicsHandler(
+        config=LearnedDynamicsConfig(dim_s=3, dim_u=1, hidden=(16, 16))
+    )
+    pol = MPCPolicy(
+        SPACE, pendulum_reward, handler, solver_name="CEM", planning_horizon=8,
+        population=32, num_elite=4, max_iterations=2, mesh=make_pop_mesh(8),
+    )
+    path = str(tmp_path / "sharded.bbmpc")
+    export_policy_artifact(pol, path)
+    import jax
+
+    one = jax.devices()[:1]
+    monkeypatch.setattr(jax, "devices", lambda *a, **k: one)
+    with pytest.raises(ValueError, match="topology-pinned to 8"):
+        ServingPolicy.load(path)
