@@ -181,7 +181,16 @@ def cmd_export(args):
     from blackbox_mpc_tpu.models import ANALYTIC_MODELS
 
     if args.checkpoint_dir:
-        handler = DynamicsHandler.load(args.checkpoint_dir)
+        import os
+
+        # Accept both layouts: a DynamicsHandler.save directory, or an MBRL-loop
+        # checkpoint_dir (workflows/iterative_mpc.py nests the handler under handler/).
+        ckpt = args.checkpoint_dir
+        if not os.path.exists(os.path.join(ckpt, "config.json")) and os.path.exists(
+            os.path.join(ckpt, "handler", "config.json")
+        ):
+            ckpt = os.path.join(ckpt, "handler")
+        handler = DynamicsHandler.load(ckpt)
         dim_s = handler.config.dim_s
         dim_u = handler.config.dim_u
         if args.env in ANALYTIC_MODELS:

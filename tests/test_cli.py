@@ -162,3 +162,51 @@ def test_inspect_prints_artifact_metadata(tmp_path):
     assert row["solver_name"] == "CEM" and row["dim_s"] == 3
     assert row["tensors"]["state"]["leaves"] >= 1
     assert row["program_bytes"]["step.jaxexport"] > 0
+
+
+def test_learn_checkpoint_export_serve_pipeline(tmp_path):
+    """The full production story end-to-end through the CLI: learn dynamics on
+    Pendulum-v1, checkpoint, export a learned-dynamics controller from the checkpoint
+    (exercising the Pendulum-v1 reward/bounds mapping), then serve it."""
+    ckpt = str(tmp_path / "ckpt")
+    proc = _run(["learn", "--env", "Pendulum-v1", "--cpu", "--steps", "40",
+                 "--initial-rollouts", "2", "--refinements", "0", "--epochs", "3",
+                 "--population", "64", "--planning-horizon", "10",
+                 "--checkpoint-dir", ckpt], timeout=600)
+    assert proc.returncode == 0, proc.stderr[-1200:]
+    art = str(tmp_path / "learned.bbmpc")
+    proc = _run(["export", "--env", "Pendulum-v1", "--cpu", "--checkpoint-dir", ckpt,
+                 "-o", art, "--population", "64", "--planning-horizon", "10",
+                 "--iterations", "2"])
+    assert proc.returncode == 0, proc.stderr[-1200:]
+    row = _last_json(proc.stdout)
+    assert row["dim_s"] == 3 and row["dim_u"] == 1
+    req = json.dumps({"obs": [0.5, 0.1, 0.0], "t": 0}) + "\n" + json.dumps({"cmd": "close"}) + "\n"
+    env = dict(os.environ)
+    env["PYTHONPATH"] = f"{ROOT}:{env.get('PYTHONPATH', '')}"
+    env["JAX_PLATFORMS"] = "cpu"
+    out = subprocess.run(
+        [sys.executable, "-m", "blackbox_mpc_tpu.cli", "serve", art, "--cpu"],
+        input=req, capture_output=True, text=True, timeout=300, cwd=ROOT, env=env,
+    )
+    assert out.returncode == 0, out.stderr[-1200:]
+    lines = [json.loads(ln) for ln in out.stdout.strip().splitlines()]
+    action = lines[1]["action"]
+    assert len(action) == 1 and -2.0 <= action[0] <= 2.0  # the real pendulum bounds
+
+
+def test_export_checkpoint_unknown_env_requires_bounds(tmp_path):
+    ckpt = str(tmp_path / "ckpt")
+    proc = _run(["learn", "--env", "Pendulum-v1", "--cpu", "--steps", "30",
+                 "--initial-rollouts", "2", "--refinements", "0", "--epochs", "2",
+                 "--population", "64", "--planning-horizon", "8",
+                 "--checkpoint-dir", ckpt], timeout=600)
+    assert proc.returncode == 0, proc.stderr[-1200:]
+    proc = _run(["export", "--env", "SomeOther-v0", "--cpu", "--checkpoint-dir", ckpt,
+                 "-o", str(tmp_path / "x.bbmpc"), "--population", "64",
+                 "--planning-horizon", "8"])
+    assert proc.returncode == 2 and "action-low" in proc.stderr
+    proc = _run(["export", "--env", "SomeOther-v0", "--cpu", "--checkpoint-dir", ckpt,
+                 "-o", str(tmp_path / "x.bbmpc"), "--population", "64",
+                 "--planning-horizon", "8", "--action-low", "-2", "--action-high", "2"])
+    assert proc.returncode == 0, proc.stderr[-1200:]
