@@ -518,3 +518,18 @@ def test_topology_pinned_artifact_refuses_smaller_runtime(tmp_path, monkeypatch)
     monkeypatch.setattr(jax, "devices", lambda *a, **k: one)
     with pytest.raises(ValueError, match="topology-pinned to 8"):
         ServingPolicy.load(path)
+
+
+def test_icem_featured_policy_exports_and_matches(tmp_path):
+    """iCEM features (colored noise, population decay, elite persistence) are part of
+    the traced program — they export like anything else."""
+    pol = _true_model_policy(
+        "CEM", colored_noise_beta=2.0, population_decay=0.8, keep_elites=2,
+    )
+    path = str(tmp_path / "icem.bbmpc")
+    export_policy_artifact(pol, path, dim_s=3)
+    srv = ServingPolicy.load(path)
+    for t in (0, 1):
+        a1, _, _ = pol.act(OBS, t=t)
+        a2, _, _ = srv.act(OBS, t=t)
+        np.testing.assert_array_equal(a1, a2)
