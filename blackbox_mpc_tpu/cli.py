@@ -248,7 +248,19 @@ def cmd_inspect(args):
     programs (ops tooling: what is this file, what will it serve, is it for my device)."""
     import zipfile
 
-    with zipfile.ZipFile(args.artifact) as zf:
+    try:
+        zf_ctx = zipfile.ZipFile(args.artifact)
+    except FileNotFoundError:
+        print(f"error: no such file: {args.artifact}", file=sys.stderr)
+        return 2
+    except zipfile.BadZipFile:
+        print(
+            f"error: {args.artifact} is not a .bbmpc artifact (not a zip — a raw "
+            "export_dynamics blob loads with jax.export.deserialize instead)",
+            file=sys.stderr,
+        )
+        return 2
+    with zf_ctx as zf:
         meta = json.loads(zf.read("meta.json"))
         groups = {}
         for group in ("state", "params", "proposer", "key"):

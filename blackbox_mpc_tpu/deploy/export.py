@@ -66,16 +66,11 @@ def export_policy_artifact(
 
     Returns the artifact's ``meta`` dict.
     """
-    if policy._mesh is not None and policy._rollout_backend != "xla":
-        raise ValueError(
-            "sharded export supports the XLA backend only (the fused kernels are Mosaic "
-            "custom calls, not portable StableHLO)"
-        )
     if policy._rollout_backend != "xla":
         raise ValueError(
-            f"rollout_backend={policy._rollout_backend!r} is not exportable: the Mosaic "
-            "kernels are device-specific custom calls, not portable StableHLO. Build the "
-            "policy with rollout_backend='xla' for export."
+            f"rollout_backend={policy._rollout_backend!r} is not exportable (sharded or "
+            "not): the Mosaic kernels are device-specific custom calls, not portable "
+            "StableHLO. Build the policy with rollout_backend='xla' for export."
         )
     handler = policy._handler
     if dim_s is None:

@@ -40,9 +40,17 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-__all__ = ["ServingPolicy", "pack_tensors", "unpack_tensors", "FORMAT_VERSION"]
+__all__ = ["ServingPolicy", "pack_tensors", "unpack_tensors", "FORMAT_VERSION",
+           "SUPPORTED_FORMAT_VERSIONS"]
 
+# Version 1: single-device artifacts. Version 2: topology-pinned sharded artifacts
+# (nr_devices > 1) — stamped v2 so that a pre-sharding copy of this loader rejects them
+# at the version gate with a clear message instead of dying inside the exported call
+# with an opaque device-count error. Single-device artifacts stay v1 (loadable by old
+# deployed copies of this file).
 FORMAT_VERSION = 1
+SHARDED_FORMAT_VERSION = 2
+SUPPORTED_FORMAT_VERSIONS = (1, 2)
 
 
 def _np_dtype(name: str) -> np.dtype:
@@ -144,10 +152,10 @@ class ServingPolicy:
 
         with zipfile.ZipFile(path) as zf:
             meta = json.loads(zf.read("meta.json"))
-            if meta.get("format_version") != FORMAT_VERSION:
+            if meta.get("format_version") not in SUPPORTED_FORMAT_VERSIONS:
                 raise ValueError(
-                    f"artifact format_version {meta.get('format_version')} != "
-                    f"supported {FORMAT_VERSION}"
+                    f"artifact format_version {meta.get('format_version')} not in "
+                    f"supported {SUPPORTED_FORMAT_VERSIONS}"
                 )
             step_bytes = zf.read("step.jaxexport")
             reset_bytes = zf.read("reset.jaxexport")
@@ -240,10 +248,12 @@ class ServingPolicy:
             fp, want = payload["fingerprint"], self._fingerprint()
             if fp != want:
                 raise ValueError(f"compiled cache fingerprint {fp} != this runtime {want}")
-            # The exported program is single-device; without pinning execution_devices,
-            # deserialize_and_load spreads it over ALL local devices (wrong on a
-            # multi-device host, e.g. the 8-device CPU test mesh).
-            dev = jax.devices()[:1]
+            # Pin execution_devices to the artifact's device count: without pinning,
+            # deserialize_and_load spreads a single-device program over ALL local
+            # devices (wrong on a multi-device host); and a topology-pinned sharded
+            # program must get exactly its nr_devices (a [:1] pin would fail its load
+            # with FAILED_PRECONDITION on a multi-device mesh).
+            dev = jax.devices()[: int(self.meta.get("nr_devices", 1))]
             self._step = se.deserialize_and_load(*payload["step"], execution_devices=dev)
             self._reset = se.deserialize_and_load(*payload["reset"], execution_devices=dev)
             self._precompiled = True
@@ -346,9 +356,12 @@ def write_artifact(path: str, meta: dict, step_bytes: bytes, reset_bytes: bytes,
                    state_leaves, params_leaves, proposer_leaves, key_data) -> None:
     """Writes the zip layout documented in the module docstring (used by export.py;
     lives here so the format reader/writer stay in one self-contained file)."""
+    version = (
+        SHARDED_FORMAT_VERSION if int(meta.get("nr_devices", 1)) > 1 else FORMAT_VERSION
+    )
     buf = io.BytesIO()
     with zipfile.ZipFile(buf, "w", compression=zipfile.ZIP_DEFLATED) as zf:
-        zf.writestr("meta.json", json.dumps({**meta, "format_version": FORMAT_VERSION}))
+        zf.writestr("meta.json", json.dumps({**meta, "format_version": version}))
         zf.writestr("step.jaxexport", step_bytes)
         zf.writestr("reset.jaxexport", reset_bytes)
         pack_tensors(zf, "state", state_leaves)

@@ -533,3 +533,34 @@ def test_icem_featured_policy_exports_and_matches(tmp_path):
         a1, _, _ = pol.act(OBS, t=t)
         a2, _, _ = srv.act(OBS, t=t)
         np.testing.assert_array_equal(a1, a2)
+
+
+def test_sharded_artifact_compiled_cache_roundtrip(tmp_path):
+    """The zero-compile cache works for topology-pinned artifacts too: execution
+    devices must be pinned to the artifact's nr_devices, not [:1] (regression: the
+    cache load failed with FAILED_PRECONDITION and silently fell back to compiling)."""
+    from blackbox_mpc_tpu.parallel import make_pop_mesh
+
+    handler = DynamicsHandler(
+        config=LearnedDynamicsConfig(dim_s=3, dim_u=1, hidden=(16, 16))
+    )
+    pol = MPCPolicy(
+        SPACE, pendulum_reward, handler, solver_name="CEM", planning_horizon=8,
+        population=32, num_elite=4, max_iterations=2, seed=7, mesh=make_pop_mesh(8),
+    )
+    art = str(tmp_path / "sharded.bbmpc")
+    cache = str(tmp_path / "sharded.xla")
+    meta = export_policy_artifact(pol, art)
+    assert meta["nr_devices"] == 8
+    # sharded artifacts carry format_version 2 (old loaders reject at the gate)
+    import zipfile
+
+    with zipfile.ZipFile(art) as zf:
+        assert json.loads(zf.read("meta.json"))["format_version"] == 2
+    ServingPolicy.load(art).save_compiled(cache)
+    plain = ServingPolicy.load(art)
+    cached = ServingPolicy.load(art, compiled_cache=cache)
+    assert cached.used_compiled_cache
+    a1, _, _ = plain.act(OBS, t=0)
+    a2, _, _ = cached.act(OBS, t=0)
+    np.testing.assert_array_equal(a1, a2)
