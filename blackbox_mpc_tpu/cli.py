@@ -194,6 +194,19 @@ def cmd_export(args):
         dim_s = handler.config.dim_s
         dim_u = handler.config.dim_u
         if args.env in ANALYTIC_MODELS:
+            # The analytic reward reads fixed state slots (pendulum: cos/sin/thdot);
+            # exporting a checkpoint with other dims would bake a controller that
+            # silently optimizes the wrong objective — refuse up front.
+            want_s = {"pendulum": 3, "cartpole": 4}[args.env]
+            want_u = 1
+            if (dim_s, dim_u) != (want_s, want_u):
+                print(
+                    f"error: checkpoint is dim_s={dim_s}, dim_u={dim_u} but the "
+                    f"{args.env!r} analytic reward expects dim_s={want_s}, "
+                    f"dim_u={want_u} — wrong checkpoint for this --env",
+                    file=sys.stderr,
+                )
+                return 2
             _, reward = ANALYTIC_MODELS[args.env]
             space = _analytic_action_space(args.env)
         elif args.env == "Pendulum-v1":
@@ -260,21 +273,31 @@ def cmd_inspect(args):
             file=sys.stderr,
         )
         return 2
-    with zf_ctx as zf:
-        meta = json.loads(zf.read("meta.json"))
-        groups = {}
-        for group in ("state", "params", "proposer", "key"):
-            manifest = json.loads(zf.read(f"{group}/manifest.json"))
-            groups[group] = {
-                "leaves": len(manifest),
-                "bytes": sum(
-                    zf.getinfo(f"{group}/{i}.bin").file_size for i in range(len(manifest))
-                ),
+    try:
+        with zf_ctx as zf:
+            meta = json.loads(zf.read("meta.json"))
+            groups = {}
+            for group in ("state", "params", "proposer", "key"):
+                manifest = json.loads(zf.read(f"{group}/manifest.json"))
+                groups[group] = {
+                    "leaves": len(manifest),
+                    "bytes": sum(
+                        zf.getinfo(f"{group}/{i}.bin").file_size
+                        for i in range(len(manifest))
+                    ),
+                }
+            program_bytes = {
+                name: zf.getinfo(name).file_size
+                for name in ("step.jaxexport", "reset.jaxexport")
             }
-        program_bytes = {
-            name: zf.getinfo(name).file_size
-            for name in ("step.jaxexport", "reset.jaxexport")
-        }
+    except KeyError as e:
+        # A valid zip that is not one of ours: zipfile raises KeyError on a missing
+        # member — report which entry is absent instead of a traceback.
+        print(
+            f"error: {args.artifact} is not a .bbmpc artifact ({e.args[0]})",
+            file=sys.stderr,
+        )
+        return 2
     print(json.dumps({"artifact": args.artifact, **meta, "tensors": groups,
                       "program_bytes": program_bytes}))
     return 0
@@ -331,7 +354,9 @@ def cmd_serve(args):
                 "predicted_next_obs": np.asarray(next_obs).tolist(),
                 "predicted_reward": np.asarray(reward).tolist(),
             }), flush=True)
-        except (KeyError, ValueError, TypeError) as e:
+        except Exception as e:  # noqa: BLE001 — per-request isolation: a malformed
+            # request OR a runtime failure inside the compiled step (XlaRuntimeError,
+            # device OOM) must yield a JSON error line, never kill the server.
             print(json.dumps({"error": f"{type(e).__name__}: {e}"}), flush=True)
     return 0
 
@@ -407,7 +432,8 @@ def main(argv=None) -> int:
     p.add_argument(
         "--compiled-cache", default=None,
         help="device-pinned XLA executable cache: loaded when present (zero-compile "
-             "start), written after first compile otherwise",
+             "start), written after first compile otherwise. The cache is a pickle — "
+             "loading it executes its contents, so only point this at trusted files",
     )
     p.set_defaults(fn=cmd_serve)
 

@@ -233,8 +233,12 @@ class ServingPolicy:
             "step": se.serialize(self._step),
             "reset": se.serialize(self._reset),
         }
-        with open(path, "wb") as f:
+        # Atomic publish: write to a sibling tmp file then os.replace, so a
+        # concurrently-starting server can never observe a truncated cache.
+        tmp = f"{path}.tmp.{os.getpid()}"
+        with open(tmp, "wb") as f:
             pickle.dump(payload, f)
+        os.replace(tmp, path)
 
     def _load_compiled_cache(self, path: str) -> None:
         import pickle

@@ -31,7 +31,11 @@ from blackbox_mpc_tpu.models.normalizer import fit_normalizer
 
 logger = logging.getLogger(__name__)
 
-__all__ = ["DynamicsHandler"]
+__all__ = ["DynamicsHandler", "CHECKPOINT_FORMAT_VERSION"]
+
+# Training-checkpoint payload version (mirrors the `.bbmpc` serving artifacts' stamp,
+# deploy/serving.py). 0 = pre-r5 unstamped; 1 = adds replay_keys manifest + this stamp.
+CHECKPOINT_FORMAT_VERSION = 1
 
 
 class DynamicsHandler:
@@ -321,11 +325,17 @@ class DynamicsHandler:
 
         directory = os.path.abspath(directory)
         os.makedirs(directory, exist_ok=True)
+        cfg = {k: v for k, v in self._config.__dict__.items() if k != "compute_dtype"}
+        cfg["compute_dtype"] = jnp.dtype(self._config.compute_dtype).name
+        replay_state = self._replay.state_dict()
         with open(os.path.join(directory, "config.json"), "w") as f:
-            cfg = {k: v for k, v in self._config.__dict__.items() if k != "compute_dtype"}
-            cfg["compute_dtype"] = jnp.dtype(self._config.compute_dtype).name
             json.dump(
                 {
+                    # Version stamp + the saved replay-key manifest: load() restores
+                    # against exactly these keys instead of introspecting the orbax
+                    # checkpoint's internal metadata tree (an unstable API surface).
+                    "format_version": CHECKPOINT_FORMAT_VERSION,
+                    "replay_keys": sorted(replay_state.keys()),
                     "config": cfg,
                     "train_calls": self._train_calls,
                     "stats_fitted": self._stats_fitted,
@@ -337,7 +347,7 @@ class DynamicsHandler:
             "opt_state": self._train_state.opt_state,
             "step": self._train_state.step,
             "stats": self._params.stats,
-            "replay": self._replay.state_dict(),
+            "replay": replay_state,
         }
         ckpt_dir = os.path.join(directory, "checkpoint")
         ckptr = ocp.PyTreeCheckpointer()
@@ -352,6 +362,12 @@ class DynamicsHandler:
         directory = os.path.abspath(directory)
         with open(os.path.join(directory, "config.json")) as f:
             meta = json.load(f)
+        version = int(meta.get("format_version", 0))  # pre-r5 checkpoints are unstamped
+        if version > CHECKPOINT_FORMAT_VERSION:
+            raise ValueError(
+                f"checkpoint {directory} has format_version={version}, newer than this "
+                f"build supports ({CHECKPOINT_FORMAT_VERSION}); upgrade blackbox_mpc_tpu"
+            )
         cfg_dict = dict(meta["config"])
         cfg_dict["hidden"] = tuple(cfg_dict["hidden"])
         cfg_dict["compute_dtype"] = jnp.dtype(cfg_dict["compute_dtype"])
@@ -369,10 +385,24 @@ class DynamicsHandler:
         # The restore template must match the saved structure exactly; pre-round-2
         # checkpoints lack replay["rng"] (added later for resume bit-reproducibility),
         # so trim template keys the checkpoint doesn't have — load_state_dict treats a
-        # missing "rng" as "keep the fresh stream".
-        saved_replay = ckptr.metadata(ckpt_path).item_metadata.tree["replay"]
-        template["replay"] = {k: v for k, v in template["replay"].items() if k in saved_replay}
-        restored = ckptr.restore(ckpt_path, item=template)
+        # missing "rng" as "keep the fresh stream". Stamped checkpoints carry the saved
+        # key list in config.json; unstamped (pre-r5) ones are probed by attempting the
+        # full template and retrying without "rng" on a structure mismatch — no
+        # dependence on orbax's internal metadata tree either way.
+        replay_keys = meta.get("replay_keys")
+        if replay_keys is not None:
+            template["replay"] = {
+                k: v for k, v in template["replay"].items() if k in replay_keys
+            }
+            restored = ckptr.restore(ckpt_path, item=template)
+        else:
+            try:
+                restored = ckptr.restore(ckpt_path, item=template)
+            except Exception:
+                template["replay"] = {
+                    k: v for k, v in template["replay"].items() if k != "rng"
+                }
+                restored = ckptr.restore(ckpt_path, item=template)
         handler._train_state = handler._trainer_init(restored["params"])
         handler._train_state = handler._train_state.replace(
             opt_state=restored["opt_state"], step=restored["step"]

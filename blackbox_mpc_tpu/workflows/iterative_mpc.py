@@ -98,8 +98,14 @@ def learn_dynamics_iteratively_w_mpc(
         os.makedirs(checkpoint_dir, exist_ok=True)
         handler.save(os.path.join(checkpoint_dir, "handler"))
         if proposer is not None:
-            np.save(os.path.join(checkpoint_dir, "proposer.npy"),
-                    np.asarray([proposer.state_dict()], dtype=object), allow_pickle=True)
+            # Orbax pytree snapshot, same convention as the handler checkpoint (the
+            # pre-r5 pickled-object-array proposer.npy format is still readable below).
+            import orbax.checkpoint as ocp
+
+            ocp.PyTreeCheckpointer().save(
+                os.path.join(checkpoint_dir, "proposer"),
+                proposer.state_dict(), force=True,
+            )
         with open(os.path.join(checkpoint_dir, "loop_state.json"), "w") as f:
             json.dump({"completed_refinements": completed}, f)
 
@@ -138,14 +144,23 @@ def learn_dynamics_iteratively_w_mpc(
             ProposerConfig(dim_s=dim_s, dim_u=dim_u, hidden=tuple(bc_hidden)),
             Bounds.from_space(env.action_space), seed=seed,
         )
-        proposer_ckpt = (
+        proposer_dir = (
+            os.path.join(checkpoint_dir, "proposer") if checkpoint_dir else None
+        )
+        legacy_npy = (
             os.path.join(checkpoint_dir, "proposer.npy") if checkpoint_dir else None
         )
-        if resume and proposer_ckpt and os.path.exists(proposer_ckpt):
+        if resume and proposer_dir and os.path.isdir(proposer_dir):
+            import orbax.checkpoint as ocp
+
             proposer.load_state_dict(
-                np.load(proposer_ckpt, allow_pickle=True)[0]
+                ocp.PyTreeCheckpointer().restore(proposer_dir, item=proposer.state_dict())
             )
-            logger.info("resumed proposer from %s", proposer_ckpt)
+            logger.info("resumed proposer from %s", proposer_dir)
+        elif resume and legacy_npy and os.path.exists(legacy_npy):
+            # Pre-r5 checkpoints saved a pickled numpy object array; read-only compat.
+            proposer.load_state_dict(np.load(legacy_npy, allow_pickle=True)[0])
+            logger.info("resumed proposer from legacy %s", legacy_npy)
         else:
             bc = proposer.train(handler.replay, epochs=bc_epochs)
             logger.info("behavior cloning: %s", bc)

@@ -210,3 +210,70 @@ def test_export_checkpoint_unknown_env_requires_bounds(tmp_path):
                  "-o", str(tmp_path / "x.bbmpc"), "--population", "64",
                  "--planning-horizon", "8", "--action-low", "-2", "--action-high", "2"])
     assert proc.returncode == 0, proc.stderr[-1200:]
+
+
+def test_export_checkpoint_dim_mismatch_with_analytic_env(tmp_path):
+    """ADVICE r4: a checkpoint whose dims don't match the analytic --env's reward must be
+    refused (exit 2), not exported with the reward silently reading wrong state slots.
+    A cartpole-shaped (S=4) checkpoint is synthesized directly via the handler API."""
+    import numpy as np
+
+    from blackbox_mpc_tpu import DynamicsHandler, LearnedDynamicsConfig
+
+    cfg = LearnedDynamicsConfig(dim_s=4, dim_u=1, hidden=(8,), ensemble_size=1)
+    handler = DynamicsHandler(config=cfg, seed=0)
+    rng = np.random.default_rng(0)
+    s = rng.normal(size=(64, 4)).astype(np.float32)
+    a = rng.uniform(-1, 1, (64, 1)).astype(np.float32)
+    handler.replay.add_transitions(s, a, s + 0.01 * a)
+    handler.train(epochs=1, batch_size=32)
+    ckpt = str(tmp_path / "ckpt")
+    handler.save(ckpt)
+    proc = _run(["export", "--env", "pendulum", "--cpu", "--checkpoint-dir", ckpt,
+                 "-o", str(tmp_path / "x.bbmpc"), "--population", "64",
+                 "--planning-horizon", "8"])
+    assert proc.returncode == 2 and "dim_s=4" in proc.stderr, proc.stderr[-800:]
+    # The matching analytic env still exports fine.
+    proc = _run(["export", "--env", "cartpole", "--cpu", "--checkpoint-dir", ckpt,
+                 "-o", str(tmp_path / "ok.bbmpc"), "--population", "64",
+                 "--planning-horizon", "8"])
+    assert proc.returncode == 0, proc.stderr[-800:]
+
+
+def test_inspect_clean_error_on_foreign_zip(tmp_path):
+    """ADVICE r4: a valid zip that isn't a .bbmpc artifact gets a clean exit-2 error,
+    not a KeyError traceback."""
+    import zipfile
+
+    foreign = str(tmp_path / "foreign.zip")
+    with zipfile.ZipFile(foreign, "w") as zf:
+        zf.writestr("readme.txt", "not an artifact")
+    proc = _run(["inspect", foreign])
+    assert proc.returncode == 2, (proc.returncode, proc.stderr[-400:])
+    assert "not a .bbmpc artifact" in proc.stderr and "Traceback" not in proc.stderr
+
+
+def test_serve_survives_runtime_error_in_request(tmp_path):
+    """ADVICE r4: a request that fails inside the served step (wrong obs rank making the
+    exported program reject the call) yields a JSON error line; the server keeps serving
+    subsequent requests instead of dying with a traceback."""
+    art = str(tmp_path / "ctrl.bbmpc")
+    proc = _run(["export", "--env", "pendulum", "--cpu", "-o", art,
+                 "--population", "64", "--planning-horizon", "8", "--iterations", "2"])
+    assert proc.returncode == 0, proc.stderr[-800:]
+    reqs = "\n".join([
+        json.dumps({"obs": [[0.5, 0.1, 0.0]] * 7}),  # wrong agent count -> in-step failure
+        json.dumps({"obs": [0.5, 0.1, 0.0], "t": 0}),  # still served afterwards
+        json.dumps({"cmd": "close"}),
+    ]) + "\n"
+    env = dict(os.environ)
+    env["PYTHONPATH"] = f"{ROOT}:{env.get('PYTHONPATH', '')}"
+    env["JAX_PLATFORMS"] = "cpu"
+    out = subprocess.run(
+        [sys.executable, "-m", "blackbox_mpc_tpu.cli", "serve", art, "--cpu"],
+        input=reqs, capture_output=True, text=True, timeout=300, cwd=ROOT, env=env,
+    )
+    assert out.returncode == 0, out.stderr[-1200:]
+    lines = [json.loads(ln) for ln in out.stdout.strip().splitlines()]
+    assert "error" in lines[1]
+    assert "action" in lines[2]

@@ -131,6 +131,57 @@ def test_handler_checkpoint_roundtrip(tmp_path):
     assert np.isfinite(m["train_loss"])
 
 
+def test_handler_checkpoint_version_stamp_and_manifest(tmp_path):
+    """r5 checkpoints carry format_version + the replay-key manifest in config.json, and
+    load() refuses a checkpoint stamped newer than this build supports."""
+    import json
+
+    from blackbox_mpc_tpu.learning.handler import CHECKPOINT_FORMAT_VERSION
+
+    cfg = LearnedDynamicsConfig(dim_s=3, dim_u=1, hidden=(8,), ensemble_size=1)
+    handler = DynamicsHandler(config=cfg, seed=0)
+    s, a, ns = _pendulum_transitions(100)
+    handler.replay.add_transitions(s, a, ns)
+    handler.train(epochs=1, batch_size=32)
+    ckpt_dir = os.path.join(str(tmp_path), "ckpt")
+    handler.save(ckpt_dir)
+    with open(os.path.join(ckpt_dir, "config.json")) as f:
+        meta = json.load(f)
+    assert meta["format_version"] == CHECKPOINT_FORMAT_VERSION
+    assert sorted(meta["replay_keys"]) == sorted(handler.replay.state_dict().keys())
+    # A future-versioned checkpoint must be rejected with a clear error, not garbage.
+    meta["format_version"] = CHECKPOINT_FORMAT_VERSION + 1
+    with open(os.path.join(ckpt_dir, "config.json"), "w") as f:
+        json.dump(meta, f)
+    with pytest.raises(ValueError, match="format_version"):
+        DynamicsHandler.load(ckpt_dir)
+
+
+def test_handler_loads_pre_r5_unstamped_checkpoint(tmp_path):
+    """Compat: a checkpoint whose config.json lacks format_version/replay_keys (the pre-r5
+    on-disk layout) still restores — load() probes the replay structure by retry instead of
+    reading orbax-internal metadata."""
+    import json
+
+    cfg = LearnedDynamicsConfig(dim_s=3, dim_u=1, hidden=(8,), ensemble_size=1)
+    handler = DynamicsHandler(config=cfg, seed=0)
+    s, a, ns = _pendulum_transitions(100)
+    handler.replay.add_transitions(s, a, ns)
+    handler.train(epochs=1, batch_size=32)
+    ckpt_dir = os.path.join(str(tmp_path), "ckpt")
+    handler.save(ckpt_dir)
+    # Strip the r5 fields to reproduce the pre-r5 config.json exactly.
+    with open(os.path.join(ckpt_dir, "config.json")) as f:
+        meta = json.load(f)
+    del meta["format_version"], meta["replay_keys"]
+    with open(os.path.join(ckpt_dir, "config.json"), "w") as f:
+        json.dump(meta, f)
+    restored = DynamicsHandler.load(ckpt_dir)
+    pred_before = np.asarray(handler.predict(s[:5], a[:5]))
+    pred_after = np.asarray(restored.predict(s[:5], a[:5]))
+    np.testing.assert_allclose(pred_before, pred_after, rtol=1e-6, atol=1e-6)
+
+
 def test_early_stopping_patience():
     """PETS-style per-member early stopping: training stops once no member's validation
     loss improves for `patience` epochs, and the planning params are the per-member

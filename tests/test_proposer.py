@@ -4,6 +4,7 @@ No reference counterpart (the reference always plans from the action-space midpo
 ``/root/reference/blackbox_mpc/optimizers/cem.py:55-63``); test strategy follows SURVEY §4.
 """
 import dataclasses
+import os
 
 import jax
 import jax.numpy as jnp
@@ -224,6 +225,43 @@ def test_mbrl_loop_resume_restores_proposer(tmp_path):
     )
     # refinement 1 already completed -> resumed run does no new work; the restored
     # proposer must reproduce the checkpointed network exactly
+    np.testing.assert_array_equal(policy2.proposer.act(probe), before)
+
+
+def test_mbrl_loop_resume_reads_legacy_pickled_proposer(tmp_path):
+    """Pre-r5 loop checkpoints stored the proposer as a pickled numpy object array
+    (proposer.npy); the r5 writer is orbax, but resume still reads the legacy file."""
+    import shutil
+
+    from blackbox_mpc_tpu.envs.native_pendulum import NativePendulumVecEnv
+    from blackbox_mpc_tpu.models.dynamics import LearnedDynamicsConfig
+    from blackbox_mpc_tpu.workflows.iterative_mpc import learn_dynamics_iteratively_w_mpc
+
+    ckpt = str(tmp_path / "loop")
+    kw = dict(
+        reward_function=pendulum_reward, solver_name="CEM", planning_horizon=8,
+        number_of_initial_rollouts=2, number_of_rollouts_per_refinement=1,
+        rollout_horizon=20, epochs=2, batch_size=64, behavior_cloning=True, bc_epochs=2,
+        population=32, num_elite=8, max_iterations=2, seed=0, checkpoint_dir=ckpt,
+    )
+    env = NativePendulumVecEnv(num_envs=2, seed=0, max_episode_steps=20)
+    _, policy1 = learn_dynamics_iteratively_w_mpc(
+        env, number_of_refinement_steps=1,
+        dynamics_config=LearnedDynamicsConfig(dim_s=3, dim_u=1, hidden=(16,)), **kw,
+    )
+    probe = np.asarray([[0.1, -0.2, 0.3]], np.float32)
+    before = policy1.proposer.act(probe)
+    # Rewrite the checkpoint into the pre-r5 on-disk layout: pickled object array,
+    # no orbax proposer/ directory.
+    shutil.rmtree(os.path.join(ckpt, "proposer"))
+    np.save(os.path.join(ckpt, "proposer.npy"),
+            np.asarray([policy1.proposer.state_dict()], dtype=object),
+            allow_pickle=True)
+    env2 = NativePendulumVecEnv(num_envs=2, seed=0, max_episode_steps=20)
+    _, policy2 = learn_dynamics_iteratively_w_mpc(
+        env2, number_of_refinement_steps=1, resume=True,
+        dynamics_config=LearnedDynamicsConfig(dim_s=3, dim_u=1, hidden=(16,)), **kw,
+    )
     np.testing.assert_array_equal(policy2.proposer.act(probe), before)
 
 
