@@ -109,24 +109,19 @@ def choose_backend(
     if solver_name == "CMA-ES" and getattr(solver_config, "diagonal", False):
         fused_family = fused_family + ("CMA-ES",)
     if mesh is not None and (
-        solver_name == "CMA-ES"
-        or getattr(solver_config, "keep_elites", 0)
+        getattr(solver_config, "keep_elites", 0)
         or getattr(solver_config, "mean_as_candidate", False)
         or getattr(solver_config, "execute_best", False)
     ):
-        # the SHARDED fused path does not support injected-candidate features or sep-CMA
-        # yet (ops/fused_sharded.py) — never auto-route what the factory would reject.
+        # the SHARDED fused path does not support the injected-candidate features yet
+        # (ops/fused_sharded.py _reject_injection) — never auto-route what the factory
+        # would reject. (sep-CMA and population_decay DO shard since r5.)
         return "xla"
     if (
         solver_name in fused_family
         and candidate_bytes >= FUSED_CEM_MIN_BYTES
         and config.propagation in ("mean", "ts1")
         and local_rows * rng_cols < 2**32  # in-kernel RNG counter range (per device)
-        # population_decay fuses single-device since r4 (per-iteration kernel grids,
-        # unrolled — ops/pallas_cem.py make_fused_cem); the SHARDED fused path still
-        # compiles one fixed per-device grid (fused_sharded.py:92), so decay + mesh
-        # stays on XLA.
-        and (mesh is None or getattr(solver_config, "population_decay", 1.0) == 1.0)
     ):
         if time_major:
             # The time-major layout is an XLA-evaluator feature, but THIS population is

@@ -1,4 +1,5 @@
-"""Pod-scale fused solvers: generate-in-kernel CEM/PI2/MPPI/RandomSearch sharded over a mesh.
+"""Pod-scale fused solvers: generate-in-kernel CEM (incl. iCEM population decay), PI2/MPPI,
+RandomSearch, and sep-CMA sharded over a mesh.
 
 The single-chip fused solvers (:mod:`~blackbox_mpc_tpu.ops.pallas_cem`) remove the candidate
 tensor from HBM; this module removes the single-chip ceiling. The population is sharded over
@@ -46,7 +47,7 @@ from blackbox_mpc_tpu.models.dynamics import DynamicsParams, LearnedDynamicsConf
 from blackbox_mpc_tpu.ops.pallas_cem import _mirror_z, make_fused_cem_kernels
 from blackbox_mpc_tpu.parallel.mesh import POP_AXIS
 from blackbox_mpc_tpu.solvers import base
-from blackbox_mpc_tpu.solvers.cem import CEMConfig, CEMState
+from blackbox_mpc_tpu.solvers.cem import CEMConfig, CEMState, iteration_populations
 from blackbox_mpc_tpu.solvers.pi2 import PI2Config, PI2State
 from blackbox_mpc_tpu.solvers.random_search import RandomSearchConfig, RandomSearchState
 
@@ -54,6 +55,7 @@ __all__ = [
     "make_sharded_fused_cem",
     "make_sharded_fused_pi2",
     "make_sharded_fused_random_search",
+    "make_sharded_fused_sep_cma",
 ]
 
 # Per-device seed offset. Stream independence does NOT come from this stride — it comes
@@ -89,9 +91,10 @@ def _reject_injection(config, what: str):
             f"{what} does not support keep_elites/mean_as_candidate/execute_best yet — "
             "use the single-chip fused solver or the XLA path"
         )
-    if getattr(config, "population_decay", 1.0) != 1.0:
-        raise ValueError(f"{what} compiles fixed-population kernels; population_decay "
-                         "is not supported")
+    if not 0.0 < getattr(config, "population_decay", 1.0) <= 1.0:
+        raise ValueError(
+            f"population_decay ({config.population_decay}) must be in (0, 1]"
+        )
 
 
 def make_sharded_fused_cem(
@@ -108,9 +111,16 @@ def make_sharded_fused_cem(
     """CEM over per-device fused kernels, population sharded over ``mesh``'s pop axis.
 
     Same update rules as :func:`~blackbox_mpc_tpu.ops.pallas_cem.make_fused_cem` (colored
-    noise and ts1 supported; injected-candidate features not yet). Per iteration the only
-    cross-device communication is the [P, A] reward vector's top-k and one psum of the
-    [A, H*U] centered moments.
+    noise, ts1, and — since r5 — iCEM ``population_decay`` supported; injected-candidate
+    features not yet). Per iteration the only cross-device communication is the [P, A]
+    reward vector's top-k and one psum of the [A, H*U] centered moments.
+
+    ``population_decay`` follows the single-chip fused rule (one static kernel grid per
+    distinct per-iteration population, iteration loop unrolled at trace time —
+    ``ops/pallas_cem.py``), instantiated here as one *sharded* grid pair per distinct
+    population. Each decayed population is rounded UP to the nearest multiple of the mesh
+    size so it shards evenly; on a D=1 mesh the schedule is bit-identical to the
+    single-chip fused path (rounding is the identity).
     """
     horizon, agents, pop, k = (
         config.planning_horizon, config.num_agents, config.population, config.num_elite,
@@ -120,31 +130,44 @@ def make_sharded_fused_cem(
     _reject_injection(config, "sharded fused CEM")
     alpha = config.alpha
     beta = getattr(config, "colored_noise_beta", 0.0)
-    p_loc = _local_population(pop, mesh)
-    rollout_rewards, elite_moments = make_fused_cem_kernels(
-        dyn_config, reward_fn,
-        horizon=horizon, agents=agents, population=p_loc, tile=tile, interpret=interpret,
-        colored_noise_beta=beta,
-    )
+    d = _mesh_size(mesh)
+    decay_pops = iteration_populations(config)
+    if decay_pops is not None:
+        decay_pops = [-(-p_i // d) * d for p_i in decay_pops]
 
-    def _dev_rewards(dp, obs, mean, std, seed):
-        return rollout_rewards(dp, obs, mean, std, _device_seed(seed))
-
-    def _dev_moments(mean, std, seed, mask_loc):
-        csum, csumsq = elite_moments(mean, std, _device_seed(seed), mask_loc)
-        return (
-            jax.lax.psum(csum, POP_AXIS),
-            jax.lax.psum(csumsq, POP_AXIS),
+    def build_sharded_kernels(pop_i: int):
+        p_loc_i = _local_population(pop_i, mesh)
+        rollout_rewards, elite_moments = make_fused_cem_kernels(
+            dyn_config, reward_fn,
+            horizon=horizon, agents=agents, population=p_loc_i, tile=tile,
+            interpret=interpret, colored_noise_beta=beta,
         )
 
-    shard_rewards = jax.shard_map(
-        _dev_rewards, mesh=mesh,
-        in_specs=(P(), P(), P(), P(), P()), out_specs=P(POP_AXIS), check_vma=False,
-    )
-    shard_moments = jax.shard_map(
-        _dev_moments, mesh=mesh,
-        in_specs=(P(), P(), P(), P(POP_AXIS)), out_specs=(P(), P()), check_vma=False,
-    )
+        def _dev_rewards(dp, obs, mean, std, seed):
+            return rollout_rewards(dp, obs, mean, std, _device_seed(seed))
+
+        def _dev_moments(mean, std, seed, mask_loc):
+            csum, csumsq = elite_moments(mean, std, _device_seed(seed), mask_loc)
+            return (
+                jax.lax.psum(csum, POP_AXIS),
+                jax.lax.psum(csumsq, POP_AXIS),
+            )
+
+        shard_rewards = jax.shard_map(
+            _dev_rewards, mesh=mesh,
+            in_specs=(P(), P(), P(), P(), P()), out_specs=P(POP_AXIS), check_vma=False,
+        )
+        shard_moments = jax.shard_map(
+            _dev_moments, mesh=mesh,
+            in_specs=(P(), P(), P(), P(POP_AXIS)), out_specs=(P(), P()), check_vma=False,
+        )
+        return shard_rewards, shard_moments
+
+    kernels_by_pop = {pop: build_sharded_kernels(pop)}
+    if decay_pops is not None:
+        for p_i in set(decay_pops):
+            if p_i not in kernels_by_pop:
+                kernels_by_pop[p_i] = build_sharded_kernels(p_i)
 
     def init(key: jax.Array) -> CEMState:
         del key
@@ -156,31 +179,44 @@ def make_sharded_fused_cem(
     def solve(state: CEMState, obs: jax.Array, t: jax.Array, key: jax.Array):
         del t
 
-        def iteration(_, carry):
-            mean, var, key, _ = carry
-            key, seed_key = jax.random.split(key)
-            seed = jax.random.randint(seed_key, (), 0, jnp.iinfo(jnp.int32).max)
-            constrained = base.constrain_variance(mean, var, bounds)
-            std = jnp.sqrt(constrained)
-            rewards = shard_rewards(dp, obs, mean, std, seed)  # [P, A], row-sharded
-            rewards = jnp.where(jnp.isnan(rewards), jnp.float32(-1e6), rewards)
-            elite_vals, elite_idx = jax.lax.top_k(rewards.T, k)  # [A, k]
-            mask = jnp.zeros((pop, agents), jnp.float32).at[
-                elite_idx.T, jnp.arange(agents)[None, :]
-            ].set(1.0)
-            csum, csumsq = shard_moments(mean, std, seed, mask)
-            delta = (csum / k).reshape(agents, horizon, bounds.dim)
-            new_mean = mean + delta
-            new_var = (csumsq / k).reshape(agents, horizon, bounds.dim) - jnp.square(delta)
-            new_var = jnp.maximum(new_var, 0.0)
-            mean = alpha * mean + (1.0 - alpha) * new_mean
-            var = alpha * var + (1.0 - alpha) * new_var
-            return mean, var, key, jnp.mean(elite_vals, axis=1)
+        def make_iteration(shard_rewards, shard_moments, pop_i):
+            def iteration(_, carry):
+                mean, var, key, _ = carry
+                key, seed_key = jax.random.split(key)
+                seed = jax.random.randint(seed_key, (), 0, jnp.iinfo(jnp.int32).max)
+                constrained = base.constrain_variance(mean, var, bounds)
+                std = jnp.sqrt(constrained)
+                rewards = shard_rewards(dp, obs, mean, std, seed)  # [P_i, A], row-sharded
+                rewards = jnp.where(jnp.isnan(rewards), jnp.float32(-1e6), rewards)
+                elite_vals, elite_idx = jax.lax.top_k(rewards.T, k)  # [A, k]
+                mask = jnp.zeros((pop_i, agents), jnp.float32).at[
+                    elite_idx.T, jnp.arange(agents)[None, :]
+                ].set(1.0)
+                csum, csumsq = shard_moments(mean, std, seed, mask)
+                delta = (csum / k).reshape(agents, horizon, bounds.dim)
+                new_mean = mean + delta
+                new_var = (
+                    (csumsq / k).reshape(agents, horizon, bounds.dim) - jnp.square(delta)
+                )
+                new_var = jnp.maximum(new_var, 0.0)
+                mean = alpha * mean + (1.0 - alpha) * new_mean
+                var = alpha * var + (1.0 - alpha) * new_var
+                return mean, var, key, jnp.mean(elite_vals, axis=1)
+
+            return iteration
 
         best0 = jnp.full((agents,), -jnp.inf, dtype=state.mean.dtype)
-        mean, var, _, elite_reward = jax.lax.fori_loop(
-            0, config.max_iterations, iteration, (state.mean, state.variance, key, best0)
-        )
+        carry = (state.mean, state.variance, key, best0)
+        if decay_pops is None:
+            carry = jax.lax.fori_loop(
+                0, config.max_iterations, make_iteration(*kernels_by_pop[pop], pop), carry
+            )
+        else:
+            # Decayed populations: per-iteration static sharded grids, unrolled at trace
+            # time — same structure as the single-chip fused decay path (pallas_cem.py).
+            for pop_i in decay_pops:
+                carry = make_iteration(*kernels_by_pop[pop_i], pop_i)(0, carry)
+        mean, var, _, elite_reward = carry
         action = mean[:, 0]
         if config.warm_start:
             next_state = CEMState(mean=base.shift_time(mean), variance=state.variance)
@@ -349,3 +385,54 @@ def make_sharded_fused_random_search(
         return state
 
     return Solver(init=init, solve=solve, reset=reset, name="RandomSearch-Fused-Sharded")
+
+
+def make_sharded_fused_sep_cma(
+    config,
+    bounds: Bounds,
+    dyn_config: LearnedDynamicsConfig,
+    dp: DynamicsParams,
+    reward_fn: Callable,
+    mesh,
+    *,
+    tile: int = 256,
+    interpret: bool = False,
+) -> Solver:
+    """sep-CMA-ES over per-device fused kernels, population sharded over ``mesh``.
+
+    The diagonal-CMA update math lives in ONE place —
+    :func:`~blackbox_mpc_tpu.ops.pallas_cem.make_fused_sep_cma` — and is reused here by
+    injecting shard_mapped kernel callables with the same global-population signatures:
+    kernel A becomes a row-sharded ``[P, A]`` reward vector (the argsort/log-rank weight
+    scatter runs on the replicated view, exactly like the CEM path's top-k), and kernel B
+    becomes a per-device weighted-moment reduction followed by the same psum the CEM/PI2
+    paths do. ``config.diagonal=True`` required (checked by the wrapped factory).
+    """
+    from blackbox_mpc_tpu.ops.pallas_cem import make_fused_sep_cma
+
+    p_loc = _local_population(config.population, mesh)
+    rollout_rewards, weighted_moments = make_fused_cem_kernels(
+        dyn_config, reward_fn,
+        horizon=config.planning_horizon, agents=config.num_agents, population=p_loc,
+        tile=tile, interpret=interpret, clip_bounds=(bounds.lower, bounds.upper),
+    )
+
+    def _dev_rewards(dp, obs, mean, std, seed):
+        return rollout_rewards(dp, obs, mean, std, _device_seed(seed))
+
+    def _dev_moments(mean, std, seed, omega_loc):
+        wsum, wsumsq = weighted_moments(mean, std, _device_seed(seed), omega_loc)
+        return jax.lax.psum(wsum, POP_AXIS), jax.lax.psum(wsumsq, POP_AXIS)
+
+    shard_rewards = jax.shard_map(
+        _dev_rewards, mesh=mesh,
+        in_specs=(P(), P(), P(), P(), P()), out_specs=P(POP_AXIS), check_vma=False,
+    )
+    shard_moments = jax.shard_map(
+        _dev_moments, mesh=mesh,
+        in_specs=(P(), P(), P(), P(POP_AXIS)), out_specs=(P(), P()), check_vma=False,
+    )
+    return make_fused_sep_cma(
+        config, bounds, dyn_config, dp, reward_fn, tile=tile, interpret=interpret,
+        _kernels=(shard_rewards, shard_moments), _name="sep-CMA-Fused-Sharded",
+    )

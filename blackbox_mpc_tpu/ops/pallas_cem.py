@@ -977,6 +977,8 @@ def make_fused_sep_cma(
     *,
     tile: int = 256,
     interpret: bool = False,
+    _kernels=None,
+    _name: str = "sep-CMA-Fused",
 ) -> Solver:
     """sep-CMA-ES over the fused kernels — beyond-HBM covariance-adaptive planning.
 
@@ -1016,11 +1018,17 @@ def make_fused_sep_cma(
     )
     C = cma_constants(config, bounds, horizon, pop, k)
     n = C.n
-    rollout_rewards, weighted_moments = make_fused_cem_kernels(
-        dyn_config, reward_fn,
-        horizon=horizon, agents=agents, population=pop, tile=tile, interpret=interpret,
-        clip_bounds=(bounds.lower, bounds.upper),
-    )
+    if _kernels is not None:
+        # Injected reward/moment callables with the same signatures as kernel A/B over
+        # the GLOBAL population — how ops/fused_sharded.py reuses this update math with
+        # shard_mapped per-device kernels + psum'd moments (make_sharded_fused_sep_cma).
+        rollout_rewards, weighted_moments = _kernels
+    else:
+        rollout_rewards, weighted_moments = make_fused_cem_kernels(
+            dyn_config, reward_fn,
+            horizon=horizon, agents=agents, population=pop, tile=tile, interpret=interpret,
+            clip_bounds=(bounds.lower, bounds.upper),
+        )
 
     def init(key: jax.Array) -> CMAESState:
         del key
@@ -1118,7 +1126,7 @@ def make_fused_sep_cma(
     # Same storage-dtype contract as the XLA make_cma_es (cma_es.py): a non-default
     # config.dtype stores the persistent state in that dtype between solves.
     return base.with_state_dtype(
-        Solver(init=init, solve=solve, reset=reset, name="sep-CMA-Fused",
+        Solver(init=init, solve=solve, reset=reset, name=_name,
                plan_field="mean"),
         config.dtype,
     )

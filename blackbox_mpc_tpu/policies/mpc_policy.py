@@ -285,22 +285,19 @@ class MPCPolicy(ModelBasedPolicy):
                     and self._shard_axis != "population"):
                 # same constraint the explicit fused+mesh path enforces in __init__:
                 # the sharded fused solvers shard the population axis by construction.
-                # This is a loud downgrade, not an info line: fused was selected because
-                # the candidate tensor is beyond per-device HBM, and the XLA sharded
-                # evaluator it falls back to MUST materialize exactly that tensor — the
-                # solve will likely OOM at compile/run time.
-                resolved = "xla"
-                import warnings
-
-                warnings.warn(
+                # Hard error (r5; was a warn-then-degrade-to-XLA): fused was selected
+                # because the candidate tensor is beyond per-device HBM, and the XLA
+                # sharded evaluator would have to materialize exactly that tensor — a
+                # silently-degraded config that OOMs at run time is worse than refusing
+                # at construction.
+                raise ValueError(
                     f"rollout_backend='auto' selected the fused generate-in-kernel "
                     f"backend (candidate tensor beyond per-device HBM) but "
-                    f"shard_axis={self._shard_axis!r} forces the XLA sharded evaluator, "
-                    f"which materializes that tensor and will likely OOM. Use "
-                    f"shard_axis='population' to keep the fused path, or shrink the "
-                    f"population.",
-                    RuntimeWarning,
-                    stacklevel=3,
+                    f"shard_axis={self._shard_axis!r} shards the agent axis, which the "
+                    f"fused solvers do not support. Use shard_axis='population' to keep "
+                    f"the fused path, shrink the population to fit HBM, or pass "
+                    f"rollout_backend='xla' explicitly to accept the materialized "
+                    f"candidate tensor."
                 )
             self._rollout_backend = resolved
         if self._rollout_backend == "fused_cem" and solver_name not in (
@@ -357,6 +354,7 @@ class MPCPolicy(ModelBasedPolicy):
                     make_sharded_fused_cem,
                     make_sharded_fused_pi2,
                     make_sharded_fused_random_search,
+                    make_sharded_fused_sep_cma,
                 )
 
                 fused_factory_fn = {
@@ -364,6 +362,7 @@ class MPCPolicy(ModelBasedPolicy):
                     "PI2": make_sharded_fused_pi2,
                     "MPPI": make_sharded_fused_pi2,
                     "RandomSearch": make_sharded_fused_random_search,
+                    "CMA-ES": make_sharded_fused_sep_cma,  # diagonal=True (factory checks)
                 }.get(solver_name)
                 if fused_factory_fn is None:
                     raise ValueError(

@@ -204,7 +204,8 @@ def test_mpc_policy_fused_with_mesh(setup):
 
 def test_backend_auto_is_mesh_aware():
     """auto routing accounts for the mesh: capacity threshold is per DEVICE, and
-    sharded-unsupported features (sep-CMA, injected candidates) fall back to XLA."""
+    sharded-unsupported features (injected candidates) fall back to XLA; sep-CMA
+    shards since r5."""
     from blackbox_mpc_tpu.ops.backend_select import choose_backend
     from blackbox_mpc_tpu.solvers.cem import CEMConfig
     from blackbox_mpc_tpu.solvers.cma_es import CMAESConfig
@@ -223,11 +224,140 @@ def test_backend_auto_is_mesh_aware():
                      keep_elites=5)
     assert choose_backend(dyn, 32_000_000, mesh=mesh, solver_config=kept,
                           **common) == "xla"
+    # sep-CMA + mesh auto-routes onto the sharded fused path since r5 (diagonal only;
+    # full-covariance stays XLA)
     sep = CMAESConfig(planning_horizon=50, population=32_000_000, num_elite=50,
                       diagonal=True)
     assert choose_backend(dyn, 32_000_000, mesh=mesh,
                           solver_config=sep,
+                          **{**common, "solver_name": "CMA-ES"}) == "fused_cem"
+    full = CMAESConfig(planning_horizon=50, population=32_000_000, num_elite=50,
+                       diagonal=False)
+    assert choose_backend(dyn, 32_000_000, mesh=mesh,
+                          solver_config=full,
                           **{**common, "solver_name": "CMA-ES"}) == "xla"
     # ...but still do WITHOUT a mesh (the single-chip fused solver supports them)
     assert choose_backend(dyn, 8_000_000, solver_config=kept, **common) == "fused_cem"
     assert choose_backend(dyn, 8_000_000, **common) == "fused_cem"
+
+
+def test_one_device_mesh_bitmatches_single_chip_fused_cem_decay(setup):
+    """r5: iCEM population_decay on the sharded path — per-iteration sharded grids. On a
+    D=1 mesh the round-up-to-multiple-of-D is the identity, so the decayed sharded solve
+    must be bit-identical to the single-chip fused decayed solve."""
+    dyn_cfg, dyn, dp = setup
+    cfg = CEMConfig(planning_horizon=H, num_agents=A, population=32, num_elite=4,
+                    max_iterations=3, population_decay=0.6)
+    mesh1 = make_pop_mesh(1)
+    a = make_fused_cem(cfg, BOUNDS, dyn_cfg, dp, reward_fn, tile=8, interpret=True)
+    b = make_sharded_fused_cem(cfg, BOUNDS, dyn_cfg, dp, reward_fn, mesh1, tile=8,
+                               interpret=True)
+    key = jax.random.PRNGKey(3)
+    act_a, _, aux_a = jax.jit(a.solve)(a.init(jax.random.PRNGKey(0)), OBS, jnp.asarray(0), key)
+    act_b, _, aux_b = jax.jit(b.solve)(b.init(jax.random.PRNGKey(0)), OBS, jnp.asarray(0), key)
+    np.testing.assert_array_equal(np.asarray(act_a), np.asarray(act_b))
+    np.testing.assert_array_equal(np.asarray(aux_a.plan), np.asarray(aux_b.plan))
+
+
+def test_sharded_fused_cem_decay_solves_8dev(setup):
+    """8 devices + decay: per-iteration populations round up to multiples of 8 and every
+    iteration's sharded grid pair executes (pop 64 -> [64, 40, 24] at decay 0.6)."""
+    from blackbox_mpc_tpu.solvers.cem import iteration_populations
+
+    dyn_cfg, dyn, dp = setup
+    mesh = make_pop_mesh(8)
+    cfg = CEMConfig(planning_horizon=H, num_agents=A, population=64, num_elite=4,
+                    max_iterations=3, population_decay=0.6)
+    pops = [-(-p // 8) * 8 for p in iteration_populations(cfg)]
+    assert len(set(pops)) > 1  # the schedule actually decays across >1 grid size
+    solver = make_sharded_fused_cem(cfg, BOUNDS, dyn_cfg, dp, reward_fn, mesh, tile=8,
+                                    interpret=True)
+    action, _, aux = jax.jit(solver.solve)(
+        solver.init(jax.random.PRNGKey(0)), OBS, jnp.asarray(0), jax.random.PRNGKey(1)
+    )
+    assert np.all(np.isfinite(np.asarray(action)))
+    assert np.all(np.isfinite(np.asarray(aux.expected_reward)))
+
+
+def test_one_device_mesh_bitmatches_single_chip_fused_sep_cma(setup):
+    """r5: sep-CMA sharded — the injected shard_mapped kernels + psum'd moments must
+    reproduce the single-chip fused sep-CMA bit-for-bit on a D=1 mesh (the update math
+    is literally the same function, ops/pallas_cem.make_fused_sep_cma)."""
+    from blackbox_mpc_tpu.ops.fused_sharded import make_sharded_fused_sep_cma
+    from blackbox_mpc_tpu.ops.pallas_cem import make_fused_sep_cma
+    from blackbox_mpc_tpu.solvers.cma_es import CMAESConfig
+
+    dyn_cfg, dyn, dp = setup
+    cfg = CMAESConfig(planning_horizon=H, num_agents=A, population=32, num_elite=8,
+                      max_iterations=3, diagonal=True)
+    mesh1 = make_pop_mesh(1)
+    a = make_fused_sep_cma(cfg, BOUNDS, dyn_cfg, dp, reward_fn, tile=8, interpret=True)
+    b = make_sharded_fused_sep_cma(cfg, BOUNDS, dyn_cfg, dp, reward_fn, mesh1, tile=8,
+                                   interpret=True)
+    key = jax.random.PRNGKey(3)
+    act_a, _, aux_a = jax.jit(a.solve)(a.init(jax.random.PRNGKey(0)), OBS, jnp.asarray(0), key)
+    act_b, _, aux_b = jax.jit(b.solve)(b.init(jax.random.PRNGKey(0)), OBS, jnp.asarray(0), key)
+    np.testing.assert_array_equal(np.asarray(act_a), np.asarray(act_b))
+    np.testing.assert_array_equal(np.asarray(aux_a.plan), np.asarray(aux_b.plan))
+
+
+def test_sharded_fused_sep_cma_solves_8dev(setup):
+    from blackbox_mpc_tpu.ops.fused_sharded import make_sharded_fused_sep_cma
+    from blackbox_mpc_tpu.solvers.cma_es import CMAESConfig
+
+    dyn_cfg, dyn, dp = setup
+    mesh = make_pop_mesh(8)
+    cfg = CMAESConfig(planning_horizon=H, num_agents=A, population=64, num_elite=8,
+                      max_iterations=3, diagonal=True)
+    solver = make_sharded_fused_sep_cma(cfg, BOUNDS, dyn_cfg, dp, reward_fn, mesh,
+                                        tile=8, interpret=True)
+    action, _, aux = jax.jit(solver.solve)(
+        solver.init(jax.random.PRNGKey(0)), OBS, jnp.asarray(0), jax.random.PRNGKey(1)
+    )
+    assert np.all(np.isfinite(np.asarray(action)))
+    assert np.all(np.isfinite(np.asarray(aux.expected_reward)))
+    # sep-CMA requirement is still enforced through the sharded wrapper
+    with pytest.raises(ValueError, match="diagonal=True"):
+        make_sharded_fused_sep_cma(
+            CMAESConfig(planning_horizon=H, num_agents=A, population=64, num_elite=8,
+                        max_iterations=3, diagonal=False),
+            BOUNDS, dyn_cfg, dp, reward_fn, mesh, tile=8, interpret=True,
+        )
+
+
+def test_auto_fused_with_agent_sharding_errors_at_construction(setup, monkeypatch):
+    """r5 (was warn-then-degrade): auto-routing onto fused with shard_axis='agents' must
+    fail at MPCPolicy construction, not warn and fall back to an XLA evaluator that would
+    materialize the beyond-HBM candidate tensor. choose_backend is pinned to the TPU
+    platform's answer (on the CPU test mesh it would return 'xla' and never exercise the
+    constraint)."""
+    from blackbox_mpc_tpu.learning.handler import DynamicsHandler
+    from blackbox_mpc_tpu.models.dynamics import LearnedDynamicsConfig as LDC
+    from blackbox_mpc_tpu.ops import backend_select
+    from blackbox_mpc_tpu.policies.mpc_policy import MPCPolicy
+
+    real_choose = backend_select.choose_backend
+    monkeypatch.setattr(
+        backend_select, "choose_backend",
+        lambda *a, **kw: real_choose(*a, **{**kw, "platform": "tpu"}),
+    )
+
+    class Space:
+        low = np.asarray([-1.0] * 6, np.float32)
+        high = np.asarray([1.0] * 6, np.float32)
+
+    handler = DynamicsHandler(config=LDC(dim_s=17, dim_u=6, hidden=(200, 200)), seed=0)
+    with pytest.raises(ValueError, match="shard_axis='agents'"):
+        MPCPolicy(
+            action_space=Space(),
+            reward_function=lambda s, a, ns: -jnp.sum(jnp.square(ns), axis=-1),
+            dynamics_handler=handler,
+            solver_name="CEM",
+            num_agents=8,
+            planning_horizon=50,
+            population=8_000_000,  # beyond-HBM -> auto routes to fused
+            num_elite=50,
+            mesh=make_pop_mesh(8),
+            shard_axis="agents",
+            rollout_backend="auto",
+        )

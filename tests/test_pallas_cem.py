@@ -400,8 +400,8 @@ def test_backend_auto_allows_icem_features_beyond_hbm():
     decay = CEMConfig(population=8_000_000, population_decay=0.5)
     assert choose_backend(cfg, 8_000_000, 1, platform="tpu", horizon=50, dim_u=6,
                           solver_name="CEM", solver_config=decay) == "fused_cem"
-    # ... but the SHARDED fused path still compiles one fixed per-device grid, so
-    # decay + mesh routes to XLA (fused_sharded.py rejects it).
+    # ... and since r5 the SHARDED fused path instantiates per-iteration sharded grids,
+    # so decay + mesh stays fused too (fused_sharded.py make_sharded_fused_cem).
     import jax as _jax
 
     from blackbox_mpc_tpu.parallel import make_pop_mesh
@@ -409,7 +409,7 @@ def test_backend_auto_allows_icem_features_beyond_hbm():
     mesh = make_pop_mesh(len(_jax.devices()))
     assert choose_backend(cfg, 8_000_000 * len(_jax.devices()), 1, platform="tpu",
                           horizon=50, dim_u=6, mesh=mesh,
-                          solver_name="CEM", solver_config=decay) == "xla"
+                          solver_name="CEM", solver_config=decay) == "fused_cem"
 
 
 # --- fused PI2/MPPI and RandomSearch (beyond-HBM solver family) ------------------------------

@@ -67,8 +67,8 @@ def test_backend_auto_routes_only_what_make_fused_cem_accepts():
     """auto must never route a config that make_fused_cem rejects — it would crash at the
     first act(). Round 3: keep_elites/colored noise are in-kernel features (stay fused).
     Round 4: population_decay fuses single-device (per-iteration kernel grids), so it now
-    stays fused — but the SHARDED factory still compiles one fixed per-device grid, so
-    decay + mesh must fall back to XLA."""
+    stays fused. Round 5: the SHARDED factory instantiates per-iteration sharded grids
+    too, so decay + mesh stays fused as well."""
     from blackbox_mpc_tpu.ops.backend_select import choose_backend
     from blackbox_mpc_tpu.solvers.cem import CEMConfig
 
@@ -110,7 +110,13 @@ def test_backend_auto_routes_only_what_make_fused_cem_accepts():
         dyn, mesh=mesh,
         solver_config=CEMConfig(**sharded_base, population_decay=0.5), **sharded_kw
     )
-    assert sharded_decay == "xla"
+    assert sharded_decay == "fused_cem"  # r5: decay shards (per-iteration sharded grids)
+    # injected-candidate features still have no sharded path — auto must not route them
+    sharded_kept = choose_backend(
+        dyn, mesh=mesh, solver_config=CEMConfig(**sharded_base, keep_elites=5),
+        **sharded_kw
+    )
+    assert sharded_kept == "xla"
 
 
 def test_fused_cem_honors_state_dtype_contract():
