@@ -480,3 +480,70 @@ def test_policy_rejects_time_major_on_kernel_backends():
             rollout_backend="fused_cem",
             time_major=True,
         )
+
+
+def test_spsa_time_major_matches_standard(monkeypatch):
+    """r5: SPSA was the last sampled solver without the time-major layout. Full solve
+    equality across layouts when both draw the same Rademacher perturbations
+    (deterministic injected sampler); covers the fused 2P concat + penalty + ghat path."""
+    from blackbox_mpc_tpu.solvers import spsa
+
+    H, A, U, P = 5, 3, 2, 11
+
+    def fake_rademacher(key, shape, dtype=jnp.float32):
+        del key
+        if len(shape) == 4 and shape[2] == H:        # [P, A, H, U] (standard)
+            p = shape[0]
+            z = _canon_signs(p, A, H, shape[3], dtype)
+        elif len(shape) == 4 and shape[0] == H:      # [H, P, A, U] (time-major)
+            p = shape[1]
+            z = jnp.transpose(_canon_signs(p, A, H, shape[3], dtype), (2, 0, 1, 3))
+        else:
+            raise AssertionError(f"unexpected perturbation shape {shape}")
+        return z
+
+    def _canon_signs(p, a, h, u, dtype):
+        size = p * a * h * u
+        bits = ((jnp.arange(size) * 31 + 7) % 97) % 2  # deterministic pseudo-pattern
+        return (bits.astype(dtype) * 2.0 - 1.0).reshape(p, a, h, u)
+
+    monkeypatch.setattr(spsa.jax.random, "rademacher", fake_rademacher)
+    dyn = lambda s, a: s + 0.1 * jnp.pad(a, ((0, 0), (0, 1)))  # noqa: E731
+    rew = lambda s, a, ns: ns[:, 0] - 0.1 * jnp.sum(jnp.square(a), axis=-1)  # noqa: E731
+    ev = make_trajectory_evaluator(dyn, rew)
+    ev_tm = make_trajectory_evaluator(dyn, rew, time_major=True)
+    bounds = Bounds.of(-0.5, 0.5, dim=U)  # tight bounds so the violation penalty fires
+    kw = dict(planning_horizon=H, num_agents=A, population=P, max_iterations=3,
+              noise_parameter=0.9)
+    obs = jnp.linspace(0.0, 1.0, A * 3).reshape(A, 3)
+    outs = {}
+    for tm, e in ((False, ev), (True, ev_tm)):
+        solver = spsa.make_spsa(spsa.SPSAConfig(**kw, time_major=tm), bounds, e)
+        state = solver.init(jax.random.PRNGKey(0))
+        action, nstate, aux = solver.solve(state, obs, jnp.asarray(0), jax.random.PRNGKey(1))
+        outs[tm] = (action, nstate.solution, aux.expected_reward)
+    for a, b, name in zip(outs[False], outs[True], ("action", "solution", "reward")):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=2e-6, atol=2e-6,
+            err_msg=f"SPSA {name} diverged between layouts",
+        )
+
+
+def test_spsa_time_major_solves_jitted():
+    """The time-major SPSA compiles and produces finite actions under jit with the real
+    RNG (production path; the equality test above injects a deterministic sampler)."""
+    from blackbox_mpc_tpu.solvers.spsa import SPSAConfig, make_spsa
+
+    ev_tm = make_trajectory_evaluator(pendulum_dynamics, pendulum_reward, time_major=True)
+    solver = make_spsa(
+        SPSAConfig(planning_horizon=10, num_agents=2, population=32, max_iterations=4,
+                   time_major=True),
+        Bounds.of(-2.0, 2.0, dim=1), ev_tm,
+    )
+    state = solver.init(jax.random.PRNGKey(0))
+    obs = jnp.asarray([[-1.0, 0.0, 0.0], [0.5, 0.2, 0.1]])
+    action, nstate, aux = jax.jit(solver.solve)(
+        state, obs, jnp.asarray(0), jax.random.PRNGKey(1)
+    )
+    assert action.shape == (2, 1) and np.all(np.isfinite(np.asarray(action)))
+    assert np.all(np.isfinite(np.asarray(aux.expected_reward)))
