@@ -70,10 +70,45 @@ def test_toctree_entries_resolve():
                 assert target.exists(), f"{f.name}: toctree entry {entry!r} -> {target} missing"
 
 
-def test_sphinx_build_passes_with_warnings_as_errors(tmp_path):
-    pytest.importorskip("sphinx")
-    r = subprocess.run(
-        [sys.executable, "-m", "sphinx", "-b", "html", "-W", str(SPHINX_DIR), str(tmp_path)],
-        capture_output=True, text=True, timeout=600,
-    )
-    assert r.returncode == 0, f"sphinx-build -W failed:\n{r.stdout}\n{r.stderr}"
+def test_docs_build_renders_html(tmp_path):
+    """The docs BUILD is executed, not just lint-checked (r5; was an importorskip that
+    never ran anywhere — sphinx is not installable in this zero-egress image). Real
+    sphinx runs when available; otherwise the in-repo static generator
+    (``docs/gen_sphinx_html.py``) renders the identical rst tree — every page produced,
+    every automodule target introspected into the output."""
+    try:
+        import sphinx  # noqa: F401
+
+        r = subprocess.run(
+            [sys.executable, "-m", "sphinx", "-b", "html", "-W",
+             str(SPHINX_DIR), str(tmp_path)],
+            capture_output=True, text=True, timeout=600,
+        )
+        assert r.returncode == 0, f"sphinx-build -W failed:\n{r.stdout}\n{r.stderr}"
+    except ImportError:
+        sys.path.insert(0, str(REPO / "docs"))
+        try:
+            import gen_sphinx_html
+        finally:
+            sys.path.pop(0)
+        pages = gen_sphinx_html.build(tmp_path)
+        assert pages, "static docs build produced no pages"
+    # Either builder: one HTML page per rst page, and spot-check that autodoc content
+    # actually rendered (symbol names + docstring text, not empty shells).
+    for rst in _rst_files():
+        out = tmp_path / rst.relative_to(SPHINX_DIR).with_suffix(".html")
+        assert out.exists(), f"no HTML rendered for {rst.name}"
+    solvers_html = (tmp_path / "modules" / "solvers.html").read_text()
+    for needle in ("make_solver", "blackbox_mpc_tpu.solvers.cem", "CEMConfig"):
+        assert needle in solvers_html, f"autodoc content missing: {needle}"
+    assert (tmp_path / "index.html").exists()
+
+
+def test_committed_html_artifact_is_current():
+    """docs/html (the committed build artifact) contains a page for every rst source —
+    regenerate with ``python docs/gen_sphinx_html.py`` after editing docs/sphinx."""
+    html_dir = REPO / "docs" / "html"
+    assert html_dir.is_dir(), "committed docs build missing: run docs/gen_sphinx_html.py"
+    for rst in _rst_files():
+        out = html_dir / rst.relative_to(SPHINX_DIR).with_suffix(".html")
+        assert out.exists(), f"stale docs/html: no page for {rst.name}"
