@@ -49,10 +49,16 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 AGENTS, POP, HORIZON, ITERS = 256, 1000, 50, 5
 HIDDEN = (200, 200)
 DIM_S, DIM_U = 17, 6
-FLOPS_PER_SOLVE = (
-    2 * ((DIM_S + DIM_U) * HIDDEN[0] + HIDDEN[0] * HIDDEN[1] + HIDDEN[1] * DIM_S)
-    * POP * AGENTS * HORIZON * ITERS
-)
+
+
+def _flops_per_solve() -> int:
+    return (
+        2 * ((DIM_S + DIM_U) * HIDDEN[0] + HIDDEN[0] * HIDDEN[1] + HIDDEN[1] * DIM_S)
+        * POP * AGENTS * HORIZON * ITERS
+    )
+
+
+FLOPS_PER_SOLVE = _flops_per_solve()
 _PEAK_TFLOPS = {"v5 lite": 197.0, "v5e": 197.0, "v5p": 459.0, "v4": 275.0, "v6": 918.0}
 
 
@@ -192,8 +198,16 @@ def main(argv=None):
     p.add_argument("--repeats", type=int, default=4)
     p.add_argument("--evaluator-ablation", action="store_true",
                    help="also time evaluator-only chains for the xla variants")
+    p.add_argument("--hidden", type=int, nargs=2, default=None, metavar=("W1", "W2"),
+                   help="override the MLP widths (r5 aligned-geometry study: the "
+                        "23->200->200->17 reference geometry pads every matmul to "
+                        "128-lane tiles; 128/256 are MXU-aligned)")
     p.add_argument("--out", default=None)
     args = p.parse_args(argv)
+    if args.hidden is not None:
+        global HIDDEN, FLOPS_PER_SOLVE
+        HIDDEN = tuple(args.hidden)
+        FLOPS_PER_SOLVE = _flops_per_solve()
 
     kind = jax.devices()[0].device_kind.lower()
     peak = next((v for k, v in _PEAK_TFLOPS.items() if k in kind), None)
@@ -208,7 +222,7 @@ def main(argv=None):
         ms = r["per_solve_ms"]
         tflops = FLOPS_PER_SOLVE / (ms / 1e3) / 1e12
         row = {
-            "variant": variant, **r,
+            "variant": variant, "hidden": list(HIDDEN), **r,
             "achieved_tflops_per_s": round(tflops, 1),
             "mfu_pct_of_peak": round(100 * tflops / peak, 1) if peak else None,
             "tflop_per_solve": round(FLOPS_PER_SOLVE / 1e12, 3),
