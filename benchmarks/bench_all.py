@@ -47,22 +47,28 @@ def main():
     p = argparse.ArgumentParser()
     p.add_argument("--out", default=None)
     p.add_argument("--quick", action="store_true", help="smaller workloads / fewer repeats")
+    p.add_argument("--repeats", type=int, default=5,
+                   help="timing repeats per section (ignored by --quick, which uses 2); "
+                        "the committed report must carry >=5 (VERDICT r4 #8)")
     args = p.parse_args()
     py = sys.executable
-    report = {"timestamp": time.strftime("%Y-%m-%dT%H:%M:%S"), "sections": {}}
+    rep = "2" if args.quick else str(args.repeats)
+    report = {"timestamp": time.strftime("%Y-%m-%dT%H:%M:%S"),
+              "repeats": 2 if args.quick else args.repeats, "sections": {}}
 
     sections = {
-        "flagship": ([py, "bench.py"], {"BENCH_REPEATS": "2" if args.quick else "4"}),
+        "flagship": ([py, "bench.py"],
+                     {"BENCH_REPEATS": "2" if args.quick else str(args.repeats)}),
         "multi_agent": (
             [py, "benchmarks/scaling.py", "--config", "multi_agent",
              "--agents", "64" if args.quick else "256", "--population", "1000",
-             "--chain", "4", "--repeats", "2"],
+             "--chain", "4", "--repeats", rep],
             None,
         ),
         "big_population": (
             [py, "benchmarks/scaling.py", "--config", "multi_agent", "--agents", "1",
              "--population", "20000" if args.quick else "100000",
-             "--chain", "4", "--repeats", "2", "--hidden", "200", "200"],
+             "--chain", "4", "--repeats", rep, "--hidden", "200", "200"],
             None,
         ),
         "rollouts_cpu": (
@@ -102,7 +108,7 @@ def main():
         "sep_cma_flagship": (
             [py, "benchmarks/scaling.py", "--config", "multi_agent", "--agents", "1",
              "--population", "1000", "--hidden", "500", "500", "500", "--ensemble", "5",
-             "--solver", "CMA-ES", "--diagonal", "--chain", "4", "--repeats", "2"],
+             "--solver", "CMA-ES", "--diagonal", "--chain", "4", "--repeats", rep],
             None,
         ),
     }

@@ -32,11 +32,22 @@ def test_load_pre_rng_checkpoint(tmp_path):
     handler.train(epochs=1, batch_size=32)
     d = str(tmp_path / "ckpt")
     handler.save(d)
-    # Rewrite the checkpoint without replay["rng"], simulating the pre-round-2 format.
+    # Rewrite the checkpoint without replay["rng"], simulating the pre-round-2 format —
+    # which also predates the r5 config.json stamp/manifest, so strip those too (a
+    # stamped checkpoint whose manifest disagrees with its payload is corruption, not
+    # a compat case).
+    import json
+
     ck = ocp.PyTreeCheckpointer()
     payload = ck.restore(os.path.join(d, "checkpoint"))
     payload["replay"].pop("rng")
     ck.save(os.path.join(d, "checkpoint"), payload, force=True)
+    with open(os.path.join(d, "config.json")) as f:
+        meta = json.load(f)
+    meta.pop("format_version", None)
+    meta.pop("replay_keys", None)
+    with open(os.path.join(d, "config.json"), "w") as f:
+        json.dump(meta, f)
 
     restored = DynamicsHandler.load(d)
     assert len(restored.replay) == len(handler.replay)
