@@ -67,4 +67,23 @@ sharded = MPCPolicy(
 action, _, predicted = sharded.act(obs, 0)
 print(f"{'CEM sharded x' + str(len(jax.devices())):22s} action={float(action[0]):+.3f} "
       f"predicted_reward={float(predicted):.3f}")
+
+# r5: the sharded fused matrix also covers iCEM population decay (one sharded kernel
+# grid per decayed per-iteration population) and sep-CMA (same diagonal-CMA update math
+# as the single-chip fused factory, moments psum-reduced across the mesh).
+pop_sharded = max(args.population // len(jax.devices()),
+                  32 // len(jax.devices()) + 1) * len(jax.devices())
+for label, solver_name, kw in [
+    ("CEM decay sharded", "CEM",
+     dict(num_elite=8, max_iterations=3, population_decay=0.6)),
+    ("sep-CMA sharded", "CMA-ES", dict(num_elite=32, max_iterations=3, diagonal=True)),
+]:
+    p = MPCPolicy(
+        action_space=space, reward_function=pendulum_reward, dynamics_handler=handler,
+        solver_name=solver_name, planning_horizon=10, population=pop_sharded,
+        seed=args.seed, rollout_backend="fused", mesh=mesh, **kw,
+    )
+    action, _, predicted = p.act(obs, 0)
+    print(f"{label:22s} action={float(action[0]):+.3f} "
+          f"predicted_reward={float(predicted):.3f}")
 print("OK")
