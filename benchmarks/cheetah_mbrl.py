@@ -41,6 +41,10 @@ def main():
                         "(epochs becomes a cap; planning params = per-member bests)")
     p.add_argument("--particles", type=int, default=1,
                    help="ts_inf: PETS particles per candidate (returns averaged)")
+    p.add_argument("--learn-logvar-bounds", action="store_true",
+                   help="PETS learnable per-dim logvar bounds + 0.01 band regularizer "
+                        "(the r5 calibration fix: fixed bounds left ~40%% of head cells "
+                        "stuck at the variance ceiling, benchmarks/variance_calibration.py)")
     p.add_argument("--icem", action="store_true",
                    help="iCEM preset for the CEM-family solver: colored_noise_beta=2, "
                         "keep_elites=5, mean_as_candidate, population_decay=0.7, and "
@@ -96,6 +100,7 @@ def main():
         dim_s=18, dim_u=6, hidden=tuple(args.hidden), ensemble_size=args.members,
         probabilistic=True, propagation=args.propagation, num_particles=args.particles,
         plan_uncertainty_penalty=args.uncertainty_penalty,
+        learn_logvar_bounds=args.learn_logvar_bounds,
     )
     if args.solver == "Gradient":
         # population = random restarts; Adam steps replace sampled iterations. The solver's
@@ -157,6 +162,7 @@ def main():
         "config": f"solver_kwargs={solver_kwargs} H={args.planning_horizon} "
                   f"hidden={'x'.join(map(str, args.hidden))} NLL lr=3e-3 "
                   f"propagation={args.propagation} particles={args.particles}"
+                  + (" learn_logvar_bounds" if args.learn_logvar_bounds else "")
                   + (f" pessimism={args.uncertainty_penalty}"
                      if args.uncertainty_penalty else ""),
         "start": time.strftime("%Y-%m-%dT%H:%M:%S"),

@@ -82,17 +82,24 @@ def main():
     else:
         x = jnp.concatenate([s_j, a_j], axis=-1)
 
+    # learn_logvar_bounds stores {"net": ..., "lv_min": [S], "lv_max": [S]}
+    params = dp.params
+    if isinstance(params, dict) and "net" in params:
+        net, lv = params["net"], (params["lv_min"], params["lv_max"])
+    else:
+        net, lv = params, (None, None)
+
     @jax.jit
     def member_heads(params, x):
         raw = jax.vmap(lambda pm: mlp_apply(pm, x, config=cfg.mlp))(params)  # [E, B, 2S]
         mean = raw[..., : cfg.dim_s]
-        var = jnp.exp(bound_logvar(raw[..., cfg.dim_s:]))
+        var = jnp.exp(bound_logvar(raw[..., cfg.dim_s:], *lv))
         return mean, var
 
     if cfg.ensemble_size > 1:
-        mean, var = member_heads(dp.params, x)  # [E, B, S]
+        mean, var = member_heads(net, x)  # [E, B, S]
     else:
-        m, v = member_heads(jax.tree.map(lambda t: t[None], dp.params), x)
+        m, v = member_heads(jax.tree.map(lambda t: t[None], net), x)
         mean, var = m, v
     mean = np.asarray(mean, np.float64)
     var = np.asarray(var, np.float64)

@@ -275,12 +275,24 @@ class DynamicsHandler:
                 )
                 if ensemble > 1:
                     sel = jnp.asarray(better)
-                    best_params = jax.tree.map(
-                        lambda b, p: jnp.where(
+
+                    def _pick(b, p):
+                        return jnp.where(
                             sel.reshape((ensemble,) + (1,) * (p.ndim - 1)), p, b
-                        ),
-                        best_params, self._train_state.params,
-                    )
+                        )
+
+                    cur = self._train_state.params
+                    if isinstance(cur, dict) and "net" in cur:
+                        # learn_logvar_bounds: member-select only the net stacks; the
+                        # shared [S] bound pair has no member axis — carry the CURRENT
+                        # bounds (they tighten monotonically under the regularizer).
+                        best_params = {
+                            "net": jax.tree.map(_pick, best_params["net"], cur["net"]),
+                            "lv_min": cur["lv_min"],
+                            "lv_max": cur["lv_max"],
+                        }
+                    else:
+                        best_params = jax.tree.map(_pick, best_params, cur)
                 elif better[0]:
                     best_params = self._train_state.params
                 best_val = np.minimum(best_val, member_val)
@@ -389,20 +401,30 @@ class DynamicsHandler:
         # key list in config.json; unstamped (pre-r5) ones are probed by attempting the
         # full template and retrying without "rng" on a structure mismatch — no
         # dependence on orbax's internal metadata tree either way.
+        def _restore(tmpl):
+            # Restore every leaf as a HOST numpy array: orbax records the saving
+            # device's sharding ("TPU v5 lite0") in the checkpoint, and restoring
+            # as jax.Array on a host without that device kind fails — numpy-typed
+            # restore makes checkpoints device-portable (train on TPU, load anywhere).
+            restore_args = jax.tree.map(
+                lambda _: ocp.RestoreArgs(restore_type=np.ndarray), tmpl
+            )
+            return ckptr.restore(ckpt_path, item=tmpl, restore_args=restore_args)
+
         replay_keys = meta.get("replay_keys")
         if replay_keys is not None:
             template["replay"] = {
                 k: v for k, v in template["replay"].items() if k in replay_keys
             }
-            restored = ckptr.restore(ckpt_path, item=template)
+            restored = _restore(template)
         else:
             try:
-                restored = ckptr.restore(ckpt_path, item=template)
+                restored = _restore(template)
             except Exception:
                 template["replay"] = {
                     k: v for k, v in template["replay"].items() if k != "rng"
                 }
-                restored = ckptr.restore(ckpt_path, item=template)
+                restored = _restore(template)
         handler._train_state = handler._trainer_init(restored["params"])
         handler._train_state = handler._train_state.replace(
             opt_state=restored["opt_state"], step=restored["step"]

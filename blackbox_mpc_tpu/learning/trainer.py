@@ -48,30 +48,51 @@ def make_trainer(
     opt = optimizer if optimizer is not None else optax.adam(learning_rate)
     mlp_cfg = config.mlp
     ensemble = config.ensemble_size
+    learn_lv = config.probabilistic and getattr(config, "learn_logvar_bounds", False)
     transform = transforms.delta_transform if config.predict_delta else transforms.identity_transform
 
-    def _member_loss(params, stats: NormalizerStats, s, a, ns):
+    def _member_loss(net, lv, stats: NormalizerStats, s, a, ns):
         target = transform(s, ns)
         if config.normalized:
             x = jnp.concatenate([stats.normalize_states(s), stats.normalize_actions(a)], axis=-1)
             target = stats.normalize_targets(target)
         else:
             x = jnp.concatenate([s, a], axis=-1)
-        pred = mlp_apply(params, x, config=mlp_cfg)
+        pred = mlp_apply(net, x, config=mlp_cfg)
         if config.probabilistic:
-            # Gaussian NLL on (mean, logvar) head (PETS); logvar soft-bounded.
+            # Gaussian NLL on (mean, logvar) head (PETS); logvar soft-bounded (against
+            # the learnable per-dim bounds when learn_logvar_bounds=True).
             from blackbox_mpc_tpu.models.dynamics import bound_logvar
 
             mean, logvar = pred[..., : config.dim_s], pred[..., config.dim_s :]
-            logvar = bound_logvar(logvar)
+            logvar = bound_logvar(logvar, *lv)
             inv_var = jnp.exp(-logvar)
             return jnp.mean(jnp.square(mean - target) * inv_var + logvar)
         return jnp.mean(jnp.square(pred - target))
 
     def _losses(params, stats, s, a, ns):
+        if learn_lv:
+            net, lv = params["net"], (params["lv_min"], params["lv_max"])
+        else:
+            net, lv = params, (None, None)
         if ensemble > 1:
-            return jax.vmap(_member_loss, in_axes=(0, None, 0, 0, 0))(params, stats, s, a, ns)
-        return _member_loss(params, stats, s[0], a[0], ns[0])[None]
+            # lv bounds are SHARED across members (in_axes None) — every member's NLL
+            # gradient flows into the one [S] pair.
+            return jax.vmap(_member_loss, in_axes=(0, None, None, 0, 0, 0))(
+                net, lv, stats, s, a, ns
+            )
+        return _member_loss(net, lv, stats, s[0], a[0], ns[0])[None]
+
+    def _bound_regularizer(params):
+        # PETS appendix A.1: a 0.01-weighted band penalty squeezes the admissible logvar
+        # band tight around the data — THE term that un-sticks heads from the variance
+        # ceiling (its gradient on the bounds never vanishes). PETS pairs the 0.01 with a
+        # per-dim-SUMMED NLL; our member NLL is a per-dim MEAN (so val-loss histories
+        # stay comparable across configs), so the band penalty uses the per-dim mean too
+        # — the same relative weight as PETS at any state dimension.
+        if not learn_lv:
+            return 0.0
+        return 0.01 * (jnp.mean(params["lv_max"]) - jnp.mean(params["lv_min"]))
 
     def init(params) -> TrainState:
         return TrainState(params=params, opt_state=opt.init(params), step=jnp.zeros((), jnp.int32))
@@ -92,7 +113,7 @@ def make_trainer(
         def total(params):
             losses = _losses(params, stats, s, a, ns)
             # Sum (not mean) keeps each member's gradient identical to training it alone.
-            return jnp.sum(losses), losses
+            return jnp.sum(losses) + _bound_regularizer(params), losses
 
         (_, losses), grads = jax.value_and_grad(total, has_aux=True)(ts.params)
         updates, opt_state = opt.update(grads, ts.opt_state, ts.params)

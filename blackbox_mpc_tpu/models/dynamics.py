@@ -96,6 +96,19 @@ class LearnedDynamicsConfig:
     # per state dim and trains with Gaussian NLL. The reference supports deterministic nets
     # only (its README lists probabilistic nets as future work). Planning uses the means.
     probabilistic: bool = False
+    # PETS learnable logvar bounds (Chua et al. 2018, appendix A.1). With the FIXED soft
+    # bounds, heads that drift to the +0.5 ceiling early (large residuals on fresh data)
+    # get stuck there: the softplus gradient vanishes exponentially past the bound, and
+    # the r5 calibration study measured exactly that on cheetah — ~40 % of (point, dim)
+    # cells saturated at exp(0.5)=1.65 predicted variance against ~0.04-0.22 empirical
+    # residuals (overall E[resid^2]/E[sigma^2] = 0.08, benchmarks/variance_calibration.py)
+    # — which is why sampled propagation (ts_inf/mm) injected ~3.5x oversized noise and
+    # lost to mean propagation. True makes the per-dim bounds TRAINABLE parameters
+    # (shared across ensemble members), with PETS' 0.01*(sum(max)-sum(min)) regularizer
+    # pulling the admissible band tight around the data: the ceiling itself descends
+    # toward the observed residuals, and its gradient never vanishes. The params pytree
+    # becomes {"net": <layers>, "lv_min": [S], "lv_max": [S]}.
+    learn_logvar_bounds: bool = False
     # Pessimistic (uncertainty-penalized) planning, MOPO-style: each rollout step subtracts
     # lambda * mean_S(std_E(member mean-heads)) — the ensemble's epistemic disagreement in
     # normalized-target space — from the step reward, steering every solver away from
@@ -121,9 +134,15 @@ _MAX_LOGVAR = 0.5
 _MIN_LOGVAR = -10.0
 
 
-def bound_logvar(logvar: jax.Array) -> jax.Array:
-    logvar = _MAX_LOGVAR - jax.nn.softplus(_MAX_LOGVAR - logvar)
-    return _MIN_LOGVAR + jax.nn.softplus(logvar - _MIN_LOGVAR)
+def bound_logvar(logvar: jax.Array, lv_min=None, lv_max=None) -> jax.Array:
+    """Soft-bounds the raw logvar head into [lv_min, lv_max] (defaults: the fixed PETS
+    constants). Pass the learnable per-dim bounds ([S], broadcast over batch) when
+    ``learn_logvar_bounds=True`` — same softplus form, but the bounds themselves carry
+    gradient (see LearnedDynamicsConfig.learn_logvar_bounds)."""
+    lo = _MIN_LOGVAR if lv_min is None else lv_min
+    hi = _MAX_LOGVAR if lv_max is None else lv_max
+    logvar = hi - jax.nn.softplus(hi - logvar)
+    return lo + jax.nn.softplus(logvar - lo)
 
 
 def make_learned_dynamics(
@@ -169,11 +188,35 @@ def make_learned_dynamics(
     else:
         inverse = transforms.identity_inverse_transform
 
+    learn_lv = config.probabilistic and config.learn_logvar_bounds
+
+    def _net(params):
+        """The MLP layer stack inside the params pytree (see learn_logvar_bounds)."""
+        return params["net"] if learn_lv else params
+
+    def _lv(params):
+        """(lv_min, lv_max) trainable bound pair, or (None, None) for the fixed bounds."""
+        if learn_lv:
+            return params["lv_min"], params["lv_max"]
+        return None, None
+
     def init(key: jax.Array) -> DynamicsParams:
         if ensemble > 1:
-            params = ensemble_init(key, mlp_cfg, ensemble)
+            net = ensemble_init(key, mlp_cfg, ensemble)
         else:
-            params = mlp_init(key, mlp_cfg)
+            net = mlp_init(key, mlp_cfg)
+        if learn_lv:
+            # Shared across members (PETS uses per-network bounds; a shared pair reaches
+            # the same calibration fixed point — the bounds see every member's gradient —
+            # and keeps the member axis off the bound leaves, so ts1/ts_inf's member-
+            # partitioned rows need no per-row bound gather).
+            params = {
+                "net": net,
+                "lv_min": jnp.full((config.dim_s,), _MIN_LOGVAR, jnp.float32),
+                "lv_max": jnp.full((config.dim_s,), _MAX_LOGVAR, jnp.float32),
+            }
+        else:
+            params = net
         return DynamicsParams(params=params, stats=identity_stats(config.dim_s, config.dim_u))
 
     def _net_input(dp: DynamicsParams, state, action):
@@ -187,7 +230,7 @@ def make_learned_dynamics(
         target = dp.stats.denormalize_targets(raw_target) if config.normalized else raw_target
         return inverse(state, target)
 
-    def _head(raw: jax.Array, key: jax.Array | None) -> jax.Array:
+    def _head(raw: jax.Array, key: jax.Array | None, lv=(None, None)) -> jax.Array:
         """Probabilistic head -> prediction in normalized-target space.
 
         ``key=None`` (mean/ts1 modes, or the one-step lookahead) returns the means;
@@ -199,11 +242,11 @@ def make_learned_dynamics(
         mean = raw[..., : config.dim_s]
         if key is None:
             return mean
-        logvar = bound_logvar(raw[..., config.dim_s :])
+        logvar = bound_logvar(raw[..., config.dim_s :], *lv)
         eps = jax.random.normal(key, mean.shape, mean.dtype)
         return mean + jnp.exp(0.5 * logvar) * eps
 
-    def _mm_head(raw_all: jax.Array, key: jax.Array | None) -> jax.Array:
+    def _mm_head(raw_all: jax.Array, key: jax.Array | None, lv=(None, None)) -> jax.Array:
         """Moment-match E per-member Gaussians ``[E, B, 2S]`` into one and sample it.
 
         PETS "MM" propagation (Chua et al. 2018 §4.1): mu = mean_e(mu_e),
@@ -214,7 +257,7 @@ def make_learned_dynamics(
         mu = jnp.mean(mu_e, axis=0)
         if key is None:
             return mu
-        var_e = jnp.exp(bound_logvar(raw_all[..., config.dim_s :]))
+        var_e = jnp.exp(bound_logvar(raw_all[..., config.dim_s :], *lv))
         var = jnp.maximum(jnp.mean(var_e + jnp.square(mu_e), axis=0) - jnp.square(mu), 0.0)
         eps = jax.random.normal(key, mu.shape, mu.dtype)
         return mu + jnp.sqrt(var) * eps
@@ -244,22 +287,23 @@ def make_learned_dynamics(
         dp: DynamicsParams, state: jax.Array, action: jax.Array, key: jax.Array | None = None
     ) -> jax.Array:
         x = _net_input(dp, state, action)
+        net, lv = _net(dp.params), _lv(dp.params)
         if config.propagation == "mm":
             if ensemble <= 1:
-                raw_all = mlp_apply(dp.params, x, config=mlp_cfg)[None]
+                raw_all = mlp_apply(net, x, config=mlp_cfg)[None]
             else:
-                raw_all = jax.vmap(lambda p: mlp_apply(p, x, config=mlp_cfg))(dp.params)
-            return _target_to_state(dp, state, _mm_head(raw_all, key))
+                raw_all = jax.vmap(lambda p: mlp_apply(p, x, config=mlp_cfg))(net)
+            return _target_to_state(dp, state, _mm_head(raw_all, key, lv))
         if ensemble <= 1:
-            raw = mlp_apply(dp.params, x, config=mlp_cfg)
+            raw = mlp_apply(net, x, config=mlp_cfg)
         elif config.propagation == "mean":
             raw = jnp.mean(
-                jax.vmap(lambda p: mlp_apply(p, x, config=mlp_cfg))(dp.params), axis=0
+                jax.vmap(lambda p: mlp_apply(p, x, config=mlp_cfg))(net), axis=0
             )
         else:  # "ts1" | "ts_inf": fixed per-row member assignment
-            raw = _member_partitioned(dp.params, x)
+            raw = _member_partitioned(net, x)
         sample_key = key if config.propagation == "ts_inf" else None
-        return _target_to_state(dp, state, _head(raw, sample_key))
+        return _target_to_state(dp, state, _head(raw, sample_key, lv))
 
     def penalized_dynamics_fn(
         dp: DynamicsParams, state: jax.Array, action: jax.Array, key: jax.Array | None = None
@@ -270,12 +314,13 @@ def make_learned_dynamics(
         Same next-state numerics as ``dynamics_fn`` (mean: average of member means;
         mm: moment-matched sample under the same key)."""
         x = _net_input(dp, state, action)
-        raw_all = jax.vmap(lambda p: mlp_apply(p, x, config=mlp_cfg))(dp.params)  # [E,B,·]
+        net, lv = _net(dp.params), _lv(dp.params)
+        raw_all = jax.vmap(lambda p: mlp_apply(p, x, config=mlp_cfg))(net)  # [E,B,·]
         mu_e = raw_all[..., : config.dim_s] if config.probabilistic else raw_all
         disagreement = jnp.mean(jnp.std(mu_e.astype(jnp.float32), axis=0), axis=-1)
         penalty = jnp.asarray(config.plan_uncertainty_penalty, jnp.float32) * disagreement
         if config.propagation == "mm":
-            next_state = _target_to_state(dp, state, _mm_head(raw_all, key))
+            next_state = _target_to_state(dp, state, _mm_head(raw_all, key, lv))
         else:  # "mean"
             next_state = _target_to_state(dp, state, _head(jnp.mean(raw_all, axis=0), None))
         return next_state, penalty

@@ -151,10 +151,18 @@ def learn_dynamics_iteratively_w_mpc(
             os.path.join(checkpoint_dir, "proposer.npy") if checkpoint_dir else None
         )
         if resume and proposer_dir and os.path.isdir(proposer_dir):
+            import jax
             import orbax.checkpoint as ocp
 
+            template = proposer.state_dict()
+            # numpy-typed restore: device-portable (see DynamicsHandler.load)
+            restore_args = jax.tree.map(
+                lambda _: ocp.RestoreArgs(restore_type=np.ndarray), template
+            )
             proposer.load_state_dict(
-                ocp.PyTreeCheckpointer().restore(proposer_dir, item=proposer.state_dict())
+                ocp.PyTreeCheckpointer().restore(
+                    proposer_dir, item=template, restore_args=restore_args
+                )
             )
             logger.info("resumed proposer from %s", proposer_dir)
         elif resume and legacy_npy and os.path.exists(legacy_npy):

@@ -252,6 +252,8 @@ def test_compiled_executable_cache_roundtrip(tmp_path):
     export_policy_artifact(pol, art, dim_s=3)
     ServingPolicy.load(art).save_compiled(cache)
     assert os.path.getsize(cache) > 0
+    # r5: the write publishes atomically — no .tmp sibling may survive
+    assert not [p for p in os.listdir(str(tmp_path)) if ".tmp" in p]
     plain = ServingPolicy.load(art)
     cached = ServingPolicy.load(art, compiled_cache=cache)
     assert cached.used_compiled_cache and not plain.used_compiled_cache

@@ -320,3 +320,158 @@ def test_mpc_policy_ts_inf_with_particles():
     )
     action, _, _ = policy.act(np.asarray([1.0, 0.0, 0.0], np.float32))
     assert np.isfinite(action).all()
+
+
+# --- r5: PETS learnable logvar bounds (the calibration fix) ---------------------------
+
+
+def test_learnable_logvar_bounds_structure_and_training():
+    """learn_logvar_bounds=True: params become {"net", "lv_min", "lv_max"}, training
+    runs, the band regularizer TIGHTENS the bounds from their fixed-constant init, and
+    the trained model still predicts accurately."""
+    from blackbox_mpc_tpu.models.dynamics import _MAX_LOGVAR, _MIN_LOGVAR
+
+    cfg = LearnedDynamicsConfig(
+        dim_s=3, dim_u=1, hidden=(64, 64), ensemble_size=2, probabilistic=True,
+        learn_logvar_bounds=True,
+    )
+    handler = DynamicsHandler(config=cfg, seed=0, learning_rate=5e-3)
+    p0 = handler.dynamics_params.params
+    assert set(p0.keys()) == {"net", "lv_min", "lv_max"}
+    assert p0["lv_max"].shape == (3,) and p0["lv_min"].shape == (3,)
+    np.testing.assert_array_equal(np.asarray(p0["lv_max"]), _MAX_LOGVAR)
+    s, a, ns = _pendulum_transitions(2000)
+    handler.replay.add_transitions(s, a, ns)
+    metrics = handler.train(epochs=40, batch_size=128)
+    assert np.isfinite(metrics["val_loss"])
+    p1 = handler.dynamics_params.params
+    # the bounds are TRAINED: every dim moved off the fixed-constant init (direction is
+    # data-dependent — the NLL can push a dim's ceiling up; the regularizer pulls the
+    # band tight — so assert movement, not direction)
+    assert not np.allclose(np.asarray(p1["lv_max"]), _MAX_LOGVAR)
+    assert np.all(np.asarray(p1["lv_min"]) > _MIN_LOGVAR)  # floor always rises toward data
+    s2, a2, ns2 = _pendulum_transitions(200, seed=1)
+    pred = np.asarray(handler.predict(s2, a2))
+    assert np.abs(pred - ns2).mean() < 0.2
+
+
+def test_learnable_bounds_ceiling_tracks_the_data():
+    """The mechanism that fixes the cheetah saturation pathology (r5 calibration study:
+    fixed bounds left ~40% of head cells stuck at exp(0.5)=1.65 predicted variance
+    against 0.04-0.22 residuals): under a distribution shift — noisy targets first, then
+    clean data — the learnable ceiling DESCENDS toward the observed residual scale
+    (far below the fixed +0.5 constant), and the resulting variance ratio stays within
+    a sane band instead of the 0.08 the fixed bounds produced on cheetah."""
+    from blackbox_mpc_tpu.models import transforms
+    from blackbox_mpc_tpu.models.dynamics import _MAX_LOGVAR, bound_logvar
+    from blackbox_mpc_tpu.models.mlp import mlp_apply
+
+    def transitions(n, noise, seed):
+        rng = np.random.default_rng(seed)
+        th = rng.uniform(-np.pi, np.pi, n)
+        s = np.stack(
+            [np.cos(th), np.sin(th), rng.uniform(-8, 8, n)], -1
+        ).astype(np.float32)
+        a = rng.uniform(-2, 2, (n, 1)).astype(np.float32)
+        ns = np.asarray(pendulum_dynamics(jnp.asarray(s), jnp.asarray(a)))
+        return s, a, (ns + rng.normal(0, noise, ns.shape)).astype(np.float32)
+
+    cfg = LearnedDynamicsConfig(
+        dim_s=3, dim_u=1, hidden=(64, 64), ensemble_size=2, probabilistic=True,
+        learn_logvar_bounds=True,
+    )
+    handler = DynamicsHandler(config=cfg, seed=0, learning_rate=5e-3)
+    # phase 1: large-noise targets push raw logvars toward the ceiling (the MBRL
+    # early-refinement regime); phase 2: clean data floods in
+    s, a, ns = transitions(1500, 3.0, 0)
+    handler.replay.add_transitions(s, a, ns)
+    handler.train(epochs=15, batch_size=128)
+    for seed in (1, 2, 3):
+        s, a, ns = transitions(1500, 0.0, seed)
+        handler.replay.add_transitions(s, a, ns)
+        handler.train(epochs=15, batch_size=128)
+    dp = handler.dynamics_params
+    lv_max = np.asarray(dp.params["lv_max"])
+    assert np.all(lv_max < _MAX_LOGVAR - 0.5), lv_max  # ceiling moved WELL below +0.5
+    # end-state calibration is sane (the fixed-bound cheetah pathology measured 0.08)
+    sv, av, nsv = handler.replay.arrays(validation=True)
+    x = jnp.concatenate(
+        [dp.stats.normalize_states(jnp.asarray(sv)),
+         dp.stats.normalize_actions(jnp.asarray(av))], axis=-1,
+    )
+    tgt = dp.stats.normalize_targets(
+        transforms.delta_transform(jnp.asarray(sv), jnp.asarray(nsv))
+    )
+    raw = jax.vmap(lambda pm: mlp_apply(pm, x, config=cfg.mlp))(dp.params["net"])
+    var = np.asarray(
+        jnp.exp(bound_logvar(raw[..., 3:], dp.params["lv_min"], dp.params["lv_max"])),
+        np.float64,
+    )
+    resid = np.square(np.asarray(tgt, np.float64)[None] - np.asarray(raw[..., :3], np.float64))
+    ratio = float(resid.mean() / var.mean())
+    assert 0.2 < ratio < 5.0, ratio
+
+
+def test_learnable_bounds_checkpoint_roundtrip(tmp_path):
+    import os
+
+    cfg = LearnedDynamicsConfig(
+        dim_s=3, dim_u=1, hidden=(16,), ensemble_size=2, probabilistic=True,
+        propagation="ts_inf", learn_logvar_bounds=True,
+    )
+    handler = DynamicsHandler(config=cfg, seed=0)
+    s, a, ns = _pendulum_transitions(400)
+    handler.replay.add_transitions(s, a, ns)
+    handler.train(epochs=2, batch_size=64)
+    d = os.path.join(str(tmp_path), "ckpt")
+    handler.save(d)
+    restored = DynamicsHandler.load(d)
+    assert restored.config.learn_logvar_bounds
+    np.testing.assert_allclose(
+        np.asarray(restored.dynamics_params.params["lv_max"]),
+        np.asarray(handler.dynamics_params.params["lv_max"]), rtol=1e-6,
+    )
+    pred = np.asarray(restored.predict(s[:5], a[:5]))
+    np.testing.assert_allclose(
+        pred, np.asarray(handler.predict(s[:5], a[:5])), rtol=1e-5, atol=1e-6
+    )
+
+
+def test_learnable_bounds_ts_inf_and_mm_propagate():
+    """Sampled propagation paths consume the learnable bounds: ts_inf and mm both
+    produce finite keyed samples, and the sampling spread respects the (tightened)
+    bound ceiling."""
+    for prop in ("ts_inf", "mm"):
+        cfg = LearnedDynamicsConfig(
+            dim_s=3, dim_u=1, hidden=(16,), ensemble_size=2, probabilistic=True,
+            propagation=prop, learn_logvar_bounds=True,
+        )
+        init, dyn = make_learned_dynamics(cfg)
+        dp = init(jax.random.PRNGKey(0))
+        s = jnp.ones((4, 3))
+        a = jnp.zeros((4, 1))
+        out = dyn(dp, s, a, jax.random.PRNGKey(1))
+        assert out.shape == (4, 3) and np.isfinite(np.asarray(out)).all()
+        # keyed draws differ (it IS sampling), keyless is the deterministic mean
+        out2 = dyn(dp, s, a, jax.random.PRNGKey(2))
+        assert not np.allclose(np.asarray(out), np.asarray(out2))
+        m1 = dyn(dp, s, a)
+        np.testing.assert_array_equal(np.asarray(m1), np.asarray(dyn(dp, s, a)))
+
+
+def test_learnable_bounds_early_stopping_per_member_bests():
+    """patience-based early stopping composes with the dict param structure (the member
+    selection maps over net stacks only; the shared bound pair carries through)."""
+    cfg = LearnedDynamicsConfig(
+        dim_s=3, dim_u=1, hidden=(16,), ensemble_size=3, probabilistic=True,
+        learn_logvar_bounds=True,
+    )
+    handler = DynamicsHandler(config=cfg, seed=0)
+    s, a, ns = _pendulum_transitions(600)
+    handler.replay.add_transitions(s, a, ns)
+    m = handler.train(epochs=30, batch_size=64, patience=3)
+    assert np.isfinite(m["val_loss"]) and m["epochs_ran"] <= 30
+    p = handler.dynamics_params.params
+    assert p["lv_max"].shape == (3,)
+    pred = np.asarray(handler.predict(s[:4], a[:4]))
+    assert np.isfinite(pred).all()
