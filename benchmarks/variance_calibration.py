@@ -46,13 +46,10 @@ def main():
 
     if args.cpu:
         jax.config.update("jax_platforms", "cpu")
-    import jax.numpy as jnp
     import numpy as np
 
+    from blackbox_mpc_tpu.learning.calibration import calibration_summary, head_moments
     from blackbox_mpc_tpu.learning.handler import DynamicsHandler
-    from blackbox_mpc_tpu.models import transforms
-    from blackbox_mpc_tpu.models.dynamics import bound_logvar
-    from blackbox_mpc_tpu.models.mlp import mlp_apply
 
     ckpt = args.ckpt
     if not os.path.exists(os.path.join(ckpt, "config.json")) and os.path.exists(
@@ -64,54 +61,18 @@ def main():
     if not cfg.probabilistic:
         raise SystemExit("checkpoint's dynamics are deterministic — nothing to calibrate")
 
-    s, a, ns = handler.replay.arrays(validation=True)
-    if len(s) == 0:
+    # Shared package diagnostic (learning/calibration.py — the same computation
+    # handler.train() reports as val_calibration_ratio); the decile curve is local.
+    summary = calibration_summary(handler)
+    if summary is None:
         raise SystemExit("checkpoint has no validation split")
-    dp = handler.dynamics_params
-    stats = dp.stats
-    transform = (
-        transforms.delta_transform if cfg.predict_delta else transforms.identity_transform
-    )
-    s_j, a_j, ns_j = jnp.asarray(s), jnp.asarray(a), jnp.asarray(ns)
-    target = transform(s_j, ns_j)
-    if cfg.normalized:
-        x = jnp.concatenate(
-            [stats.normalize_states(s_j), stats.normalize_actions(a_j)], axis=-1
-        )
-        target = stats.normalize_targets(target)
-    else:
-        x = jnp.concatenate([s_j, a_j], axis=-1)
+    mean, var, target = head_moments(handler)
+    resid_sq = np.square(target[None] - mean)  # [E, B, S]
 
-    # learn_logvar_bounds stores {"net": ..., "lv_min": [S], "lv_max": [S]}
-    params = dp.params
-    if isinstance(params, dict) and "net" in params:
-        net, lv = params["net"], (params["lv_min"], params["lv_max"])
-    else:
-        net, lv = params, (None, None)
-
-    @jax.jit
-    def member_heads(params, x):
-        raw = jax.vmap(lambda pm: mlp_apply(pm, x, config=cfg.mlp))(params)  # [E, B, 2S]
-        mean = raw[..., : cfg.dim_s]
-        var = jnp.exp(bound_logvar(raw[..., cfg.dim_s:], *lv))
-        return mean, var
-
-    if cfg.ensemble_size > 1:
-        mean, var = member_heads(net, x)  # [E, B, S]
-    else:
-        m, v = member_heads(jax.tree.map(lambda t: t[None], net), x)
-        mean, var = m, v
-    mean = np.asarray(mean, np.float64)
-    var = np.asarray(var, np.float64)
-    tgt = np.asarray(target, np.float64)[None]  # broadcast over members
-
-    resid_sq = np.square(tgt - mean)  # [E, B, S] aleatoric residuals per member
-    z = (tgt - mean) / np.sqrt(var)
-
-    per_dim_ratio = resid_sq.mean(axis=(0, 1)) / var.mean(axis=(0, 1))  # [S]
-    overall_ratio = float(resid_sq.mean() / var.mean())
-    cov1 = float((np.abs(z) <= 1.0).mean())
-    cov2 = float((np.abs(z) <= 2.0).mean())
+    per_dim_ratio = summary["per_dim_variance_ratio"]
+    overall_ratio = summary["variance_ratio"]
+    cov1 = summary["coverage_1sigma"]
+    cov2 = summary["coverage_2sigma"]
 
     # Decile calibration curve over pooled (member, point, dim) cells.
     v_flat, r_flat = var.reshape(-1), resid_sq.reshape(-1)
@@ -126,7 +87,7 @@ def main():
 
     rows = [{
         "ckpt": args.ckpt,
-        "val_points": int(len(s)),
+        "val_points": summary["val_points"],
         "ensemble": int(cfg.ensemble_size),
         "space": "normalized-target" if cfg.normalized else "raw-target",
         "overall_variance_ratio": round(overall_ratio, 4),

@@ -310,22 +310,39 @@ class DynamicsHandler:
             final_val = val_member_losses(self._params.params)
         val_loss = float(np.mean(final_val)) if final_val is not None else float("nan")
         self._train_calls += 1
+        # Variance calibration of the probabilistic heads on the val split — the r5 PETS
+        # study's gate metric (learning/calibration.py): drift away from ~1.0 is the
+        # leading indicator of sampled-propagation failure in long runs.
+        calibration = None
+        if self._config.probabilistic:
+            from blackbox_mpc_tpu.learning.calibration import calibration_summary
+
+            cal = calibration_summary(self)
+            if cal is not None:
+                calibration = cal["variance_ratio"]
         if self._writer is not None:
             self._writer.scalar("system_model/train_loss", last_train, self._train_calls)
             self._writer.scalar("system_model/val_loss", val_loss, self._train_calls)
+            if calibration is not None:
+                self._writer.scalar(
+                    "system_model/val_calibration_ratio", calibration, self._train_calls
+                )
         logger.info(
             "dynamics train call %d: train_loss=%.5f val_loss=%.5f (replay: %d train / %d val)",
             self._train_calls, last_train, val_loss, self._replay.num_train, self._replay.num_val,
         )
         if self._save_dir is not None and self._train_calls % self._save_frequency == 0:
             self.save(self._save_dir)
-        return {
+        metrics = {
             "train_loss": last_train,
             "val_loss": val_loss,
             "replay_size": len(self._replay),
             "train_calls": self._train_calls,
             "epochs_ran": epochs_ran,
         }
+        if calibration is not None:
+            metrics["val_calibration_ratio"] = calibration
+        return metrics
 
     # ------------------------------------------------------------------ checkpointing
 

@@ -475,3 +475,45 @@ def test_learnable_bounds_early_stopping_per_member_bests():
     assert p["lv_max"].shape == (3,)
     pred = np.asarray(handler.predict(s[:4], a[:4]))
     assert np.isfinite(pred).all()
+
+
+def test_train_reports_calibration_ratio():
+    """Probabilistic training reports the r5 gate metric (val_calibration_ratio); a
+    noisy linear system with Gaussian targets should come out roughly calibrated once
+    NLL training converges (ratio within a small factor of 1), and deterministic
+    configs must not carry the key."""
+    rng = np.random.default_rng(0)
+    n = 4000
+    s = rng.uniform(-1, 1, (n, 3)).astype(np.float32)
+    a = rng.uniform(-1, 1, (n, 1)).astype(np.float32)
+    true_sigma = np.asarray([0.05, 0.1, 0.2], np.float32)
+    ns = (0.8 * s + 0.3 * a + true_sigma * rng.standard_normal((n, 3))).astype(np.float32)
+
+    cfg = LearnedDynamicsConfig(
+        dim_s=3, dim_u=1, hidden=(64, 64), ensemble_size=2, probabilistic=True,
+        learn_logvar_bounds=True,
+    )
+    handler = DynamicsHandler(config=cfg, seed=0, learning_rate=3e-3)
+    handler.replay.add_transitions(s, a, ns)
+    m = handler.train(epochs=60, batch_size=256)
+    assert "val_calibration_ratio" in m
+    # A well-trained NLL head on honestly-Gaussian targets lands near ratio 1; the wide
+    # band guards the property (not a tuning target) while still catching the failure
+    # modes the r5 study measured (0.047 and 2.97 both fall far outside it).
+    assert 0.5 < m["val_calibration_ratio"] < 2.0, m["val_calibration_ratio"]
+
+    from blackbox_mpc_tpu.learning.calibration import calibration_summary
+
+    summary = calibration_summary(handler)
+    assert summary is not None
+    assert abs(summary["variance_ratio"] - m["val_calibration_ratio"]) < 1e-12
+    assert 0.3 < summary["coverage_1sigma"] < 0.95
+    assert summary["per_dim_variance_ratio"].shape == (3,)
+
+    det = DynamicsHandler(
+        config=LearnedDynamicsConfig(dim_s=3, dim_u=1, hidden=(16,)), seed=0
+    )
+    det.replay.add_transitions(s[:500], a[:500], ns[:500])
+    dm = det.train(epochs=2, batch_size=128)
+    assert "val_calibration_ratio" not in dm
+    assert calibration_summary(det) is None
