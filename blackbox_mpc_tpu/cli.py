@@ -174,6 +174,62 @@ def cmd_learn(args):
     return 0
 
 
+def cmd_calibrate(args):
+    """Variance-calibration check of a trained probabilistic checkpoint.
+
+    Prints the ``learning/calibration.py`` summary as one JSON line: the r5 PETS study
+    (docs/performance.md "PETS uncertainty propagation") showed ``E[res^2]/E[sigma^2]``
+    drifting away from ~1.0 is the leading indicator of sampled-propagation failure —
+    run this before trusting ``propagation="ts_inf"/"mm"`` on a long-trained model.
+    """
+    _maybe_cpu(args)
+    import os
+
+    from blackbox_mpc_tpu.learning.calibration import calibration_summary
+    from blackbox_mpc_tpu.learning.handler import DynamicsHandler
+
+    ckpt = args.checkpoint_dir
+    if not os.path.exists(os.path.join(ckpt, "config.json")) and os.path.exists(
+        os.path.join(ckpt, "handler", "config.json")
+    ):
+        ckpt = os.path.join(ckpt, "handler")  # MBRL-loop dir: descend to the handler
+    try:
+        handler = DynamicsHandler.load(ckpt)
+    except FileNotFoundError:
+        print(f"error: no checkpoint at {args.checkpoint_dir}", file=sys.stderr)
+        return 2
+    if handler.config is None or not handler.config.probabilistic:
+        print(
+            "error: checkpoint's dynamics are deterministic — nothing to calibrate "
+            "(train with LearnedDynamicsConfig(probabilistic=True))",
+            file=sys.stderr,
+        )
+        return 2
+    summary = calibration_summary(handler)
+    if summary is None:
+        print("error: checkpoint has no validation split", file=sys.stderr)
+        return 2
+    ratio = summary["variance_ratio"]
+    verdict = (
+        "overconfident (sampled noise too small)" if ratio > 1.5 else
+        "underconfident (sampled noise too large)" if ratio < 0.67 else
+        "approximately calibrated"
+    )
+    print(json.dumps({
+        "checkpoint": args.checkpoint_dir,
+        "variance_ratio": round(ratio, 4),
+        "coverage_1sigma": round(summary["coverage_1sigma"], 4),
+        "coverage_2sigma": round(summary["coverage_2sigma"], 4),
+        "gaussian_expected": {"1sigma": 0.6827, "2sigma": 0.9545},
+        "val_points": summary["val_points"],
+        "per_dim_variance_ratio": [
+            round(float(r), 4) for r in summary["per_dim_variance_ratio"]
+        ],
+        "verdict": verdict,
+    }))
+    return 0
+
+
 def cmd_export(args):
     _maybe_cpu(args)
     from blackbox_mpc_tpu import DynamicsHandler, MPCPolicy, export_policy_artifact
@@ -436,6 +492,16 @@ def main(argv=None) -> int:
              "loading it executes its contents, so only point this at trusted files",
     )
     p.set_defaults(fn=cmd_serve)
+
+    p = sub.add_parser(
+        "calibrate",
+        help="variance-calibration check of a probabilistic dynamics checkpoint "
+             "(E[res^2]/E[sigma^2] on the val split; ~1.0 = calibrated)",
+    )
+    p.add_argument("checkpoint_dir",
+                   help="DynamicsHandler.save dir, or an MBRL-loop dir with handler/")
+    p.add_argument("--cpu", action="store_true", help="force the CPU backend")
+    p.set_defaults(fn=cmd_calibrate)
 
     p = sub.add_parser("solvers", help="list solvers and their config defaults")
     p.set_defaults(fn=cmd_solvers)

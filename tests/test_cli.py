@@ -277,3 +277,52 @@ def test_serve_survives_runtime_error_in_request(tmp_path):
     lines = [json.loads(ln) for ln in out.stdout.strip().splitlines()]
     assert "error" in lines[1]
     assert "action" in lines[2]
+
+
+def test_calibrate_checkpoint(tmp_path):
+    """`calibrate` prints the variance-calibration summary for a probabilistic
+    checkpoint and refuses deterministic ones with a clean error (r5: the calibration
+    ratio is the gate metric for sampled propagation, docs/performance.md)."""
+    import numpy as np
+
+    from blackbox_mpc_tpu.learning import DynamicsHandler
+    from blackbox_mpc_tpu.models.dynamics import LearnedDynamicsConfig
+
+    rng = np.random.default_rng(0)
+    s = rng.uniform(-1, 1, (600, 3)).astype(np.float32)
+    a = rng.uniform(-1, 1, (600, 1)).astype(np.float32)
+    ns = (0.9 * s + 0.2 * a + 0.1 * rng.standard_normal((600, 3))).astype(np.float32)
+
+    prob = tmp_path / "prob"
+    h = DynamicsHandler(
+        config=LearnedDynamicsConfig(dim_s=3, dim_u=1, hidden=(16,), ensemble_size=2,
+                                     probabilistic=True, learn_logvar_bounds=True),
+        seed=0,
+    )
+    h.replay.add_transitions(s, a, ns)
+    h.train(epochs=3, batch_size=128)
+    h.save(str(prob))
+
+    proc = _run(["calibrate", "--cpu", str(prob)])
+    assert proc.returncode == 0, proc.stderr[-800:]
+    row = _last_json(proc.stdout)
+    assert row["variance_ratio"] > 0 and row["val_points"] > 0
+    assert len(row["per_dim_variance_ratio"]) == 3
+    assert row["verdict"] in (
+        "approximately calibrated",
+        "overconfident (sampled noise too small)",
+        "underconfident (sampled noise too large)",
+    )
+
+    det = tmp_path / "det"
+    hd = DynamicsHandler(
+        config=LearnedDynamicsConfig(dim_s=3, dim_u=1, hidden=(8,)), seed=0
+    )
+    hd.replay.add_transitions(s[:100], a[:100], ns[:100])
+    hd.train(epochs=1, batch_size=64)
+    hd.save(str(det))
+    proc = _run(["calibrate", "--cpu", str(det)])
+    assert proc.returncode == 2 and "deterministic" in proc.stderr
+
+    proc = _run(["calibrate", "--cpu", str(tmp_path / "missing")])
+    assert proc.returncode == 2 and "no checkpoint" in proc.stderr
