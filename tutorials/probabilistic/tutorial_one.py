@@ -3,11 +3,17 @@
 No reference counterpart — the reference ships a single deterministic MLP and lists
 BNN dynamics as future work (``/root/reference/README.md:144``). Here:
 
-1. train a Gaussian-head (mean, logvar) ensemble by negative log-likelihood,
-2. plan with ``propagation="ts_inf"``: each candidate trajectory is pinned to one ensemble
+1. train a Gaussian-head (mean, logvar) ensemble by negative log-likelihood — with the
+   PETS appendix-A.1 LEARNABLE logvar bounds (``learn_logvar_bounds=True``), which the
+   round-5 study showed is mandatory for sampled propagation (fixed bounds pin head
+   cells at the variance ceiling and collapse planning — docs/performance.md "PETS
+   uncertainty propagation"),
+2. check the heads' variance calibration (``E[residual^2]/E[sigma^2]`` on the val
+   split, ~1.0 = calibrated) — the gate metric for trusting sampled rollouts,
+3. plan with ``propagation="ts_inf"``: each candidate trajectory is pinned to one ensemble
    member AND samples the learned aleatoric noise at every rollout step, so the optimizer
    prefers plans that are good under model uncertainty, not just under the posterior mean,
-3. compare against mean-propagation planning on the same trained ensemble.
+4. compare against mean-propagation planning on the same trained ensemble.
 """
 import sys, pathlib
 
@@ -28,7 +34,7 @@ from blackbox_mpc_tpu.models import pendulum_reward
 env = NativePendulumVecEnv(num_envs=2, seed=args.seed, max_episode_steps=args.steps)
 cfg = LearnedDynamicsConfig(
     dim_s=3, dim_u=1, hidden=(64, 64), ensemble_size=args.members,
-    probabilistic=True, propagation="ts_inf",
+    probabilistic=True, propagation="ts_inf", learn_logvar_bounds=True,
 )
 handler, _, metrics = learn_dynamics_from_policy(
     env, RandomPolicy(env.action_space, num_agents=2, seed=args.seed),
@@ -36,6 +42,10 @@ handler, _, metrics = learn_dynamics_from_policy(
     epochs=60, learning_rate=3e-3,
 )
 print(f"NLL-trained {args.members}-member ensemble, val loss {metrics['val_loss']:.4f}")
+# Gate metric before trusting sampled propagation: ratio far below 1 means oversized
+# noise (the fixed-bound collapse mode), far above 1 means the model over-trusts itself.
+print(f"variance calibration E[res^2]/E[sigma^2]: {metrics['val_calibration_ratio']:.2f} "
+      "(~1.0 = calibrated; also: python -m blackbox_mpc_tpu calibrate <ckpt>)")
 
 
 def control(propagation: str) -> float:
