@@ -95,7 +95,8 @@ def main():
     ax.set_xlabel("episode (200 env steps each)", fontsize=9, color=TEXT_SECONDARY)
     ax.set_ylabel("episode reward", fontsize=9, color=TEXT_SECONDARY)
     ax.set_title(
-        "HalfCheetah MBRL: Gradient + BC proposer, 300-episode run (seed 0, one v5e)",
+        f"HalfCheetah MBRL: Gradient + BC proposer, {len(gbc)}-episode run "
+        "(seed 0, one v5e)",
         fontsize=11, color=TEXT_PRIMARY, loc="left", pad=12,
     )
     ax.grid(True, color=GRID, lw=1.0)
